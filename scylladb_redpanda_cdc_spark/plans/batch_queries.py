@@ -1,3 +1,669 @@
-"""Placeholder — populated in a later stage (SURVEY.md §7)."""
+"""Group B — batch relational core (SURVEY.md §2.B) over the star schema.
 
-SPECS: list = []
+The reference's consumers are jq filters over order events
+(reference README.md:215); this group is that consumer surface grown to a
+full relational engine, per the driver contract (SURVEY.md §2 group B note).
+
+Determinism rules used throughout (SURVEY.md §5.2.5):
+- every aggregate/computed column aliased identically in Spark + SQL;
+- float SUMs of 2-decimal money rounded to 2 (exact sum is a multiple of
+  0.01, fp noise ≪ the .005 boundary at oracle SF), AVGs rounded to 4;
+- date/timestamp outputs converted to strings / epoch integers (cross-engine
+  ns-vs-us precision);
+- every top-k / limit has a total-order tiebreak;
+- collect outputs sorted and joined to a string.
+
+Scale notes are per-query docstrings: which side broadcasts, where the
+shuffle lands, why the plan survives 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scylladb_redpanda_cdc_spark.plans import QuerySpec
+from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
+
+# ---------------------------------------------------------------------------
+# B1-B3 scans & filters (predicate pushdown / column pruning)
+# ---------------------------------------------------------------------------
+
+
+def b1_scan_project(spark, sf_dir):
+    """Projection-only scan: ReadSchema must list exactly these 3 columns."""
+    return _T(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def b2_filter_conjunctive(spark, sf_dir):
+    """Range+equality conjunction (TPC-H Q6 shape); all three predicates
+    reach the parquet scan as PushedFilters."""
+    li = _T(spark, sf_dir, "lineitem")
+    return li.filter(
+        (li.l_shipdate >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (li.l_shipdate < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (li.l_discount >= 0.05)
+        & (li.l_quantity < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+def b3_filter_in_like_null(spark, sf_dir):
+    p = _T(spark, sf_dir, "part")
+    return p.filter(
+        p.p_brand.isin("Brand#1", "Brand#7", "Brand#13")
+        & p.p_type.like("%A%")
+        & p.p_size.isNotNull()
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# B4-B14 joins
+# ---------------------------------------------------------------------------
+
+
+def b4_join_inner_equi(spark, sf_dir):
+    """Fact⋈dim equi-join; at real scale customer broadcasts (dim ≪ fact)."""
+    o, c = _T(spark, sf_dir, "orders"), _T(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def b5_join_broadcast(spark, sf_dir):
+    """Explicit broadcast of the part dim into the lineitem fact — build side
+    declared, no shuffle of the big side (SURVEY.md §2 100TB notes)."""
+    li, p = _T(spark, sf_dir, "lineitem"), _T(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def b6_join_sortmerge(spark, sf_dir):
+    """Fact⋈fact: both sides large at 100 TB -> sort-merge on the join key
+    (MERGE hint pins it; AQE may still pick better at runtime)."""
+    li, o = _T(spark, sf_dir, "lineitem"), _T(spark, sf_dir, "orders")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def b7_join_left_outer(spark, sf_dir):
+    c, o = _T(spark, sf_dir, "customer"), _T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def b8_join_right_outer(spark, sf_dir):
+    o, c = _T(spark, sf_dir, "orders"), _T(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_nationkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def b9_join_full_outer(spark, sf_dir):
+    """Full outer of two pre-aggregated sides (per-nation customers vs
+    suppliers); aggregating before the join keeps both sides tiny."""
+    c = _T(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = _T(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full")
+    return j.select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+def b10_join_left_semi(spark, sf_dir):
+    """EXISTS: customers having at least one open ('O') order."""
+    c = _T(spark, sf_dir, "customer")
+    o = _T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def b11_join_left_anti(spark, sf_dir):
+    """NOT EXISTS: customers with no orders at all."""
+    c, o = _T(spark, sf_dir, "customer"), _T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def b12_join_cross_nested_loop(spark, sf_dir):
+    """Bounded cross product: 5 regions × distinct order statuses."""
+    r = _T(spark, sf_dir, "region")
+    st = _T(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st).select("r_name", "o_orderstatus")
+
+
+def b13_join_theta_range(spark, sf_dir):
+    """Pure non-equi (inequality) join -> nested-loop; both sides are
+    bounded dims, so BNL is the *correct* plan even at 100 TB."""
+    s, c = _T(spark, sf_dir, "supplier"), _T(spark, sf_dir, "customer")
+    return (
+        s.join(c, s.s_acctbal < c.c_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_richer_customers"))
+    )
+
+
+def b14_join_asof(spark, sf_dir):
+    """As-of join: for each purchase event, the latest click by the same
+    user at-or-before the purchase. Equi-join on user + time filter +
+    row_number()==1 — the shuffle is on user_id, matching the natural
+    stream partitioning; no cross product materializes."""
+    e = _T(spark, sf_dir, "events")
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = pur.join(
+        clk,
+        (pur.user_id == clk.c_user_id) & (clk.click_ts <= pur.purchase_ts),
+        "inner",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15-B21 aggregation
+# ---------------------------------------------------------------------------
+
+
+def b15_agg_basic(spark, sf_dir):
+    """TPC-H Q1 shape: partial+final hash agg, no data movement before the
+    map-side combine."""
+    li = _T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def b16_agg_count_distinct(spark, sf_dir):
+    li = _T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+def b17_agg_approx_distinct(spark, sf_dir):
+    """HLL sketch — approximate by construction, rows-only check."""
+    li = _T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_n_part")
+    )
+
+
+def b18_agg_filtered(spark, sf_dir):
+    """FILTER-clause aggregation via sum(when(...))."""
+    li = _T(spark, sf_dir, "lineitem")
+    disc = F.when(li.l_discount > 0.05, li.l_extendedprice).otherwise(0.0)
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.sum(disc), 2).alias("discounted_revenue"),
+        F.count(F.when(li.l_quantity >= 40, True)).alias("n_bulk"),
+    )
+
+
+def b19_agg_grouping_sets(spark, sf_dir):
+    li = _T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def b20_agg_collect(spark, sf_dir):
+    """collect_set made deterministic: sorted then joined to a string."""
+    o = _T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+def b21_agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles (SQL-checkable); the approximate
+    variant is B17's territory."""
+    li = _T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B22-B24 ordering / top-k
+# ---------------------------------------------------------------------------
+
+
+def b22_sort_multikey(spark, sf_dir):
+    """Multi-key sort with explicit null placement + total-order tiebreak;
+    Spark executes sort+limit as TakeOrdered (no full global sort)."""
+    o = _T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .limit(100)
+    )
+
+
+def b23_limit_topk(spark, sf_dir):
+    li = _T(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(50)
+    )
+
+
+def b24_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer — windowed rank, one shuffle on the group
+    key; never a global sort."""
+    o = _T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B25-B29 set operations
+# ---------------------------------------------------------------------------
+
+
+def b25_union_all(spark, sf_dir):
+    o = _T(spark, sf_dir, "orders")
+    hi = o.filter(o.o_totalprice > 400000).select(
+        "o_orderkey", F.lit("high").alias("bucket")
+    )
+    lo = o.filter(o.o_totalprice < 5000).select(
+        "o_orderkey", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+def b26_union_distinct(spark, sf_dir):
+    c = _T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+def b27_intersect(spark, sf_dir):
+    c = _T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def b28_except(spark, sf_dir):
+    c = _T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+def b29_distinct_dedup(spark, sf_dir):
+    """Deterministic exact dedup: keep the lowest orderkey per
+    (custkey, status) — the window idiom shared with X1 (dropDuplicates
+    keeps an arbitrary row; this pins which row survives)."""
+    o = _T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderstatus").orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderstatus", "o_orderkey")
+    )
+
+
+def b30_scalar_subquery_agg(spark, sf_dir):
+    """Decorrelated scalar subquery: the 1-row aggregate is broadcast into
+    the filter — no per-row subquery execution."""
+    c = _T(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("global_avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("global_avg"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "b1_scan_project",
+        "B",
+        "projection-only scan (column pruning)",
+        b1_scan_project,
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    ),
+    QuerySpec(
+        "b2_filter_conjunctive",
+        "B",
+        "conjunctive range+equality filter (pushdown)",
+        b2_filter_conjunctive,
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem\n"
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'\n"
+        "  AND l_discount >= 0.05 AND l_quantity < 24",
+    ),
+    QuerySpec(
+        "b3_filter_in_like_null",
+        "B",
+        "IN / LIKE / IS NOT NULL predicates",
+        b3_filter_in_like_null,
+        "SELECT p_partkey, p_brand, p_type, p_size FROM part\n"
+        "WHERE p_brand IN ('Brand#1','Brand#7','Brand#13') AND p_type LIKE '%A%'\n"
+        "  AND p_size IS NOT NULL",
+    ),
+    QuerySpec(
+        "b4_join_inner_equi",
+        "B",
+        "inner equi-join fact⋈dim + aggregate",
+        b4_join_inner_equi,
+        "SELECT c_nationkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice),2) AS revenue\n"
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey",
+    ),
+    QuerySpec(
+        "b5_join_broadcast",
+        "B",
+        "broadcast-hash join, small dim build side",
+        b5_join_broadcast,
+        "SELECT p_brand, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_items\n"
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand",
+    ),
+    QuerySpec(
+        "b6_join_sortmerge",
+        "B",
+        "sort-merge join fact⋈fact",
+        b6_join_sortmerge,
+        "SELECT o_orderpriority, COUNT(*) AS n_items,"
+        " ROUND(SUM(l_extendedprice),2) AS revenue\n"
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority",
+    ),
+    QuerySpec(
+        "b7_join_left_outer",
+        "B",
+        "left outer join preserving customers without orders",
+        b7_join_left_outer,
+        "SELECT c_custkey, COUNT(o_orderkey) AS n_orders\n"
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+    ),
+    QuerySpec(
+        "b8_join_right_outer",
+        "B",
+        "right outer join",
+        b8_join_right_outer,
+        "SELECT c_nationkey, COUNT(o_orderkey) AS n_orders\n"
+        "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey",
+    ),
+    QuerySpec(
+        "b9_join_full_outer",
+        "B",
+        "full outer join of two aggregates",
+        b9_join_full_outer,
+        "WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),\n"
+        "     s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)\n"
+        "SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,\n"
+        "       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp\n"
+        "FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey",
+    ),
+    QuerySpec(
+        "b10_join_left_semi",
+        "B",
+        "left semi join (EXISTS)",
+        b10_join_left_semi,
+        "SELECT c_custkey, c_mktsegment FROM customer c\n"
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+        " AND o.o_orderstatus = 'O')",
+    ),
+    QuerySpec(
+        "b11_join_left_anti",
+        "B",
+        "left anti join (NOT EXISTS)",
+        b11_join_left_anti,
+        "SELECT c_custkey, c_name FROM customer c\n"
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    ),
+    QuerySpec(
+        "b12_join_cross_nested_loop",
+        "B",
+        "bounded cross join",
+        b12_join_cross_nested_loop,
+        "SELECT r_name, o_orderstatus FROM region\n"
+        "CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)",
+    ),
+    QuerySpec(
+        "b13_join_theta_range",
+        "B",
+        "non-equi theta join (BNL)",
+        b13_join_theta_range,
+        "SELECT s_suppkey, COUNT(*) AS n_richer_customers\n"
+        "FROM supplier JOIN customer ON s_acctbal < c_acctbal GROUP BY s_suppkey",
+    ),
+    QuerySpec(
+        "b14_join_asof",
+        "B",
+        "as-of join: latest click at-or-before each purchase per user",
+        b14_join_asof,
+        "WITH pur AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts\n"
+        "             FROM events WHERE event_type = 'purchase'),\n"
+        "     clk AS (SELECT event_id AS click_id, user_id, ts AS click_ts\n"
+        "             FROM events WHERE event_type = 'click'),\n"
+        "     j AS (SELECT purchase_id, pur.user_id, click_id, click_ts,\n"
+        "                  ROW_NUMBER() OVER (PARTITION BY purchase_id\n"
+        "                    ORDER BY click_ts DESC, click_id DESC) AS rn\n"
+        "           FROM pur JOIN clk ON pur.user_id = clk.user_id\n"
+        "                AND clk.click_ts <= pur.purchase_ts)\n"
+        "SELECT purchase_id, user_id, click_id, epoch_us(click_ts) AS click_ts_us\n"
+        "FROM j WHERE rn = 1",
+    ),
+    QuerySpec(
+        "b15_agg_basic",
+        "B",
+        "grouped sum/avg/min/max/count (TPC-H Q1 shape)",
+        b15_agg_basic,
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,\n"
+        "  ROUND(SUM(l_extendedprice),2) AS sum_base_price,\n"
+        "  ROUND(AVG(l_quantity),4) AS avg_qty, ROUND(AVG(l_discount),4) AS avg_disc,\n"
+        "  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,\n"
+        "  COUNT(*) AS count_order\n"
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    ),
+    QuerySpec(
+        "b16_agg_count_distinct",
+        "B",
+        "exact distinct counts per group",
+        b16_agg_count_distinct,
+        "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,\n"
+        "  COUNT(DISTINCT l_partkey) AS n_part FROM lineitem GROUP BY l_returnflag",
+    ),
+    QuerySpec(
+        "b17_agg_approx_distinct",
+        "B",
+        "HLL approximate distinct (rows-only: approximate)",
+        b17_agg_approx_distinct,
+        None,
+    ),
+    QuerySpec(
+        "b18_agg_filtered",
+        "B",
+        "filtered aggregation (FILTER clause)",
+        b18_agg_filtered,
+        "SELECT l_linestatus,\n"
+        "  ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END),2)"
+        " AS discounted_revenue,\n"
+        "  COUNT(CASE WHEN l_quantity >= 40 THEN 1 END) AS n_bulk\n"
+        "FROM lineitem GROUP BY l_linestatus",
+    ),
+    QuerySpec(
+        "b19_agg_grouping_sets",
+        "B",
+        "rollup with grouping_id",
+        b19_agg_grouping_sets,
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,\n"
+        "  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid\n"
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+    ),
+    QuerySpec(
+        "b20_agg_collect",
+        "B",
+        "collect_set, determinized via sort + join",
+        b20_agg_collect,
+        "SELECT o_orderpriority,\n"
+        "  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')"
+        " AS statuses,\n"
+        "  COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+    ),
+    QuerySpec(
+        "b21_agg_percentile",
+        "B",
+        "exact median / percentiles per group",
+        b21_agg_percentile,
+        "SELECT l_returnflag, ROUND(MEDIAN(l_extendedprice),4) AS median_price,\n"
+        "  ROUND(quantile_cont(l_extendedprice, 0.25),4) AS p25_price,\n"
+        "  ROUND(quantile_cont(l_extendedprice, 0.75),4) AS p75_price\n"
+        "FROM lineitem GROUP BY l_returnflag",
+    ),
+    QuerySpec(
+        "b22_sort_multikey",
+        "B",
+        "multi-key sort with null placement + limit",
+        b22_sort_multikey,
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders\n"
+        "ORDER BY o_orderpriority ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC\n"
+        "LIMIT 100",
+    ),
+    QuerySpec(
+        "b23_limit_topk",
+        "B",
+        "global top-k (TakeOrdered)",
+        b23_limit_topk,
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem\n"
+        "ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 50",
+    ),
+    QuerySpec(
+        "b24_topk_per_group",
+        "B",
+        "top-k per group via window rank",
+        b24_topk_per_group,
+        "SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (\n"
+        "  SELECT o_custkey, o_orderkey, o_totalprice,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY o_custkey"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk\n"
+        "  FROM orders) WHERE rk <= 3",
+    ),
+    QuerySpec(
+        "b25_union_all",
+        "B",
+        "UNION ALL of tagged slices",
+        b25_union_all,
+        "SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 400000\n"
+        "UNION ALL\n"
+        "SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 5000",
+    ),
+    QuerySpec(
+        "b26_union_distinct",
+        "B",
+        "UNION (distinct)",
+        b26_union_distinct,
+        "SELECT c_nationkey AS nationkey FROM customer\n"
+        "UNION SELECT s_nationkey FROM supplier",
+    ),
+    QuerySpec(
+        "b27_intersect",
+        "B",
+        "INTERSECT",
+        b27_intersect,
+        "SELECT c_nationkey AS nationkey FROM customer\n"
+        "INTERSECT SELECT s_nationkey FROM supplier",
+    ),
+    QuerySpec(
+        "b28_except",
+        "B",
+        "EXCEPT",
+        b28_except,
+        "SELECT c_nationkey AS nationkey FROM customer\n"
+        "EXCEPT SELECT s_nationkey FROM supplier",
+    ),
+    QuerySpec(
+        "b29_distinct_dedup",
+        "B",
+        "deterministic dedup (lowest key per group survives)",
+        b29_distinct_dedup,
+        "SELECT o_custkey, o_orderstatus, o_orderkey FROM (\n"
+        "  SELECT o_custkey, o_orderstatus, o_orderkey,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus"
+        " ORDER BY o_orderkey) AS rn\n"
+        "  FROM orders) WHERE rn = 1",
+    ),
+    QuerySpec(
+        "b30_scalar_subquery_agg",
+        "B",
+        "scalar aggregate subquery, decorrelated",
+        b30_scalar_subquery_agg,
+        "SELECT c_custkey, c_acctbal FROM customer\n"
+        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)",
+    ),
+]

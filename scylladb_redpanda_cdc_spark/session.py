@@ -47,6 +47,9 @@ def get_session(app_name: str = "scylladb-redpanda-cdc-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long nanos, converted in sources.tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Streaming tests replay file streams; keep state-store defaults but
         # make micro-batch planning deterministic.
         .config("spark.sql.streaming.schemaInference", "false")

@@ -20,7 +20,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, e.g. ``load_table(spark, sf_dir, "lineitem")``."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file; with
+        # spark.sql.legacy.parquet.nanosAsLong it surfaces as long nanos.
+        # Truncate to micros (identically to DuckDB's epoch_us) and restore a
+        # real timestamp column for window/watermark semantics.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
