@@ -1,3 +1,242 @@
-"""Placeholder — populated in a later stage (SURVEY.md §7)."""
+"""Group F — scalar function families (SURVEY.md §2.F).
 
-SPECS: list = []
+One declared query per family, exercising several functions each. All
+expressions are JVM-side builtins (whole-stage codegen; no Python in the
+path). Cross-engine float discipline: raw parquet doubles pass through
+untouched (bit-identical), folds that must match run left-to-right with a
+double accumulator on both engines, and lossy formatting/rounding is applied
+only to aggregated or row-bounded outputs (see plans/batch_queries.py
+preamble).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scylladb_redpanda_cdc_spark.plans import QuerySpec
+from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
+
+
+def f1_fn_string(spark, sf_dir):
+    p = _T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("u_name"),
+        F.lower("p_brand").alias("l_brand"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "").alias("devoweled"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+    )
+
+
+def f2_fn_date(spark, sf_dir):
+    """Date/time family incl. the epoch-ms -> timestamp path the envelope
+    uses (reference rpk_topic_consume.json:4 ts_ms)."""
+    o = _T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),  # 1=Sunday..7
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.date_format(F.date_trunc("month", ts), "yyyy-MM-dd").alias("month_start"),
+        F.unix_millis(ts).alias("epoch_ms"),
+        F.date_format(F.timestamp_millis(F.unix_millis(ts)), "yyyy-MM-dd HH:mm:ss").alias(
+            "roundtrip"
+        ),
+    )
+
+
+def f3_fn_math(spark, sf_dir):
+    """Math family. Output bounded to customer (150 rows/SF-step) and every
+    irrational rounded at 4 — the cross-engine ROUND knife-edge risk scales
+    with row count."""
+    c = _T(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal - 5000.0).alias("abs_dev"),
+        F.ceil(bal).alias("ceil_bal"),
+        F.floor(bal).alias("floor_bal"),
+        F.round(F.sqrt(F.abs(bal)), 4).alias("sqrt_bal"),
+        F.round(F.log(F.abs(bal) + 1.0), 4).alias("log_bal"),
+        F.pmod(F.col("c_custkey"), F.lit(7)).alias("key_mod7"),
+        F.signum(bal - 5000.0).alias("sign_dev"),
+        (F.col("c_custkey") * F.col("c_custkey")).alias("key_sq"),
+    )
+
+
+def f4_fn_conditional_cast(spark, sf_dir):
+    o = _T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(o.o_totalprice > 300000, "big")
+        .when(o.o_totalprice > 100000, "mid")
+        .otherwise("small")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_dec"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * F.lit(2).cast("decimal(2,0)"))
+        .cast("string")
+        .alias("price_x2_dec"),
+    )
+
+
+def f5_fn_array(spark, sf_dir):
+    """Array family over the embedding vectors. Folds use a DOUBLE
+    accumulator left-to-right so Spark and DuckDB produce bit-identical
+    sums (float32 -> double promotion is exact)."""
+    e = _T(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    acc = lambda a, x: a + x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_dims"),
+        F.aggregate(emb, F.lit(0.0), acc).alias("emb_sum"),
+        F.aggregate(F.zip_with(emb, emb, lambda x, y: x * y), F.lit(0.0), acc).alias(
+            "emb_sqsum"
+        ),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.size(F.array_distinct(emb)).alias("n_distinct"),
+        F.element_at(F.sort_array(emb, asc=False), 1).cast("double").alias("max_dim"),
+        F.element_at(F.slice(emb, 1, 3), 2).cast("double").alias("dim2"),
+        F.array_contains(F.transform(emb, lambda x: x > 0.5), True).alias("has_big"),
+    )
+
+
+def f6_fn_map(spark, sf_dir):
+    """Map family: JSON props -> MapType, exploded to (key, value) rows."""
+    ev = _T(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+        .withColumn("prop_value_int", F.col("prop_value").cast("long"))
+    )
+
+
+def f7_fn_json(spark, sf_dir):
+    ev = _T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_absent"),
+        F.from_json("props", "map<string,string>").getItem("k").alias("k_map"),
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "f1_fn_string",
+        "F",
+        "string function family",
+        f1_fn_string,
+        "SELECT p_partkey, upper(p_name) AS u_name, lower(p_brand) AS l_brand,\n"
+        "  length(p_name) AS name_len, trim('  pad  ') AS trimmed,\n"
+        "  substring(p_name, 1, 5) AS name_pre,\n"
+        "  concat_ws('|', p_brand, p_type) AS brand_type,\n"
+        "  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,\n"
+        "  split_part(p_name, ' ', 1) AS first_word,\n"
+        "  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,\n"
+        "  regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,\n"
+        "  translate(p_brand, '#', '-') AS brand_dash\n"
+        "FROM part",
+    ),
+    QuerySpec(
+        "f2_fn_date",
+        "F",
+        "date/time function family (incl. epoch-ms roundtrip)",
+        f2_fn_date,
+        "SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,\n"
+        "  dayofweek(o_orderdate) + 1 AS dow,\n"
+        "  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,\n"
+        "  datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')"
+        " AS days_to_y2k,\n"
+        "  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,\n"
+        "  epoch_ms(o_orderdate) AS epoch_ms,\n"
+        "  strftime(make_timestamp(epoch_ms(o_orderdate) * 1000),"
+        " '%Y-%m-%d %H:%M:%S') AS roundtrip\n"
+        "FROM orders",
+    ),
+    QuerySpec(
+        "f3_fn_math",
+        "F",
+        "math function family",
+        f3_fn_math,
+        "SELECT c_custkey, abs(c_acctbal - 5000.0) AS abs_dev,\n"
+        "  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,\n"
+        "  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,\n"
+        "  round(sqrt(abs(c_acctbal)), 4) AS sqrt_bal,\n"
+        "  round(ln(abs(c_acctbal) + 1.0), 4) AS log_bal,\n"
+        "  c_custkey % 7 AS key_mod7,\n"
+        "  CASE WHEN c_acctbal > 5000.0 THEN 1.0 WHEN c_acctbal < 5000.0 THEN -1.0"
+        " ELSE 0.0 END AS sign_dev,\n"
+        "  c_custkey * c_custkey AS key_sq\n"
+        "FROM customer",
+    ),
+    QuerySpec(
+        "f4_fn_conditional_cast",
+        "F",
+        "conditional + cast family (incl. decimal arithmetic)",
+        f4_fn_conditional_cast,
+        "SELECT o_orderkey,\n"
+        "  CASE WHEN o_totalprice > 300000 THEN 'big'\n"
+        "       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS price_band,\n"
+        "  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,\n"
+        "  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,\n"
+        "  CAST(o_orderkey AS VARCHAR) AS key_str,\n"
+        "  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(2 AS DECIMAL(2,0))"
+        " AS VARCHAR) AS price_x2_dec\n"
+        "FROM orders",
+    ),
+    QuerySpec(
+        "f5_fn_array",
+        "F",
+        "array function family over embeddings",
+        f5_fn_array,
+        "SELECT vec_id, len(embedding) AS n_dims,\n"
+        "  list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')"
+        " AS emb_sum,\n"
+        "  list_aggregate(list_transform(embedding, x -> CAST(x * x AS DOUBLE)),"
+        " 'sum') AS emb_sqsum,\n"
+        "  len(list_filter(embedding, x -> x > 0)) AS n_pos,\n"
+        "  len(list_distinct(embedding)) AS n_distinct,\n"
+        "  CAST(list_sort(embedding, 'DESC')[1] AS DOUBLE) AS max_dim,\n"
+        "  CAST(embedding[2] AS DOUBLE) AS dim2,\n"
+        "  list_contains(list_transform(embedding, x -> x > 0.5), true) AS has_big\n"
+        "FROM embeddings",
+    ),
+    QuerySpec(
+        "f6_fn_map",
+        "F",
+        "map family: JSON -> map -> explode",
+        f6_fn_map,
+        "SELECT event_id, k AS prop_key,\n"
+        "  json_extract_string(props, '$.' || k) AS prop_value,\n"
+        "  CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS prop_value_int\n"
+        "FROM events, unnest(json_keys(props)) AS t(k)",
+    ),
+    QuerySpec(
+        "f7_fn_json",
+        "F",
+        "JSON access family",
+        f7_fn_json,
+        "SELECT event_id, json_extract_string(props, '$.k') AS k_str,\n"
+        "  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,\n"
+        "  json_extract_string(props, '$.missing') IS NULL AS missing_absent,\n"
+        "  json_extract_string(props, '$.k') AS k_map\n"
+        "FROM events",
+    ),
+]

@@ -1,3 +1,171 @@
-"""Placeholder — populated in a later stage (SURVEY.md §7)."""
+"""Group W — window functions (SURVEY.md §2.W).
 
-SPECS: list = []
+Determinism: every ORDER BY that feeds row_number/ntile/lag/lead carries a
+total-order tiebreak (SURVEY.md §5.2.5); rank/dense_rank/cume_dist use the
+tie-bearing key on both engines so tie semantics are exercised identically.
+Frames are declared as ROWS explicitly where the default RANGE frame would
+include peers.
+
+Scale: one shuffle on the partition key per window spec; specs sharing a
+partition key reuse the same exchange (Catalyst collapses them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from scylladb_redpanda_cdc_spark.plans import QuerySpec
+from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
+
+
+def w1_win_ranking(spark, sf_dir):
+    o = _T(spark, sf_dir, "orders")
+    w_tie = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    w_total = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_tie).alias("rnk"),
+        F.dense_rank().over(w_tie).alias("drnk"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+def w2_win_lag_lead(spark, sf_dir):
+    o = _T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w_rows).alias("first_price"),
+        F.last("o_totalprice").over(w_rows).alias("last_price"),
+    )
+
+
+def w3_win_running_sum(spark, sf_dir):
+    o = _T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+def w4_win_moving_avg(spark, sf_dir):
+    """ROWS moving average + RANGE frame over a day-number column (value
+    -based frame, 30-day lookback)."""
+    o = _T(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    base = o.withColumn("day_num", day)
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 0)
+    )
+    w_range = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, 0)
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w_rows), 4).alias("avg_last4"),
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("sum_30d"),
+    )
+
+
+def w5_win_cume(spark, sf_dir):
+    o = _T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "w1_win_ranking",
+        "W",
+        "row_number / rank / dense_rank / ntile",
+        w1_win_ranking,
+        "SELECT o_orderkey, o_orderpriority, o_totalprice,\n"
+        "  ROW_NUMBER() OVER (PARTITION BY o_orderpriority"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,\n"
+        "  RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)"
+        " AS rnk,\n"
+        "  DENSE_RANK() OVER (PARTITION BY o_orderpriority"
+        " ORDER BY o_totalprice DESC) AS drnk,\n"
+        "  NTILE(4) OVER (PARTITION BY o_orderpriority"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile\n"
+        "FROM orders",
+    ),
+    QuerySpec(
+        "w2_win_lag_lead",
+        "W",
+        "lag / lead / first / last",
+        w2_win_lag_lead,
+        "SELECT o_custkey, o_orderkey, o_totalprice,\n"
+        "  LAG(o_totalprice) OVER w AS prev_price,\n"
+        "  LEAD(o_totalprice) OVER w AS next_price,\n"
+        "  FIRST_VALUE(o_totalprice) OVER"
+        " (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,\n"
+        "  LAST_VALUE(o_totalprice) OVER"
+        " (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_price\n"
+        "FROM orders\n"
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)",
+    ),
+    QuerySpec(
+        "w3_win_running_sum",
+        "W",
+        "running sum / count (ROWS frame)",
+        w3_win_running_sum,
+        "SELECT o_custkey, o_orderkey,\n"
+        "  ROUND(SUM(o_totalprice) OVER w, 2) AS running_spend,\n"
+        "  COUNT(*) OVER w AS running_n\n"
+        "FROM orders\n"
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey\n"
+        "             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    ),
+    QuerySpec(
+        "w4_win_moving_avg",
+        "W",
+        "moving average (ROWS) + 30-day RANGE frame",
+        w4_win_moving_avg,
+        "SELECT o_custkey, o_orderkey,\n"
+        "  ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey\n"
+        "    ORDER BY o_orderdate, o_orderkey"
+        " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg_last4,\n"
+        "  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey\n"
+        "    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))\n"
+        "    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_30d\n"
+        "FROM orders",
+    ),
+    QuerySpec(
+        "w5_win_cume",
+        "W",
+        "cume_dist / percent_rank",
+        w5_win_cume,
+        "SELECT o_orderkey, o_orderpriority,\n"
+        "  CUME_DIST() OVER w AS cume, PERCENT_RANK() OVER w AS pct_rank\n"
+        "FROM orders\n"
+        "WINDOW w AS (PARTITION BY o_orderpriority"
+        " ORDER BY o_totalprice ASC, o_orderkey ASC)",
+    ),
+]

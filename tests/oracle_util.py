@@ -32,18 +32,21 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v: Any) -> Any:
-    """Canonicalize one value for cross-engine comparison."""
+    """Canonicalize one value for cross-engine comparison.
+
+    Deliberately strict (no float rounding, no int/float coercion): the
+    driver hashes values, so 1864 vs 1864.0 or a last-ulp float diff is a
+    real failure. Queries are designed to emit bit-stable values instead.
+    """
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        # Round away last-ulp noise; queries themselves round aggregates,
-        # this guards raw doubles passing through different float paths.
-        return round(v, 9)
+        return repr(v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
-    return v
+    return f"{type(v).__name__}:{v}"
 
 
 def normalize(df: pd.DataFrame) -> list[tuple]:
