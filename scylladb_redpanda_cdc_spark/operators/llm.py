@@ -1,0 +1,143 @@
+"""LLM-data-pipeline operator kernels (SURVEY.md §2.X + driver mandate).
+
+Shared Spark-native building blocks for dedup / similarity / text analysis.
+Everything here is JVM-side expression algebra (whole-stage codegen) — no
+Python UDFs in any hot path. Determinism discipline: hash seeds are literals
+(plans must be pure; driver re-runs hash-match, SURVEY.md §4.3), folds use a
+double accumulator left-to-right so results are bit-stable and DuckDB-
+reproducible.
+
+Scale notes:
+- MinHash/LSH banding (minhash_band_signature) turns O(n²) near-dup search
+  into an equi-join on (band, signature) — the only shuffle is on the band
+  key, and band buckets are the unit of parallelism at 100 TB.
+- Cosine kernels are per-row expressions; top-k uses TakeOrdered (no global
+  sort), bucketed variants (plans/llm_queries.py X4/X12/X13) bound the pair
+  space by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small English-ish stopword list used by tokenize/quality/langid operators.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+
+
+def words(text: Column) -> Column:
+    """Lowercased alnum word tokens (empty tokens dropped)."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda w: w != F.lit("")
+    )
+
+
+def word_shingles(ws: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token array (empty if < k tokens)."""
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j + 1) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(ws) >= k, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dot_d(a: Column, b: Column) -> Column:
+    """Dot product with a DOUBLE accumulator, left-to-right fold.
+
+    float32*float32 multiply then exact promotion to double — bit-identical
+    to DuckDB's list_transform/list_aggregate('sum') over the same arrays.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot_d(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_d(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def minhash_band_signature(shingles: Column, band: int) -> Column:
+    """MinHash signature for one band: min over shingles of a band-seeded
+    64-bit hash. Seed is the literal band index — deterministic across runs
+    and cluster sizes."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.xxhash64(F.lit(band), s))
+    )
+
+
+def simhash16(ws: Column) -> Column:
+    """16-bit SimHash of a token array.
+
+    For each bit b, sum +1/-1 over token hashes' bit b; bit set iff the sum
+    is positive. Pure expression algebra — per-row, no shuffle.
+    """
+    hs = F.transform(ws, lambda w: F.xxhash64(w))
+
+    def bit_vote(b: int):
+        # PySpark arity-inspects HOF lambdas (merge fn must take exactly 2
+        # args), so bind the bit index via closure, not a default arg.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(16):
+        bit_sum = F.aggregate(hs, F.lit(0).cast("long"), bit_vote(b))
+        sig = sig + F.when(bit_sum > 0, F.lit(2**b).cast("long")).otherwise(0)
+    return sig
+
+
+def hyperplane_component(plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1): seeded by
+    (plane, dim) literals via xxhash64 so every executor computes the same
+    plane without broadcasting anything."""
+    return (
+        F.pmod(F.xxhash64(F.lit(plane), dim), F.lit(1000)).cast("double") / 500.0
+        - 1.0
+    )
+
+
+def lsh_bucket(emb: Column, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: bit p = sign of dot(emb, plane_p)."""
+    def plane_fn(p: int):
+        # Closure-bound plane index: a `p=p` default would turn the lambda
+        # into transform's 2-arg (element, index) form and silently bind the
+        # index Column to p.
+        return lambda d: hyperplane_component(p, d)
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(emb) - 1), plane_fn(p)
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(0)
+    return bucket
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash of the raw text, mod 2^31-1 (fits in long
+    without overflow: acc*31 + code < 2^36)."""
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(2147483647).cast("long"),
+    )

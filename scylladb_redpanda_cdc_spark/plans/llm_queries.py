@@ -1,3 +1,668 @@
-"""Placeholder — populated in a later stage (SURVEY.md §7)."""
+"""Group X — LLM-training-data pipeline operators (SURVEY.md §2.X plus the
+driver-mandated extensions: SimHash, n-gram Jaccard, embedding near-dup,
+IVF ANN, language-ID, quality scoring, token counting, fingerprinting).
 
-SPECS: list = []
+Fixtures: ``documents`` (text analysis / dedup) and ``embeddings``
+(similarity). Operators whose kernels hash with xxhash64 (MinHash, SimHash,
+sign-LSH) have no DuckDB twin — rows-only checks, with seeds as literals so
+counts are deterministic (SURVEY.md §4.3). Everything else carries a strict
+value oracle.
+
+Scale posture: near-dup search never materializes O(n²) — candidates come
+from inverted-index joins (shared shingle / band signature / LSH bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from scylladb_redpanda_cdc_spark.operators.llm import (
+    STOPWORDS,
+    cosine,
+    l2_norm,
+    lsh_bucket,
+    minhash_band_signature,
+    rolling_fingerprint,
+    simhash16,
+    word_shingles,
+    words,
+)
+from scylladb_redpanda_cdc_spark.plans import QuerySpec
+from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
+
+# Shared DuckDB CTEs (lockstep twins of operators.llm helpers).
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, lang, text,\n"
+    "  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    " AS ws\n"
+    "  FROM documents)"
+)
+_SHINGLES_CTE = (
+    "sh AS (SELECT doc_id,\n"
+    "  list_distinct(list_transform(range(1, len(ws) - 1),\n"
+    "    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles\n"
+    "  FROM toks WHERE len(ws) >= 3)"
+)
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def x1_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text hash; lowest doc_id survives.
+    Shuffle on the 256-bit hash — uniform keys, no skew at any scale."""
+    d = _T(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim("text")), 256)
+    base = d.select("doc_id", h.alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (
+        base.withColumn("n_copies", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_hash", "n_copies")
+    )
+
+
+def x2_dedup_fuzzy_minhash(spark, sf_dir):
+    """MinHash+LSH banding near-dup candidates: 16 band signatures per doc,
+    candidate pair = docs sharing >= 4 band signatures. The join key is
+    (band, signature) — an equi-join, never a cross product. Rows-only:
+    xxhash64 has no DuckDB twin; seeds are literal band indices."""
+    d = _T(spark, sf_dir, "documents")
+    sh = d.select("doc_id", word_shingles(words(F.col("text"))).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        minhash_band_signature(F.col("shingles"), b).alias("sig"),
+                    )
+                    for b in range(16)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    return pairs.filter(F.col("n_shared_bands") >= 4)
+
+
+def x10_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash signature per document (near-dup docs collide or sit
+    at small Hamming distance). Per-row expression — embarrassingly
+    parallel. Rows-only (xxhash64)."""
+    d = _T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", simhash16(words(F.col("text"))).alias("simhash")
+    )
+
+
+def x11_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard >= 0.1 pairs via inverted-index join on shared
+    shingles (pair space bounded by co-occurrence, not n²). Jaccard is an
+    exact rational — strict oracle."""
+    d = _T(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= 0.1)
+
+
+def x12_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: sign-LSH (6 planes) buckets the vectors,
+    pairs are only formed within a bucket, then exact cosine >= 0.25
+    filters. Bucketing bounds the pair space by ~2^-6 per plane-match.
+    Rows-only (xxhash64-seeded planes)."""
+    e = _T(spark, sf_dir, "embeddings")
+    bucketed = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding"), 6).alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.25)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def x3_sim_cosine_topk(spark, sf_dir):
+    """Brute-force exact top-10 cosine neighbors of vec_id=0 — the baseline
+    ANN path: broadcast the query vector, per-row kernel, TakeOrdered top-k
+    (no global sort)."""
+    e = _T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def x4_sim_lsh_approx(spark, sf_dir):
+    """Sign-LSH bucket histogram (8 deterministic hyperplanes): the bucket
+    structure behind approximate neighbor lookup. Rows-only."""
+    e = _T(spark, sf_dir, "embeddings")
+    return (
+        e.select(lsh_bucket(F.col("embedding"), 8).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def x13_sim_ivf_probe(spark, sf_dir):
+    """IVF-style ANN: coarse centroids (every 25th vector), vectors assigned
+    to the nearest centroid, query probes its 2 nearest centroids and
+    exact-searches only those clusters. At 100 TB the assignment is the only
+    full pass; probing touches ~2/n_centroids of the data. Rows-only
+    (result provably ⊆ brute force; tests assert that)."""
+    e = _T(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    # assign every vector to its nearest centroid
+    ac = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(F.col("embedding"), F.col("cemb")).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
+    assigned = ac.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # the query's 2 nearest centroids
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cid", cosine(F.col("cemb"), F.col("qe")).alias("q_cos"))
+        .orderBy(F.col("q_cos").desc(), F.col("cid").asc())
+        .limit(2)
+        .select("cid")
+    )
+    # exact search within probed clusters
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+def x5_embed_normalize(spark, sf_dir):
+    e = _T(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        norm.alias("l2_norm"),
+        (F.element_at("embedding", 1).cast("double") / norm).alias("dim1_normalized"),
+    ).filter(F.col("l2_norm") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def x6_text_tokenize_ngram(spark, sf_dir):
+    """Tokenize, stopword-filter, global bigram counts."""
+    d = _T(spark, sf_dir, "documents")
+    ws = F.filter(words(F.col("text")), lambda w: ~w.isin(*STOPWORDS))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def x7_text_tfidf(spark, sf_dir):
+    """tf-idf with a rational idf ((N+1)/(df+1), no transcendental) so every
+    value is an exact deterministic double — pure DataFrame algebra:
+    two aggregations + two joins, all keyed on term/doc (no skew: terms are
+    zipfian but the heavy hitters are stopword-scale, still fine per-key)."""
+    d = _T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    dfreq = tc.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tc.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("cnt").cast("double") / F.col("doclen").cast("double"))
+                * (
+                    (F.col("n_docs").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+            ).alias("tfidf"),
+        )
+    )
+
+
+def x8_text_lang_stats(spark, sf_dir):
+    d = _T(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.median("n_chars").alias("median_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+#: Marker wordlists for the language-ID heuristic (literal seeds; fixed
+#: priority order breaks score ties deterministically).
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "und", "das", "nicht"),
+    "fr": ("le", "et", "les", "des"),
+}
+
+
+def x14_text_langid(spark, sf_dir):
+    """N-gram/marker-word language-ID heuristic: score = distinct marker
+    words present per language, predicted = argmax (fixed priority on
+    ties), 'unknown' when no marker hits."""
+    d = _T(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    scores = {
+        lang: F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in marks])))
+        for lang, marks in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in reversed(list(_LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when((scores[lang] == best) & (best > 0), lang).otherwise(pred)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_MARKERS],
+        pred.alias("predicted"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def x15_text_quality_score(spark, sf_dir):
+    """Quality scoring from length / punctuation / stopword ratios — exact
+    rational arithmetic, identical op order on both engines."""
+    d = _T(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n_words = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    alpha_ratio = F.coalesce(
+        n_alpha.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double"), F.lit(0.0)
+    )
+    stop_ratio = F.coalesce(
+        n_stop.cast("double") / F.nullif(n_words, F.lit(0)).cast("double"), F.lit(0.0)
+    )
+    len_score = F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = alpha_ratio * 0.4 + (F.lit(1.0) - stop_ratio) * 0.3 + len_score * 0.3
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def x16_text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    (alnum runs + single punctuation marks)."""
+    d = _T(spark, sf_dir, "documents")
+    ws_tokens = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    bpe_tokens = F.regexp_extract_all(
+        F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+    )
+    n_bpe = F.size(bpe_tokens)
+    return d.select(
+        "doc_id",
+        F.size(ws_tokens).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (
+            F.length("text").cast("double") / F.nullif(n_bpe, F.lit(0)).cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+def x17_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: polynomial rolling hash (mod 2^31-1) over the
+    raw text + sha256 of the first 64 normalized chars."""
+    d = _T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fp_rolling"),
+        F.sha2(F.substring(norm, 1, 64), 256).alias("fp_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (X9; pipeline stubs in operators/multimodal.py -> X18)
+# ---------------------------------------------------------------------------
+
+
+def x9_multimodal_struct(spark, sf_dir):
+    """Opaque binary payload + typed metadata in one column; filters and
+    projections touch only metadata — the blob never moves through the
+    filter (late materialization by schema design)."""
+    d = _T(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    meta = F.struct(
+        F.lit("text/plain").alias("mime"),
+        (F.col("n_chars") % 1000).cast("int").alias("width"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    assembled = d.select("doc_id", blob.alias("blob"), meta.alias("meta"))
+    enriched = assembled.withColumn(
+        "meta",
+        F.col("meta").withField(
+            "height", F.floor(F.col("meta.width") / 2).cast("int")
+        ),
+    )
+    return enriched.filter(F.col("meta.width") > 100).select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("blob").alias("blob_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+_X7_SQL = f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+tc AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS doclen FROM tok GROUP BY 1),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tc.doc_id, tc.term,
+  (CAST(cnt AS DOUBLE) / CAST(doclen AS DOUBLE))
+    * ((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf
+FROM tc JOIN dl ON tc.doc_id = dl.doc_id
+JOIN dfreq ON tc.term = dfreq.term CROSS JOIN nd"""
+
+_X11_SQL = f"""WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+s2 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM s2 GROUP BY 1),
+shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           FROM s2 a JOIN s2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+FROM shared JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.1"""
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{m}'" for m in marks) + "]"
+    for lang, marks in _LANG_MARKERS.items()
+}
+_X14_SQL = f"""WITH {_TOKS_CTE},
+scored AS (SELECT doc_id, lang,
+  len(list_intersect(ws, {_MARKER_SQL['en']})) AS score_en,
+  len(list_intersect(ws, {_MARKER_SQL['es']})) AS score_es,
+  len(list_intersect(ws, {_MARKER_SQL['de']})) AS score_de,
+  len(list_intersect(ws, {_MARKER_SQL['fr']})) AS score_fr
+  FROM toks)
+SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+  CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'unknown'
+       WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+       WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+       WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+       ELSE 'fr' END AS predicted,
+  CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'unknown'
+       WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+       WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+       WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+       ELSE 'fr' END = lang AS is_match
+FROM scored"""
+
+_X15_SQL = f"""WITH {_TOKS_CTE}
+SELECT doc_id, len(ws) AS n_words,
+  COALESCE(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+    / CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0) AS alpha_ratio,
+  COALESCE(CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','to','in','is','on'))) AS DOUBLE)
+    / CAST(NULLIF(len(ws), 0) AS DOUBLE), 0.0) AS stop_ratio,
+  COALESCE(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+    / CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0) * 0.4
+  + (1.0 - COALESCE(CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','to','in','is','on'))) AS DOUBLE)
+    / CAST(NULLIF(len(ws), 0) AS DOUBLE), 0.0)) * 0.3
+  + least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+FROM toks"""
+
+SPECS = [
+    QuerySpec(
+        "x1_dedup_exact",
+        "X",
+        "exact dedup by normalized text hash (lowest doc_id survives)",
+        x1_dedup_exact,
+        "SELECT doc_id, text_hash, n_copies FROM (\n"
+        "  SELECT doc_id, sha256(lower(trim(text))) AS text_hash,\n"
+        "    COUNT(*) OVER (PARTITION BY sha256(lower(trim(text)))) AS n_copies,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))"
+        " ORDER BY doc_id) AS rn\n"
+        "  FROM documents) WHERE rn = 1",
+    ),
+    QuerySpec(
+        "x2_dedup_fuzzy_minhash",
+        "X",
+        "MinHash+LSH banding near-dup candidates (rows-only: seed-hash)",
+        x2_dedup_fuzzy_minhash,
+        None,
+    ),
+    QuerySpec(
+        "x3_sim_cosine_topk",
+        "X",
+        "exact top-10 cosine neighbors of query vector",
+        x3_sim_cosine_topk,
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)\n"
+        "SELECT vec_id,\n"
+        "  list_aggregate(list_transform(list_zip(embedding, qe),"
+        " p -> CAST(p[1] * p[2] AS DOUBLE)), 'sum')\n"
+        "  / (sqrt(list_aggregate(list_transform(embedding,"
+        " x -> CAST(x * x AS DOUBLE)), 'sum'))\n"
+        "     * sqrt(list_aggregate(list_transform(qe,"
+        " x -> CAST(x * x AS DOUBLE)), 'sum'))) AS cos_sim\n"
+        "FROM embeddings, q WHERE vec_id <> 0\n"
+        "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10",
+    ),
+    QuerySpec(
+        "x4_sim_lsh_approx",
+        "X",
+        "sign-LSH bucket histogram (rows-only: seed-hash planes)",
+        x4_sim_lsh_approx,
+        None,
+    ),
+    QuerySpec(
+        "x5_embed_normalize",
+        "X",
+        "L2 norm + normalized first component",
+        x5_embed_normalize,
+        "SELECT vec_id,\n"
+        "  sqrt(list_aggregate(list_transform(embedding, x -> CAST(x * x AS DOUBLE)),"
+        " 'sum')) AS l2_norm,\n"
+        "  CAST(embedding[1] AS DOUBLE)\n"
+        "  / sqrt(list_aggregate(list_transform(embedding, x -> CAST(x * x AS DOUBLE)),"
+        " 'sum')) AS dim1_normalized\n"
+        "FROM embeddings\n"
+        "WHERE sqrt(list_aggregate(list_transform(embedding, x -> CAST(x * x AS"
+        " DOUBLE)), 'sum')) > 0",
+    ),
+    QuerySpec(
+        "x6_text_tokenize_ngram",
+        "X",
+        "tokenize + stopword filter + bigram counts",
+        x6_text_tokenize_ngram,
+        f"WITH {_TOKS_CTE},\n"
+        "fw AS (SELECT doc_id, list_filter(ws, w -> w NOT IN"
+        " ('the','a','and','of','to','in','is','on')) AS ws FROM toks),\n"
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),\n"
+        "  i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM fw WHERE len(ws) >= 2)\n"
+        "SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram",
+    ),
+    QuerySpec(
+        "x7_text_tfidf",
+        "X",
+        "tf-idf (rational idf) per doc/term",
+        x7_text_tfidf,
+        _X7_SQL,
+    ),
+    QuerySpec(
+        "x8_text_lang_stats",
+        "X",
+        "per-language doc counts + char-length distribution",
+        x8_text_lang_stats,
+        "SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars,\n"
+        "  MEDIAN(n_chars) AS median_chars, MIN(n_chars) AS min_chars,\n"
+        "  MAX(n_chars) AS max_chars\n"
+        "FROM documents GROUP BY lang",
+    ),
+    QuerySpec(
+        "x9_multimodal_struct",
+        "X",
+        "binary payload + typed metadata column; metadata-only filters",
+        x9_multimodal_struct,
+        "SELECT doc_id, 'text/plain' AS mime,\n"
+        "  CAST(n_chars % 1000 AS INTEGER) AS width,\n"
+        "  CAST(CAST(n_chars % 1000 AS INTEGER) // 2 AS INTEGER) AS height,\n"
+        "  CAST(octet_length(encode(text)) AS INTEGER) AS blob_bytes\n"
+        "FROM documents WHERE n_chars % 1000 > 100",
+    ),
+    QuerySpec(
+        "x10_dedup_simhash",
+        "X",
+        "16-bit SimHash signatures (rows-only: seed-hash)",
+        x10_dedup_simhash,
+        None,
+    ),
+    QuerySpec(
+        "x11_dedup_ngram_jaccard",
+        "X",
+        "exact 3-gram Jaccard >= 0.1 near-dup pairs",
+        x11_dedup_ngram_jaccard,
+        _X11_SQL,
+    ),
+    QuerySpec(
+        "x12_dedup_embedding_cosine",
+        "X",
+        "embedding near-dup pairs via LSH buckets + exact cosine (rows-only)",
+        x12_dedup_embedding_cosine,
+        None,
+    ),
+    QuerySpec(
+        "x13_sim_ivf_probe",
+        "X",
+        "IVF ANN: centroid assign + 2-probe exact search (rows-only)",
+        x13_sim_ivf_probe,
+        None,
+    ),
+    QuerySpec(
+        "x14_text_langid",
+        "X",
+        "marker-word language-ID heuristic",
+        x14_text_langid,
+        _X14_SQL,
+    ),
+    QuerySpec(
+        "x15_text_quality_score",
+        "X",
+        "quality score from length/punct/stopword ratios",
+        x15_text_quality_score,
+        _X15_SQL,
+    ),
+    QuerySpec(
+        "x16_text_token_count",
+        "X",
+        "whitespace + BPE-ish regex token counts",
+        x16_text_token_count,
+        "SELECT doc_id,\n"
+        "  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))"
+        " AS n_ws_tokens,\n"
+        "  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))"
+        " AS n_bpe_tokens,\n"
+        "  CAST(length(text) AS DOUBLE)\n"
+        "  / CAST(NULLIF(len(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+|[^a-z0-9\\s]')), 0) AS DOUBLE) AS chars_per_token\n"
+        "FROM documents",
+    ),
+    QuerySpec(
+        "x17_doc_fingerprint",
+        "X",
+        "rolling-hash + head-hash document fingerprints",
+        x17_doc_fingerprint,
+        "SELECT doc_id,\n"
+        "  list_reduce(list_prepend(CAST(0 AS BIGINT),\n"
+        "    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),\n"
+        "    (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling,\n"
+        "  sha256(substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64))"
+        " AS fp_head\n"
+        "FROM documents",
+    ),
+]

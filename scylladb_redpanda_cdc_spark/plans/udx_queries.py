@@ -1,3 +1,167 @@
-"""Placeholder — populated in a later stage (SURVEY.md §7)."""
+"""Group U — UDF / UDAF / UDTF surface (SURVEY.md §2.U).
 
-SPECS: list = []
+UDFs are the slow path (SURVEY.md 100TB notes): U1 exists to *prove* the
+row-at-a-time API, U2-U4 are the Arrow-vectorized forms that are actually
+allowed in hot paths. Logic is kept trivially SQL-expressible so every
+operator has a DuckDB oracle (U3's group aggregation rounds at 4 — numpy's
+pairwise sum vs DuckDB's sequential sum differ in the last ulps).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+from scylladb_redpanda_cdc_spark.plans import QuerySpec
+from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
+
+# -- U1: row-at-a-time Python UDF -------------------------------------------
+
+
+def _net_price(price: float, discount: float) -> float:
+    return price * (1.0 - discount)
+
+
+def u1_udf_python(spark, sf_dir):
+    """Row-at-a-time UDF: IEEE double ops, so results are bit-identical to
+    the SQL expression — exact oracle, no tolerance."""
+    net = F.udf(_net_price, DoubleType())
+    li = _T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+# -- U2: vectorized (Arrow) scalar pandas UDF --------------------------------
+
+
+@F.pandas_udf(DoubleType())
+def _net_price_vec(price: pd.Series, discount: pd.Series) -> pd.Series:
+    return price * (1.0 - discount)
+
+
+@F.pandas_udf(StringType())
+def _flag_label(flag: pd.Series) -> pd.Series:
+    return flag.map({"R": "returned", "A": "accepted", "N": "none"}).fillna("unknown")
+
+
+def u2_udf_pandas_scalar(spark, sf_dir):
+    li = _T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_price_vec("l_extendedprice", "l_discount").alias("net_price"),
+        _flag_label("l_returnflag").alias("flag_label"),
+    )
+
+
+# -- U3: grouped-aggregate pandas UDF (UDAF) ---------------------------------
+
+
+@F.pandas_udf(DoubleType())
+def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+    return round(float((price * qty).sum() / qty.sum()), 4)
+
+
+# note: a DDL-string return type here would require an active SparkSession
+# at import time; pass the DataType object instead.
+@F.pandas_udf(LongType())
+def _count_rows(qty: pd.Series) -> int:
+    return int(len(qty))
+
+
+def u3_udaf_pandas_grouped(spark, sf_dir):
+    # group-aggregate pandas UDFs cannot mix with built-in aggregates in one
+    # agg(), so the count is a pandas UDAF too.
+    li = _T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _weighted_avg_price("l_extendedprice", "l_quantity").alias("w_avg_price"),
+        _count_rows("l_quantity").alias("n"),
+    )
+
+
+# -- U4: mapInPandas (UDTF-shaped: N rows in, M rows out) ---------------------
+
+_U4_SCHEMA = "p_partkey long, word string, word_len int"
+
+
+def _explode_words(batches):
+    for pdf in batches:
+        words = pdf["p_name"].str.split(" ")
+        out = pdf[["p_partkey"]].copy()
+        out["word"] = words
+        out = out.explode("word", ignore_index=True)
+        out["word_len"] = out["word"].str.len().astype("int32")
+        yield out
+
+
+def u4_udtf_mapinpandas(spark, sf_dir):
+    """Arrow-batched N->M row transform; partition-local, no shuffle."""
+    p = _T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return p.mapInPandas(_explode_words, _U4_SCHEMA)
+
+
+# -- U5: SQL-registered UDF used from spark.sql ------------------------------
+
+
+def u5_udf_sql_register(spark, sf_dir):
+    spark.udf.register("u5_price_band", lambda p: "big" if p > 300000 else ("mid" if p > 100000 else "small"), StringType())
+    _T(spark, sf_dir, "orders").createOrReplaceTempView("u5_orders")
+    return spark.sql(
+        "SELECT o_orderkey, u5_price_band(o_totalprice) AS price_band FROM u5_orders"
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "u1_udf_python",
+        "U",
+        "row-at-a-time Python UDF",
+        u1_udf_python,
+        "SELECT l_orderkey, l_linenumber,"
+        " l_extendedprice * (1.0 - l_discount) AS net_price FROM lineitem",
+    ),
+    QuerySpec(
+        "u2_udf_pandas_scalar",
+        "U",
+        "vectorized scalar pandas UDF (Arrow)",
+        u2_udf_pandas_scalar,
+        "SELECT l_orderkey, l_linenumber,\n"
+        "  l_extendedprice * (1.0 - l_discount) AS net_price,\n"
+        "  CASE l_returnflag WHEN 'R' THEN 'returned' WHEN 'A' THEN 'accepted'\n"
+        "       WHEN 'N' THEN 'none' ELSE 'unknown' END AS flag_label\n"
+        "FROM lineitem",
+    ),
+    QuerySpec(
+        "u3_udaf_pandas_grouped",
+        "U",
+        "grouped-aggregate pandas UDF (weighted mean)",
+        u3_udaf_pandas_grouped,
+        "SELECT l_returnflag,\n"
+        "  ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)"
+        " AS w_avg_price,\n"
+        "  COUNT(*) AS n\n"
+        "FROM lineitem GROUP BY l_returnflag",
+    ),
+    QuerySpec(
+        "u4_udtf_mapinpandas",
+        "U",
+        "mapInPandas N->M row transform (UDTF shape)",
+        u4_udtf_mapinpandas,
+        "SELECT p_partkey, word, CAST(length(word) AS INTEGER) AS word_len\n"
+        "FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part)",
+    ),
+    QuerySpec(
+        "u5_udf_sql_register",
+        "U",
+        "UDF registered and invoked from spark.sql",
+        u5_udf_sql_register,
+        "SELECT o_orderkey, CASE WHEN o_totalprice > 300000 THEN 'big'\n"
+        "  WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS price_band\n"
+        "FROM orders",
+    ),
+]

@@ -20,16 +20,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, e.g. ``load_table(spark, sf_dir, "lineitem")``."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file; with
-        # spark.sql.legacy.parquet.nanosAsLong it surfaces as long nanos.
-        # Truncate to micros (identically to DuckDB's epoch_us) and restore a
-        # real timestamp column for window/watermark semantics.
+        # ts is TIMESTAMP(NANOS) in the file, which Spark 4's parquet reader
+        # rejects unless spark.sql.legacy.parquet.nanosAsLong is on. Set it
+        # here (runtime-settable) so the loader works under ANY caller's
+        # session, including the driver's vanilla one — then truncate to
+        # micros (identically to DuckDB's epoch_us) and restore a real
+        # timestamp column for window/watermark semantics.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
