@@ -1,0 +1,97 @@
+"""Benchmark harness (driver contract): time headline queries at sf0.1.
+
+Runs a representative slice of the registry — CDC materialization, heavy
+relational joins/aggs, window functions, and the LLM-pipeline operators —
+on ``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing discipline: each query is fully executed via the ``noop`` sink
+(consumes every row on the executors, no driver collect, no disk write),
+which is the closest local proxy for cluster-side throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+from scylladb_redpanda_cdc_spark.plans import registry
+
+#: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
+#: every group. Kept to ~a dozen so a sf0.1 run stays in single-digit minutes.
+HEADLINE = (
+    "flagship_cdc_materialize",
+    "a6_latest_state_materialize",
+    "b4_join_inner_equi",
+    "b6_join_sortmerge",
+    "b15_agg_basic",
+    "b19_agg_grouping_sets",
+    "b24_topk_per_group",
+    "f5_fn_array",
+    "w3_win_running_sum",
+    "x1_dedup_exact",
+    "x2_dedup_fuzzy_minhash",
+    "x3_sim_cosine_topk",
+    "x7_text_tfidf",
+    "x16_text_token_count",
+)
+
+
+def _session(cpus: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scylladb-redpanda-cdc-spark-bench")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = _session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry()
+
+    # Warm-up: JIT + codegen + parquet footer caches, excluded from timings.
+    specs["b15_agg_basic"].build(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for qid in HEADLINE:
+        t0 = time.perf_counter()
+        specs[qid].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[qid] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,16 +32,37 @@ def words(text: Column) -> Column:
     )
 
 
+def _shingle_zip(ws: Column, k: int) -> Column:
+    """array<struct> of k consecutive tokens via arrays_zip of k shifted
+    slices. Each slice evaluates ``ws`` once — O(n·k) total. The naive
+    per-position ``element_at`` form re-evaluates the (un-codegen'd,
+    interpreted) tokenize expression for every lookup — O(n²) per doc and
+    ~20x slower at sf0.1."""
+    n = F.size(ws)
+    return F.arrays_zip(*[F.slice(ws, j + 1, n - k + 1) for j in range(k)])
+
+
 def word_shingles(ws: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a token array (empty if < k tokens)."""
     joined = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j + 1) for j in range(k)]
-        ),
+        _shingle_zip(ws, k),
+        lambda t: F.concat_ws(" ", *[t[str(j)] for j in range(k)]),
     )
     return F.when(F.size(ws) >= k, F.array_distinct(joined)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def shingle_hashes(ws: Column, k: int = 3) -> Column:
+    """64-bit hashes of the k-word shingles (multiset, not distinct — min()
+    consumers like MinHash are duplicate-insensitive). Skips string
+    materialization entirely: xxhash64 over the k token fields directly."""
+    hashed = F.transform(
+        _shingle_zip(ws, k),
+        lambda t: F.xxhash64(*[t[str(j)] for j in range(k)]),
+    )
+    return F.when(F.size(ws) >= k, hashed).otherwise(
+        F.array().cast("array<bigint>")
     )
 
 
@@ -69,7 +90,12 @@ def cosine(a: Column, b: Column) -> Column:
 def minhash_band_signature(shingles: Column, band: int) -> Column:
     """MinHash signature for one band: min over shingles of a band-seeded
     64-bit hash. Seed is the literal band index — deterministic across runs
-    and cluster sizes."""
+    and cluster sizes.
+
+    Per-row expression form, useful for a handful of bands. For many bands
+    prefer the explode + per-band ``min()`` aggregate shape used by
+    plans/llm_queries.x2_dedup_fuzzy_minhash — it hashes each shingle string
+    once and re-mixes the long hash per band, which is ~20x faster."""
     return F.array_min(
         F.transform(shingles, lambda s: F.xxhash64(F.lit(band), s))
     )
