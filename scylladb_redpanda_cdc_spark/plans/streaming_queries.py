@@ -1,3 +1,394 @@
-"""Placeholder — populated in a later stage (SURVEY.md §7)."""
+"""Group S — Structured Streaming restatement of the reference pipeline
+(SURVEY.md §2.S; reference: Kafka Connect worker + Redpanda topic,
+connect-standalone.properties:1-5, README.md:180-215).
 
-SPECS: list = []
+Every spec runs its stream to completion (availableNow) and returns the
+materialized batch result, because the driver compares via ``.toPandas()``.
+Determinism notes per spec; value sums use exact integer micros
+(``floor(value*1e6)``) so float addition order can never break the oracle.
+
+Oracle policy: the S group is nominally rows-only (SURVEY.md §2), but under
+availableNow-on-static-fixtures most operators ARE deterministic, so strict
+DuckDB oracles are declared wherever that holds — strictly more checkable
+than the contract requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scylladb_redpanda_cdc_spark.plans import QuerySpec
+from scylladb_redpanda_cdc_spark.sources.changelog import CHANGELOG_SQL_CTE
+from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
+from scylladb_redpanda_cdc_spark.streaming.core import (
+    events_stream,
+    run_to_parquet,
+    run_to_table,
+    tmpdir,
+)
+from scylladb_redpanda_cdc_spark.streaming.ops import (
+    foreachbatch_upsert,
+    stage_changelog_stream,
+    user_running_state,
+)
+
+#: Exact integer aggregand: floor to micros on BOTH engines (Spark cast of
+#: double->long truncates, DuckDB CAST rounds — FLOOR first is identical).
+#: A function, not a module-level Column: building a Column requires an
+#: active SparkContext, and the registry must import Spark-free.
+def _val_micros():
+    return F.floor(F.col("value") * 1_000_000).alias("value_micros")
+
+_VAL_MICROS_SQL = "CAST(FLOOR(value * 1000000) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# S1 / S2 — ingest + checkpointed offsets
+# ---------------------------------------------------------------------------
+
+
+def s1_stream_ingest(spark, sf_dir):
+    """S1: continuous ingest -> typed projection. File-stream stand-in for
+    the Kafka source (same downstream DAG; SURVEY.md §7 stage 5)."""
+    ev = events_stream(spark, sf_dir)
+    return run_to_table(
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_millis("ts").alias("ts_ms"),
+            _val_micros(),
+        )
+    )
+
+
+def s2_checkpointed_offsets(spark, sf_dir):
+    """S2: resumable consumption. Runs the ingest TWICE against the same
+    checkpoint; the second run must process zero new records (the
+    /tmp/connect.offsets contract, connect-standalone.properties:4-5).
+    Returns the sink's contents — any reprocessing would double the count
+    and fail the exactly-once oracle."""
+    out, ckpt = tmpdir("s2_out"), tmpdir("s2_ckpt")
+    for _ in range(2):
+        ev = events_stream(spark, sf_dir).select(
+            "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+        )
+        run_to_parquet(ev, out, ckpt)
+    sunk = spark.read.parquet(out)
+    return sunk.agg(
+        F.count("*").alias("n_sunk"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3-S6 — event-time windows + watermark
+# ---------------------------------------------------------------------------
+
+
+def s3_stream_tumbling_agg(spark, sf_dir):
+    """S3: fixed 1-hour event-time windows over the stream (event time =
+    payload ts, distinct from broker timestamp — rpk_topic_consume.json:4-5).
+    Complete output mode: availableNow finishes before windows close, and
+    the memory sink holds the final aggregate per window."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(_val_micros()).alias("sum_value_micros"),
+    )
+    out = agg.select(
+        F.unix_millis("win.start").alias("win_start_ms"),
+        "n_events",
+        "sum_value_micros",
+    )
+    return run_to_table(out, mode="complete")
+
+
+def s4_stream_sliding_agg(spark, sf_dir):
+    """S4: overlapping 1-hour windows sliding every 15 minutes — each event
+    lands in 4 windows."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("win")
+    ).agg(F.count("*").alias("n_events"))
+    out = agg.select(
+        F.unix_millis("win.start").alias("win_start_ms"), "n_events"
+    )
+    return run_to_table(out, mode="complete")
+
+
+def s5_stream_session_window(spark, sf_dir):
+    """S5: gap-based sessions per user (30-minute inactivity gap). Session
+    spans [first event, last event + gap); an event at exactly
+    last + 30 min starts a NEW session — the oracle's gaps-and-islands
+    break condition uses >= to match."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("win")
+    ).agg(F.count("*").alias("n_events"))
+    out = agg.select(
+        "user_id",
+        F.unix_millis("win.start").alias("sess_start_ms"),
+        F.unix_millis("win.end").alias("sess_end_ms"),
+        "n_events",
+    )
+    return run_to_table(out, mode="complete")
+
+
+def s6_watermark_late_drop(spark, sf_dir):
+    """S6: watermarked tumbling aggregate — the state-bounding contract.
+    Watermark = max(ts) - 10 min, advanced between micro-batches; state for
+    windows older than it is evicted (at 100 TB this is what keeps the agg
+    state finite). Under availableNow on one file there is a single batch,
+    so no rows are late relative to the initial watermark and the result
+    equals the full aggregate — which is exactly what makes it strictly
+    verifiable here."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+        F.count("*").alias("n_events")
+    )
+    out = agg.select(
+        F.unix_millis("win.start").alias("win_start_ms"), "n_events"
+    )
+    return run_to_table(out, mode="complete")
+
+
+def s7_stream_dedup(spark, sf_dir):
+    """S7: drop duplicate event_ids within the watermark horizon —
+    at-least-once delivery is the Kafka Connect norm, dedup state is bounded
+    by the watermark."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_to_table(deduped)
+
+
+# ---------------------------------------------------------------------------
+# S8 / S9 — joins
+# ---------------------------------------------------------------------------
+
+
+def s8_stream_static_join(spark, sf_dir):
+    """S8: enrich the stream with a static dimension (events ⋈ customer).
+    The static side is broadcast per micro-batch — no stream-side shuffle,
+    the pattern that survives any stream volume."""
+    ev = events_stream(spark, sf_dir)
+    cust = _T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id")
+    # countDistinct is unsupported on streams; exact integer sum instead.
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(_val_micros()).alias("sum_value_micros"),
+    )
+    return run_to_table(agg, mode="complete")
+
+
+def s9_stream_stream_join(spark, sf_dir):
+    """S9: stream-stream inner join — purchases within 1 hour after a click
+    by the same user. Both sides watermarked; the time-range condition is
+    what lets Spark expire join state (unbounded otherwise)."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_millis("purchase_ts") - F.unix_millis("click_ts")
+        ).alias("gap_ms"),
+    )
+    return run_to_table(joined)
+
+
+# ---------------------------------------------------------------------------
+# S10 / S11 — stateful materialization
+# ---------------------------------------------------------------------------
+
+
+def s10_foreachbatch_upsert(spark, sf_dir):
+    """S10: the reference's materialization loop as incremental foreachBatch
+    MERGE. The CDC log is drained in 4 micro-batches; compaction is
+    order-insensitive (offset authority, SURVEY.md §4.4), so the final state
+    equals the batch answer for any batch split — verified by the same
+    oracle as the batch flagship."""
+    changes = stage_changelog_stream(spark, sf_dir, n_files=4)
+    state = foreachbatch_upsert(changes, ["customer_id", "order_id"])
+    return state.select(
+        "customer_id", "order_id", "totalprice", "orderstatus"
+    )
+
+
+def s11_stateful_running_state(spark, sf_dir):
+    """S11: arbitrary per-key streaming state (applyInPandasWithState) —
+    running per-user counters. Single availableNow batch => one final
+    update per key; counts/maxima are exact integers."""
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    return run_to_table(user_running_state(ev), mode="update")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+_S5_SQL = """WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+  epoch_ms(MIN(ts)) AS sess_start_ms,
+  epoch_ms(MAX(ts) + INTERVAL 30 MINUTE) AS sess_end_ms,
+  COUNT(*) AS n_events
+FROM sessioned GROUP BY user_id, sid"""
+
+_S9_SQL = """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+  c.user_id,
+  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""
+
+_S10_SQL = f"""WITH {CHANGELOG_SQL_CTE},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY customer_id, order_id ORDER BY "offset" DESC) AS rn
+  FROM changelog
+)
+SELECT customer_id, order_id, totalprice, orderstatus
+FROM ranked WHERE rn = 1 AND op <> 'd'"""
+
+SPECS = [
+    QuerySpec(
+        "s1_stream_ingest_kafka",
+        "S",
+        "continuous ingest -> typed projection (file-stream Kafka stand-in)",
+        s1_stream_ingest,
+        "SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,\n"
+        f"  {_VAL_MICROS_SQL} AS value_micros FROM events",
+    ),
+    QuerySpec(
+        "s2_checkpointed_offsets",
+        "S",
+        "checkpoint-resumable sink: second run with same checkpoint adds 0 rows",
+        s2_checkpointed_offsets,
+        "SELECT COUNT(*) AS n_sunk, COUNT(DISTINCT event_id) AS n_distinct"
+        " FROM events",
+    ),
+    QuerySpec(
+        "s3_stream_tumbling_agg",
+        "S",
+        "1-hour tumbling event-time windows",
+        s3_stream_tumbling_agg,
+        "SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_ms,\n"
+        f"  COUNT(*) AS n_events,\n"
+        f"  CAST(SUM({_VAL_MICROS_SQL}) AS BIGINT) AS sum_value_micros\n"
+        "FROM events GROUP BY 1",
+    ),
+    QuerySpec(
+        "s4_stream_sliding_agg",
+        "S",
+        "1-hour windows sliding every 15 min (4 windows per event)",
+        s4_stream_sliding_agg,
+        "SELECT epoch_ms(time_bucket(INTERVAL 15 MINUTE, ts)"
+        " - k.k * INTERVAL 15 MINUTE) AS win_start_ms,\n"
+        "  COUNT(*) AS n_events\n"
+        "FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k GROUP BY 1",
+    ),
+    QuerySpec(
+        "s5_stream_session_window",
+        "S",
+        "30-minute-gap session windows per user",
+        s5_stream_session_window,
+        _S5_SQL,
+    ),
+    QuerySpec(
+        "s6_watermark_late_drop",
+        "S",
+        "watermarked tumbling agg (state bounded by watermark)",
+        s6_watermark_late_drop,
+        "SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_ms,\n"
+        "  COUNT(*) AS n_events FROM events GROUP BY 1",
+    ),
+    QuerySpec(
+        "s7_stream_dedup",
+        "S",
+        "dedup by event_id within watermark horizon",
+        s7_stream_dedup,
+        "SELECT DISTINCT event_id, user_id, event_type FROM events",
+    ),
+    QuerySpec(
+        "s8_stream_static_join",
+        "S",
+        "stream ⋈ broadcast customer dimension, per-segment rollup",
+        s8_stream_static_join,
+        "SELECT c_mktsegment, COUNT(*) AS n_events,\n"
+        f"  CAST(SUM({_VAL_MICROS_SQL}) AS BIGINT) AS sum_value_micros\n"
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey\n"
+        "GROUP BY c_mktsegment",
+    ),
+    QuerySpec(
+        "s9_stream_stream_join",
+        "S",
+        "stream-stream join: purchase within 1h after click, same user",
+        s9_stream_stream_join,
+        _S9_SQL,
+    ),
+    QuerySpec(
+        "s10_foreachbatch_upsert",
+        "S",
+        "incremental foreachBatch MERGE of the CDC log (4 micro-batches)",
+        s10_foreachbatch_upsert,
+        _S10_SQL,
+    ),
+    QuerySpec(
+        "s11_stateful_running_state",
+        "S",
+        "applyInPandasWithState per-user running counters",
+        s11_stateful_running_state,
+        "SELECT user_id, COUNT(*) AS n_events,\n"
+        "  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_errors,\n"
+        "  epoch_ms(MAX(ts)) AS last_ts_ms\n"
+        "FROM events GROUP BY user_id",
+    ),
+]

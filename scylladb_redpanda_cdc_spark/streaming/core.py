@@ -1,0 +1,121 @@
+"""Structured Streaming runtime (SURVEY.md §2.S, §7 stage 5).
+
+The reference pipeline is a daemon stream: Kafka Connect polls the CDC log,
+produces to Redpanda, consumers materialize state (reference
+connect-standalone.properties:1-5, README.md:180,206-215). Its Spark
+restatement is ``readStream -> transform -> writeStream``. Tests and the
+driver run Kafka-less: a file-stream source over the same parquet fixtures
+with ``trigger(availableNow=True)`` — the downstream DAG is identical by
+construction, so semantics transfer to the Kafka source unchanged (S1).
+
+Driver contract note: every S* query must come back as a *batch* DataFrame
+(the driver calls ``.toPandas()``), so each spec runs its stream to
+completion into a memory/parquet sink and returns the sink's table. The
+memory sink is the TEST harness sink only — the production path is
+``writeStream.format("kafka")`` / partitioned parquet with the same DAG.
+
+Scale posture: state stores are keyed exactly like the shuffles they replace
+(user_id / window / PK), watermarks bound state (S6), and checkpointing
+(S2) makes every sink resumable — identical role to the reference's
+``offset.flush.interval.ms`` + ``/tmp/connect.offsets``.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Explicit source schema (file streams cannot infer; SURVEY.md §1.3 —
+#: schema drift must fail loudly, as in Kafka Connect). ``ts`` arrives as
+#: TIMESTAMP(NANOS) which Spark reads as long nanos under the legacy conf.
+EVENTS_STREAM_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+_name_counter = itertools.count()
+
+
+def _fresh(prefix: str) -> str:
+    return f"{prefix}_{next(_name_counter)}"
+
+
+def tmpdir(prefix: str) -> str:
+    """Per-run scratch dir (checkpoints, file-stream staging, sinks). Left
+    for the OS to reap — returned DataFrames may lazily re-read them."""
+    return tempfile.mkdtemp(prefix=f"sg_{prefix}_")
+
+
+_events_src_dirs: dict[str, str] = {}
+
+
+def _events_source_dir(sf_dir: str) -> str:
+    """The file-stream source needs a DIRECTORY it can monitor (the fixture
+    dir holds ten unrelated tables, and a bare file path trips the source's
+    basePath/partition-inference machinery). Stage a one-symlink directory
+    per sf_dir — zero data copied, created once per process."""
+    if sf_dir not in _events_src_dirs:
+        stage = tmpdir("events_src")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stage, "events.parquet"),
+        )
+        _events_src_dirs[sf_dir] = stage
+    return _events_src_dirs[sf_dir]
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 source: continuous ingest of the ``events`` table.
+
+    File-stream restatement of ``readStream.format("kafka")`` (reference
+    broker localhost:19092, connect-standalone.properties:1): same fixed
+    frame, different transport. ``ts`` is truncated to micros exactly like
+    the batch loader so stream and batch plans agree bit-for-bit.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_STREAM_DDL).parquet(
+        _events_source_dir(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_to_table(sdf: DataFrame, mode: str = "append") -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink; return the materialized batch DataFrame.
+
+    ``mode``: "append" for row streams, "complete" for aggregations,
+    "update" for stateful operators emitting per-key updates.
+    """
+    name = _fresh("sg_mem")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def run_to_parquet(
+    sdf: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"
+) -> None:
+    """Run a stream to completion into a parquet sink with an explicit
+    checkpoint — the S2 resumability contract (reference
+    connect-standalone.properties:4-5: offsets file + 10 s flush cadence;
+    here: checkpointLocation + availableNow). Restarting with the same
+    checkpoint reprocesses nothing (exactly-once within the sink)."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,135 @@
+"""Streaming operator kernels: foreachBatch upsert (S10) and arbitrary
+per-key state (S11).
+
+S10 is the reference pipeline's materialization loop run *incrementally*:
+each micro-batch of change events is merged into the current-state table by
+the same offset-authoritative compaction kernel the batch path uses
+(operators.cdc.materialize_latest; reference rpk_topic_consume.json:44,52 —
+update supersedes insert for key (1,6)). Because compaction is
+order-insensitive (max offset wins no matter how events are batched), the
+final state is identical for ANY micro-batch partitioning of the log — that
+invariance is what makes the streaming and batch answers provably equal.
+
+Scale: state lives as parquet partitioned by the event key; each merge
+shuffles only on that key (the topic's own partitioning). On a real
+deployment the alternating-directory swap becomes an atomic table-format
+commit (Delta/Iceberg MERGE); the DAG is the same.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from scylladb_redpanda_cdc_spark.operators.cdc import materialize_latest
+from scylladb_redpanda_cdc_spark.sources.changelog import synth_changelog
+from scylladb_redpanda_cdc_spark.streaming.core import tmpdir
+
+CHANGELOG_STREAM_DDL = (
+    "customer_id bigint, order_id bigint, op string, totalprice double, "
+    "orderstatus string, ts_ms bigint, `offset` bigint"
+)
+
+
+def stage_changelog_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Materialize the synthesized CDC log as ``n_files`` parquet files and
+    stream them back one file per micro-batch — a deterministic stand-in for
+    a Kafka topic drained in several polls."""
+    stage = tmpdir("changelog")
+    synth_changelog(spark, sf_dir).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    return (
+        spark.readStream.schema(CHANGELOG_STREAM_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
+def foreachbatch_upsert(
+    changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """S10: run the change stream to completion, merging each micro-batch
+    into the state table; return the final materialized state.
+
+    Tombstones are RETAINED in intermediate state (``drop_deletes=False``)
+    so a delete in batch k cannot be resurrected by compaction in batch k+1;
+    they are dropped once, at the end (A10 semantics).
+    """
+    spark = changes.sparkSession
+    base = tmpdir("state")
+    current: dict[str, str | None] = {"path": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        prev = (
+            spark.read.parquet(current["path"])
+            if current["path"] is not None
+            else None
+        )
+        merged = materialize_latest(
+            batch_df if prev is None else prev.unionByName(batch_df),
+            key_cols,
+            drop_deletes=False,
+        )
+        new_path = os.path.join(base, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_path)
+        current["path"] = new_path
+
+    q = (
+        changes.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", tmpdir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert current["path"] is not None, "stream produced no batches"
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(current["path"]).filter(F.col("op") != "d")
+
+
+def user_running_state(events: DataFrame) -> DataFrame:
+    """S11: arbitrary stateful per-key operator via applyInPandasWithState
+    (PySpark's stateful primitive; flatMapGroupsWithState is JVM-only).
+
+    Tracks per-user running (event count, error count, latest event time) —
+    the analog of A6's "latest cell values per key" as true streaming state.
+    Input must carry ``user_id``, ``event_type``, ``ts_ms`` (long).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_state(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        n, errs, last = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            errs += int((pdf["event_type"] == "error").sum())
+            last = max(last, int(pdf["ts_ms"].max()))
+        state.update((n, errs, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_errors": [errs],
+                "last_ts_ms": [last],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_state,
+        outputStructType=(
+            "user_id bigint, n_events bigint, n_errors bigint, last_ts_ms bigint"
+        ),
+        stateStructType="n bigint, errs bigint, last bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
