@@ -448,9 +448,66 @@ def x9_multimodal_struct(spark, sf_dir):
     )
 
 
+def x18_multimodal_decode(spark, sf_dir):
+    """Decode pipeline plumbing over mapInPandas: blob + metadata in, one
+    decoded-stats row per blob out, Arrow-batched. The codec is the
+    deterministic fake (operators.multimodal — real codecs absent from this
+    container, stub clearly marked), whose outputs are pure functions of
+    (doc_id, blob length, metadata) so the oracle strictly verifies the
+    schema/batching/partitioning path."""
+    from scylladb_redpanda_cdc_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        fake_decode_batches,
+    )
+
+    d = _T(spark, sf_dir, "documents").repartition("doc_id")
+    assembled = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("blob"),
+        F.lit("image/fake").alias("mime"),
+        (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+    )
+    return assembled.mapInPandas(fake_decode_batches, DECODE_SCHEMA)
+
+
+def x19_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: evenly spaced frame indices per doc
+    (≤ 4), JVM-side expression algebra — output bounded by construction."""
+    from scylladb_redpanda_cdc_spark.operators.multimodal import (
+        frame_sample_indices,
+    )
+
+    d = _T(spark, sf_dir, "documents")
+    nf = (F.col("n_chars") % 100 + 1).alias("n_frames")
+    base = d.select("doc_id", nf)
+    return base.select(
+        "doc_id",
+        "n_frames",
+        F.explode(frame_sample_indices(F.col("n_frames"))).alias("frame_idx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+
+_X18_SQL = """SELECT doc_id, 'image/fake' AS mime,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  (n_chars % 640 + 1) * (n_chars % 480 + 1) AS pixel_count,
+  CAST((doc_id * 2654435761) % 256 AS INTEGER) AS luma,
+  CAST(LEAST(4, 1 + ((n_chars % 640 + 1) * (n_chars % 480 + 1)) % 3)
+       AS INTEGER) AS n_frames_sampled
+FROM documents"""
+
+_X19_SQL = """WITH base AS (
+  SELECT doc_id, n_chars % 100 + 1 AS n_frames,
+         LEAST(4, n_chars % 100 + 1) AS k
+  FROM documents
+)
+SELECT doc_id, n_frames,
+  CAST(FLOOR(i * n_frames / k) AS INTEGER) AS frame_idx
+FROM base, UNNEST(range(0, k)) AS t(i)"""
 
 _X7_SQL = f"""WITH {_TOKS_CTE},
 tok AS (SELECT doc_id, unnest(ws) AS term FROM toks),
@@ -679,5 +736,19 @@ SPECS = [
         "  sha256(substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 64))"
         " AS fp_head\n"
         "FROM documents",
+    ),
+    QuerySpec(
+        "x18_multimodal_decode",
+        "X",
+        "mapInPandas decode pipeline (deterministic codec fake, strict oracle)",
+        x18_multimodal_decode,
+        _X18_SQL,
+    ),
+    QuerySpec(
+        "x19_frame_sample",
+        "X",
+        "evenly spaced frame-index sampling per media doc",
+        x19_frame_sample,
+        _X19_SQL,
     ),
 ]
