@@ -42,6 +42,8 @@ HEADLINE = (
     "x3_sim_cosine_topk",
     "x7_text_tfidf",
     "x16_text_token_count",
+    "x18_multimodal_decode",
+    "s10_foreachbatch_upsert",
 )
 
 
@@ -72,11 +74,19 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Two runs per query, report the min: run 1 pays one-time whole-stage
+    # codegen compilation (irrelevant amortized cost on any long-lived
+    # cluster); run 2 is the steady-state number.
     timings: dict[str, float] = {}
     for qid in HEADLINE:
-        t0 = time.perf_counter()
-        specs[qid].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[qid] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[qid].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[qid] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     print(

@@ -52,15 +52,19 @@ _SHINGLES_CTE = (
 
 def x1_dedup_exact(spark, sf_dir):
     """Exact dedup by normalized-text hash; lowest doc_id survives.
-    Shuffle on the 256-bit hash — uniform keys, no skew at any scale."""
-    d = _T(spark, sf_dir, "documents")
+
+    Expressed as groupBy(min, count), NOT a window: partial aggregation
+    combines map-side, so the shuffle carries one row per distinct hash —
+    at 100 TB that is the difference between shuffling every doc and
+    shuffling every *distinct* doc. Hash keys are uniform, no skew.
+    The repartition parallelizes sha2 over the single-row-group fixture
+    file (a no-op at scale where the scan is already many splits)."""
+    d = _T(spark, sf_dir, "documents").repartition("doc_id")
     h = F.sha2(F.lower(F.trim("text")), 256)
-    base = d.select("doc_id", h.alias("text_hash"))
-    w = Window.partitionBy("text_hash")
     return (
-        base.withColumn("n_copies", F.count("*").over(w))
-        .withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
-        .filter(F.col("rn") == 1)
+        d.select("doc_id", h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
         .select("doc_id", "text_hash", "n_copies")
     )
 
