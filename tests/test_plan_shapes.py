@@ -1,0 +1,99 @@
+"""Physical-plan shape assertions (SURVEY.md §4.2; the 100 TB contract).
+
+Correct results are necessary but not sufficient: these tests pin the plan
+properties that make the operators scale — filters pushed into the parquet
+scan, column pruning, broadcast vs sort-merge join selection, map-side
+partial aggregation, and JVM-only (no Python) hot paths. A regression here
+means a query still passes its oracle but would fall over at real scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from scylladb_redpanda_cdc_spark.plans import registry
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return registry()
+
+
+def plan_of(spark, sf_dir, specs, qid: str, mode: str = "formatted") -> str:
+    df = specs[qid].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, specs):
+    plan = plan_of(spark, sf_dir, specs, "b2_filter_conjunctive")
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir, specs):
+    plan = plan_of(spark, sf_dir, specs, "b1_scan_project")
+    read_schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema_lines, plan
+    # lineitem has 16 columns; the projection must not read them all
+    assert all(l.count(":") <= 6 for l in read_schema_lines), read_schema_lines
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir, specs):
+    plan = plan_of(spark, sf_dir, specs, "b5_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sortmerge_join_is_sortmerge(spark, sf_dir, specs):
+    plan = plan_of(spark, sf_dir, specs, "b6_join_sortmerge")
+    assert "SortMergeJoin" in plan
+
+
+def test_exact_dedup_is_partial_agg_not_window(spark, sf_dir, specs):
+    plan = plan_of(spark, sf_dir, specs, "x1_dedup_exact")
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_agg_basic_has_partial_agg(spark, sf_dir, specs):
+    """groupBy must compile to partial+final hash aggregate (map-side
+    combine) — the property that bounds shuffle volume by group count."""
+    plan = plan_of(spark, sf_dir, specs, "b15_agg_basic", mode="extended")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_jvm_only_hot_paths_have_no_python(spark, sf_dir, specs):
+    """Relational core, CDC compaction, and expression-algebra LLM ops must
+    not contain Python evaluation nodes (BatchEvalPython/ArrowEvalPython/
+    MapInPandas appear only where Python is the declared point: U*, X18)."""
+    for qid in (
+        "flagship_cdc_materialize",
+        "b4_join_inner_equi",
+        "b15_agg_basic",
+        "x1_dedup_exact",
+        "x2_dedup_fuzzy_minhash",
+        "x3_sim_cosine_topk",
+        "x7_text_tfidf",
+    ):
+        plan = plan_of(spark, sf_dir, specs, qid)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{qid} contains {marker}"
+
+
+def test_flagship_shuffle_count(spark, sf_dir, specs):
+    """The flagship is one compaction shuffle (event key) + one aggregation
+    shuffle (customer) — anything more is a regression; the changelog
+    synthesis itself must stay narrow (SURVEY.md changelog scale note)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, specs, "flagship_cdc_materialize")
+    # formatted mode prints each node in the tree AND the details section;
+    # count unique node entries "(n) Exchange" only.
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 2, f"expected 2 shuffles, saw {n_exchanges}:\n{plan}"
