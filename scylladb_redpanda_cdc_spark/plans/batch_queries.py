@@ -391,6 +391,81 @@ def b30_scalar_subquery_agg(spark, sf_dir):
     )
 
 
+def b31_join_skew_salted(spark, sf_dir):
+    """Salted join — the manual skew-defeat pattern (SURVEY.md §2 100TB
+    notes; AQE's skew splitting covers sort-merge, salting covers the cases
+    it can't, e.g. a broadcast-infeasible hot build side).
+
+    The fact side derives a deterministic salt in [0, 8); the dim side is
+    exploded 8x so every (key, salt) pair exists. Join lands on the
+    composite key, spreading any hot orderkey across 8 reducers. Semantics
+    are EXACTLY the plain equi-join, so the oracle is the unsalted SQL.
+    """
+    n_salts = 8
+    li = _T(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(n_salts))
+    )
+    o = _T(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+_bucket_counter = [0]
+
+
+def b32_join_bucketed_colocated(spark, sf_dir):
+    """Bucketed co-located join: both sides pre-bucketed by the join key ->
+    the join plan has NO Exchange (verified by tests/test_plan_shapes.py).
+    This is the 'pay the shuffle once at write time' pattern — at 100 TB
+    the fact table is bucketed on its PK at ingest and every subsequent
+    key join is shuffle-free."""
+    import tempfile
+
+    _bucket_counter[0] += 1
+    suffix = _bucket_counter[0]
+    loc = tempfile.mkdtemp(prefix="sg_bucketed_")
+    o_tbl, li_tbl = f"sg_orders_b{suffix}", f"sg_lineitem_b{suffix}"
+    (
+        _T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .option("path", f"{loc}/{o_tbl}")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(o_tbl)
+    )
+    (
+        _T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .option("path", f"{loc}/{li_tbl}")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(li_tbl)
+    )
+    o = spark.table(o_tbl)
+    li = spark.table(li_tbl)
+    return (
+        # merge hint: at tiny test SF the optimizer would broadcast instead,
+        # which never exercises the bucket co-location being demonstrated.
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 SPECS = [
     QuerySpec(
         "b1_scan_project",
@@ -665,5 +740,25 @@ SPECS = [
         b30_scalar_subquery_agg,
         "SELECT c_custkey, c_acctbal FROM customer\n"
         "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)",
+    ),
+    QuerySpec(
+        "b31_join_skew_salted",
+        "B",
+        "salted equi-join (manual skew defeat, exact plain-join semantics)",
+        b31_join_skew_salted,
+        "SELECT o_orderpriority, COUNT(*) AS n_items,\n"
+        "  ROUND(SUM(l_quantity), 2) AS sum_qty\n"
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey\n"
+        "GROUP BY o_orderpriority",
+    ),
+    QuerySpec(
+        "b32_join_bucketed_colocated",
+        "B",
+        "bucketed co-located join (shuffle paid at write, join exchange-free)",
+        b32_join_bucketed_colocated,
+        "SELECT o_orderpriority, COUNT(*) AS n_items,\n"
+        "  ROUND(SUM(l_quantity), 2) AS sum_qty\n"
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey\n"
+        "GROUP BY o_orderpriority",
     ),
 ]

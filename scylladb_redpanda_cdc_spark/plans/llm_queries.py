@@ -492,9 +492,67 @@ def x19_frame_sample(spark, sf_dir):
     )
 
 
+def x20_corpus_prep(spark, sf_dir):
+    """End-to-end training-corpus preparation: quality-score gate + language
+    allowlist + exact dedup (lowest doc_id survives), emitting the surviving
+    docs with their scores — the composition a real 100 TB pretraining
+    pipeline runs as one job.
+
+    Plan shape: narrow scoring/filter stage (prunes BEFORE any shuffle),
+    one partial-agg shuffle on the text hash for dedup, one broadcast-able
+    join back for survivor attributes. Score arithmetic is the exact same
+    expression order as x15, so the float threshold is engine-stable."""
+    d = _T(spark, sf_dir, "documents").repartition("doc_id")
+    ws = words(F.col("text"))
+    n_words = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    alpha_ratio = F.coalesce(
+        n_alpha.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+    stop_ratio = F.coalesce(
+        n_stop.cast("double") / F.nullif(n_words, F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+    len_score = F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = alpha_ratio * 0.4 + (F.lit(1.0) - stop_ratio) * 0.3 + len_score * 0.3
+    kept = d.select(
+        "doc_id", "lang", "text", score.alias("quality_score")
+    ).filter((F.col("quality_score") >= 0.55) & F.col("lang").isin("en", "es", "de"))
+    hashed = kept.withColumn(
+        "text_hash", F.sha2(F.lower(F.trim("text")), 256)
+    )
+    survivors = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return survivors.join(
+        hashed.select("doc_id", "lang", "quality_score"), "doc_id"
+    ).select("doc_id", "lang", "quality_score", "text_hash")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+
+_X20_SQL = f"""WITH {_TOKS_CTE},
+scored AS (
+  SELECT doc_id, lang, text,
+    COALESCE(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+      / CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0) * 0.4
+    + (1.0 - COALESCE(CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','to','in','is','on'))) AS DOUBLE)
+      / CAST(NULLIF(len(ws), 0) AS DOUBLE), 0.0)) * 0.3
+    + least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, lang, quality_score, sha256(lower(trim(text))) AS text_hash
+  FROM scored
+  WHERE quality_score >= 0.55 AND lang IN ('en', 'es', 'de')
+)
+SELECT doc_id, lang, quality_score, text_hash FROM kept
+WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY text_hash)"""
 
 _X18_SQL = """SELECT doc_id, 'image/fake' AS mime,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -754,5 +812,12 @@ SPECS = [
         "evenly spaced frame-index sampling per media doc",
         x19_frame_sample,
         _X19_SQL,
+    ),
+    QuerySpec(
+        "x20_corpus_prep",
+        "X",
+        "composed corpus prep: quality gate + lang allowlist + exact dedup",
+        x20_corpus_prep,
+        _X20_SQL,
     ),
 ]

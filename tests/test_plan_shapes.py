@@ -86,6 +86,17 @@ def test_jvm_only_hot_paths_have_no_python(spark, sf_dir, specs):
             assert marker not in plan, f"{qid} contains {marker}"
 
 
+def test_bucketed_join_is_exchange_free(spark, sf_dir, specs):
+    """b32: both sides bucketed by the join key -> the SortMergeJoin itself
+    needs no shuffle; the ONLY Exchange in the plan is the final rollup."""
+    import re
+
+    plan = plan_of(spark, sf_dir, specs, "b32_join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, f"join side shuffled:\n{plan}"
+
+
 def test_flagship_shuffle_count(spark, sf_dir, specs):
     """The flagship is one compaction shuffle (event key) + one aggregation
     shuffle (customer) — anything more is a regression; the changelog
