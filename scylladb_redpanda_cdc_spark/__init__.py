@@ -10,8 +10,12 @@ rebuilds that semantic contract — plus the batch-relational, windowed,
 streaming and LLM-data-pipeline surface cataloged in SURVEY.md §2 — on the
 Spark DataFrame / SQL / Structured Streaming stack.
 
+Entry point: ``Engine`` (engine.py) — tables, ANSI SQL, registry queries,
+and CDC materialization on one session.
+
 Layout
 ------
+- ``engine``     user-facing facade: ``Engine.connect(sf_dir).sql(...)``
 - ``session``    SparkSession factory (AQE on, UTC, tuned shuffle partitions)
 - ``schemas``    explicit StructTypes: CDC envelope + star schema (no inference)
 - ``sources``    parquet table loaders, CDC golden fixture, change-log synthesis
