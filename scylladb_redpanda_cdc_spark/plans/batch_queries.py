@@ -466,6 +466,30 @@ def b32_join_bucketed_colocated(spark, sf_dir):
     )
 
 
+def b33_pivot(spark, sf_dir):
+    """Pivot (long -> wide): explicit value list so the plan is a single
+    pass of conditional aggregates — no extra distinct-values job, which at
+    100 TB would be a full second scan."""
+    li = _T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+def b34_unpivot(spark, sf_dir):
+    """Unpivot/melt (wide -> long): 3 measure columns to (measure, val)
+    rows — pure narrow projection, output 3x rows with no shuffle."""
+    li = _T(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
 SPECS = [
     QuerySpec(
         "b1_scan_project",
@@ -760,5 +784,28 @@ SPECS = [
         "  ROUND(SUM(l_quantity), 2) AS sum_qty\n"
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey\n"
         "GROUP BY o_orderpriority",
+    ),
+    QuerySpec(
+        "b33_pivot",
+        "B",
+        "pivot long->wide with explicit values (single-pass conditional aggs)",
+        b33_pivot,
+        "SELECT l_linestatus,\n"
+        "  ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,\n"
+        "  ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,\n"
+        "  ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R\n"
+        "FROM lineitem GROUP BY l_linestatus",
+    ),
+    QuerySpec(
+        "b34_unpivot",
+        "B",
+        "unpivot/melt wide->long (narrow projection, no shuffle)",
+        b34_unpivot,
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,"
+        " l_quantity AS val FROM lineitem\n"
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',"
+        " l_discount FROM lineitem\n"
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',"
+        " l_tax FROM lineitem",
     ),
 ]

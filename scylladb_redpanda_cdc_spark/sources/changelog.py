@@ -54,34 +54,61 @@ def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("ts_ms"),
     )
 
-    inserts = base.select(
+    # ONE scan, not three: each order row emits its insert event plus the
+    # conditional update/delete as an exploded per-row array (a UNION ALL of
+    # three scans reads the source thrice — at 100 TB that is 3x the I/O for
+    # identical rows). ``when`` arms are null when the condition misses;
+    # the null filter drops them after the explode.
+    def ev(op, totalprice, orderstatus, ts_ms, off):
+        return F.struct(
+            F.lit(op).alias("op"),
+            totalprice.alias("totalprice"),
+            orderstatus.alias("orderstatus"),
+            ts_ms.alias("ts_ms"),
+            off.alias("offset"),
+        )
+
+    insert_ev = ev(
+        "c",
+        F.col("totalprice"),
+        F.col("orderstatus"),
+        F.col("ts_ms"),
+        F.col("order_id") * 3,
+    )
+    update_ev = F.when(
+        F.col("order_id") % UPDATE_MOD == 0,
+        ev(
+            "u",
+            F.col("totalprice") * PRICE_BUMP,
+            F.col("orderstatus"),
+            F.col("ts_ms") + 60_000,
+            F.col("order_id") * 3 + 1,
+        ),
+    )
+    delete_ev = F.when(
+        F.col("order_id") % DELETE_MOD == 7,
+        ev(
+            "d",
+            F.lit(None).cast("double"),
+            F.lit(None).cast("string"),
+            F.col("ts_ms") + 120_000,
+            F.col("order_id") * 3 + 2,
+        ),
+    )
+    exploded = base.select(
         "customer_id",
         "order_id",
-        F.lit("c").alias("op"),
-        "totalprice",
-        "orderstatus",
-        "ts_ms",
-        (F.col("order_id") * 3).alias("offset"),
-    )
-    updates = base.filter(F.col("order_id") % UPDATE_MOD == 0).select(
+        F.explode(F.array(insert_ev, update_ev, delete_ev)).alias("e"),
+    ).filter(F.col("e").isNotNull())
+    return exploded.select(
         "customer_id",
         "order_id",
-        F.lit("u").alias("op"),
-        (F.col("totalprice") * PRICE_BUMP).alias("totalprice"),
-        "orderstatus",
-        (F.col("ts_ms") + 60_000).alias("ts_ms"),
-        (F.col("order_id") * 3 + 1).alias("offset"),
+        "e.op",
+        "e.totalprice",
+        "e.orderstatus",
+        "e.ts_ms",
+        "e.offset",
     )
-    deletes = base.filter(F.col("order_id") % DELETE_MOD == 7).select(
-        "customer_id",
-        "order_id",
-        F.lit("d").alias("op"),
-        F.lit(None).cast("double").alias("totalprice"),
-        F.lit(None).cast("string").alias("orderstatus"),
-        (F.col("ts_ms") + 120_000).alias("ts_ms"),
-        (F.col("order_id") * 3 + 2).alias("offset"),
-    )
-    return inserts.unionByName(updates).unionByName(deletes)
 
 
 #: The same change log as a DuckDB CTE (oracle side). Kept textually simple
