@@ -60,24 +60,56 @@ def foreachbatch_upsert(
     so a delete in batch k cannot be resurrected by compaction in batch k+1;
     they are dropped once, at the end (A10 semantics).
     """
+    from pyspark.sql import functions as F
+
     spark = changes.sparkSession
     base = tmpdir("state")
     current: dict[str, str | None] = {"path": None}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        # Scale shape: the full state is NEVER shuffled. Keys untouched by
+        # this batch pass through via a broadcast anti-join; only touched
+        # keys (semi-join ∪ batch) go through the compaction window, which
+        # is batch-sized. Re-windowing prev ∪ batch wholesale would shuffle
+        # the entire state every batch — O(state x batches) at 100 TB.
+        # Offset comparison (not blind overwrite) keeps the merge
+        # order-insensitive: a key's OLDER event arriving in a LATER batch
+        # cannot regress the state (SURVEY.md §4.4 offset authority).
+        # persist: batch_latest feeds three consumers (key broadcast x2 +
+        # union) and prev two (anti + semi) — without caching each would
+        # recompute/rescan per consumer.
+        batch_latest = materialize_latest(
+            batch_df, key_cols, drop_deletes=False
+        ).persist()
         prev = (
-            spark.read.parquet(current["path"])
+            spark.read.parquet(current["path"]).persist()
             if current["path"] is not None
             else None
         )
-        merged = materialize_latest(
-            batch_df if prev is None else prev.unionByName(batch_df),
-            key_cols,
-            drop_deletes=False,
-        )
+        if prev is None:
+            merged = batch_latest
+        else:
+            # one broadcast probe marks touched keys; split by the marker
+            # (anti+semi as two joins would probe the same hash table twice)
+            batch_keys = batch_latest.select(*key_cols).withColumn(
+                "__hit", F.lit(1)
+            )
+            marked = prev.join(F.broadcast(batch_keys), key_cols, "left")
+            unaffected = marked.filter(F.col("__hit").isNull()).drop("__hit")
+            affected = (
+                marked.filter(F.col("__hit").isNotNull())
+                .drop("__hit")
+                .unionByName(batch_latest)
+            )
+            merged = unaffected.unionByName(
+                materialize_latest(affected, key_cols, drop_deletes=False)
+            )
         new_path = os.path.join(base, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(new_path)
         current["path"] = new_path
+        batch_latest.unpersist()
+        if prev is not None:
+            prev.unpersist()
 
     q = (
         changes.writeStream.foreachBatch(merge)
