@@ -1,0 +1,55 @@
+"""Public scalar-function library (SURVEY.md §2.F/§2.X kernels).
+
+Re-exports the engine's Column-level building blocks so users compose them
+like `pyspark.sql.functions`:
+
+    from scylladb_redpanda_cdc_spark import functions as EF
+    df.select(EF.cosine(df.a, df.b), EF.words(df.text))
+
+All are pure JVM-side expression algebra (whole-stage codegen; no Python
+UDFs) unless documented otherwise.
+"""
+
+from scylladb_redpanda_cdc_spark.operators.cdc import (
+    cell_touched,
+    cell_value,
+    derive_topic_name,
+    op_kind,
+)
+from scylladb_redpanda_cdc_spark.operators.llm import (
+    STOPWORDS,
+    cosine,
+    dot_d,
+    l2_norm,
+    lsh_bucket,
+    minhash_band_signature,
+    rolling_fingerprint,
+    shingle_hashes,
+    simhash16,
+    word_shingles,
+    words,
+)
+from scylladb_redpanda_cdc_spark.operators.multimodal import (
+    frame_sample_indices,
+    media_struct,
+)
+
+__all__ = [
+    "STOPWORDS",
+    "cell_touched",
+    "cell_value",
+    "cosine",
+    "derive_topic_name",
+    "dot_d",
+    "frame_sample_indices",
+    "l2_norm",
+    "lsh_bucket",
+    "media_struct",
+    "minhash_band_signature",
+    "op_kind",
+    "rolling_fingerprint",
+    "shingle_hashes",
+    "simhash16",
+    "word_shingles",
+    "words",
+]

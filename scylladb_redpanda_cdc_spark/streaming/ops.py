@@ -105,7 +105,12 @@ def foreachbatch_upsert(
                 materialize_latest(affected, key_cols, drop_deletes=False)
             )
         new_path = os.path.join(base, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(new_path)
+        # cap state-file count: unaffected keeps prev's partitioning and
+        # affected adds the window's shuffle partitions, so without a
+        # coalesce the state gains ~shuffle.partitions files per batch
+        # (compounding read fan-out). Real deployments target file SIZE
+        # here; a fixed small count is the local equivalent.
+        merged.coalesce(16).write.mode("overwrite").parquet(new_path)
         current["path"] = new_path
         batch_latest.unpersist()
         if prev is not None:
