@@ -30,10 +30,15 @@ from scylladb_redpanda_cdc_spark.sources.tables import load_table
 class Engine:
     """One session + one dataset directory, all engine surfaces attached."""
 
+    #: Temp views are SESSION-global while engines are per-dataset: tracks
+    #: which engine's sf_dir the session's views currently point at, so a
+    #: second engine on the same session cannot silently serve the first
+    #: engine's ``sql()`` from the wrong dataset.
+    _views_bound_to: dict[str, str] = {}
+
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
-        self._views_registered = False
 
     @classmethod
     def connect(
@@ -59,10 +64,11 @@ class Engine:
         """Expose every dataset table as a temp view for ``sql()``."""
         for name in TABLE_NAMES:
             self.table(name).createOrReplaceTempView(name)
-        self._views_registered = True
+        Engine._views_bound_to[self.spark.sparkContext.applicationId] = self.sf_dir
 
     def sql(self, query: str) -> DataFrame:
-        if not self._views_registered:
+        app_id = self.spark.sparkContext.applicationId
+        if Engine._views_bound_to.get(app_id) != self.sf_dir:
             self.register_views()
         return self.spark.sql(query)
 

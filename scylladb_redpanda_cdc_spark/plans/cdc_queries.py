@@ -15,7 +15,11 @@ from pyspark.sql.types import IntegerType, LongType, StringType, StructField, St
 
 from scylladb_redpanda_cdc_spark.operators import cdc
 from scylladb_redpanda_cdc_spark.plans import QuerySpec
-from scylladb_redpanda_cdc_spark.sources.cdc_fixture import golden_raw_cte, golden_stream_df
+from scylladb_redpanda_cdc_spark.sources.cdc_fixture import (
+    TOPIC,
+    golden_raw_cte,
+    golden_stream_df,
+)
 from scylladb_redpanda_cdc_spark.sources.changelog import CHANGELOG_SQL_CTE, synth_changelog
 
 # ---------------------------------------------------------------------------
@@ -23,9 +27,9 @@ from scylladb_redpanda_cdc_spark.sources.changelog import CHANGELOG_SQL_CTE, syn
 # ---------------------------------------------------------------------------
 
 
-def _decoded_df(spark: SparkSession, include_delete: bool = False) -> DataFrame:
+def _decoded_df(spark: SparkSession, extended: bool = False) -> DataFrame:
     """Golden records -> flat typed columns (the A2/A3 decode, flattened)."""
-    df = cdc.decode_key(cdc.decode_envelope(golden_stream_df(spark, include_delete)))
+    df = cdc.decode_key(cdc.decode_envelope(golden_stream_df(spark, extended)))
     e = F.col("envelope")
     src = e.getField("source")
     return df.select(
@@ -77,14 +81,14 @@ decoded AS (
 )"""
 
 
-def _g(select_sql: str, include_delete: bool = False) -> str:
+def _g(select_sql: str, extended: bool = False) -> str:
     """Oracle SQL over the golden fixture: raw VALUES CTE + decode CTE + body."""
-    return f"WITH {golden_raw_cte(include_delete)},{_DECODED_CTE}\n{select_sql}"
+    return f"WITH {golden_raw_cte(extended)},{_DECODED_CTE}\n{select_sql}"
 
 
-def _state_df(spark: SparkSession, include_delete: bool = False) -> DataFrame:
+def _state_df(spark: SparkSession, extended: bool = False) -> DataFrame:
     """A6: materialized current state of the golden workload."""
-    events = _decoded_df(spark, include_delete).select(
+    events = _decoded_df(spark, extended).select(
         F.col("key_customer_id").alias("customer_id"),
         F.col("key_order_id").alias("order_id"),
         F.col("after_product").alias("product"),
@@ -108,8 +112,8 @@ state AS (
 )"""
 
 
-def _s(select_sql: str, include_delete: bool = False) -> str:
-    return _g(f",{_STATE_CTE}\n{select_sql}".replace(",,", ","), include_delete)
+def _s(select_sql: str, extended: bool = False) -> str:
+    return _g(f",{_STATE_CTE}\n{select_sql}".replace(",,", ","), extended)
 
 
 # A8/A9 literal deltas (shared by Spark + SQL sides).
@@ -151,12 +155,12 @@ def a3_key_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a4_op_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _decoded_df(spark, include_delete=True)
+    df = _decoded_df(spark, extended=True)
     return df.select("offset", "op", cdc.op_kind(F.col("op")).alias("kind"))
 
 
 def a5_cell_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _decoded_df(spark, include_delete=True).select(
+    return _decoded_df(spark, extended=True).select(
         "offset",
         "before_product",
         "before_product_touched",
@@ -166,11 +170,11 @@ def a5_cell_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a6_latest_state_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _state_df(spark, include_delete=True).select("customer_id", "order_id", "product")
+    return _state_df(spark, extended=True).select("customer_id", "order_id", "product")
 
 
 def a7_pk_point_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    state = _state_df(spark, include_delete=True)
+    state = _state_df(spark, extended=True)
     return state.filter((F.col("customer_id") == 1) & (F.col("order_id") == 6)).select(
         "customer_id", "order_id", "product"
     )
@@ -209,7 +213,7 @@ def a10_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: explicit anti-join formulation of tombstone removal (the kernel
     in materialize_latest folds it into the window pass; this is the
     standalone operator with its own oracle)."""
-    decoded = _decoded_df(spark, include_delete=True)
+    decoded = _decoded_df(spark, extended=True)
     alive = cdc.materialize_latest(
         decoded.filter(F.col("op") != "d").select(
             F.col("key_customer_id").alias("customer_id"),
@@ -233,7 +237,7 @@ def a10_delete_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a11_offset_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    df = _decoded_df(spark, include_delete=True)
+    df = _decoded_df(spark, extended=True)
     w = Window.partitionBy("partition").orderBy("offset")
     return df.select(
         "partition", "offset", "op", F.row_number().over(w).alias("seq")
@@ -269,7 +273,7 @@ def a13_source_metadata_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a14_envelope_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    state = _state_df(spark, include_delete=True).select(
+    state = _state_df(spark, extended=True).select(
         "customer_id", "order_id", "product"
     )
     return cdc.encode_envelope(
@@ -280,7 +284,11 @@ def a14_envelope_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a15_snapshot_vs_live_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _decoded_df(spark)
+    """A15 over the EXTENDED fixture: the real capture is all-live
+    (snapshot="false" on every event), so the snapshot/live split is
+    exercised on the labeled synthetic extension whose first three events
+    carry the Debezium snapshot phases (cdc_fixture module docstring)."""
+    df = _decoded_df(spark, extended=True)
     phase = F.when(F.col("snapshot") != "false", "snapshot").otherwise("live")
     return (
         df.select(phase.alias("snapshot_phase"), "offset")
@@ -343,7 +351,7 @@ SPECS = [
         _g(
             "SELECT \"offset\", op, CASE WHEN op = 'c' THEN 'insert'"
             " WHEN op = 'u' THEN 'update' ELSE 'delete' END AS kind FROM decoded",
-            include_delete=True,
+            extended=True,
         ),
     ),
     QuerySpec(
@@ -354,7 +362,7 @@ SPECS = [
         _g(
             'SELECT "offset", before_product, before_product_touched,'
             " after_product, after_product_touched FROM decoded",
-            include_delete=True,
+            extended=True,
         ),
     ),
     QuerySpec(
@@ -362,7 +370,7 @@ SPECS = [
         "A",
         "change log -> current state (last write wins by offset, tombstones drop)",
         a6_latest_state_materialize,
-        _s("SELECT customer_id, order_id, product FROM state", include_delete=True),
+        _s("SELECT customer_id, order_id, product FROM state", extended=True),
     ),
     QuerySpec(
         "a7_pk_point_filter",
@@ -372,7 +380,7 @@ SPECS = [
         _s(
             "SELECT customer_id, order_id, product FROM state"
             " WHERE customer_id = 1 AND order_id = 6",
-            include_delete=True,
+            extended=True,
         ),
     ),
     QuerySpec(
@@ -418,7 +426,7 @@ SPECS = [
             "SELECT customer_id, order_id, product FROM alive a\n"
             "WHERE NOT EXISTS (SELECT 1 FROM decoded d WHERE d.op = 'd'\n"
             "  AND d.key_customer_id = a.customer_id AND d.key_order_id = a.order_id)",
-            include_delete=True,
+            extended=True,
         ),
     ),
     QuerySpec(
@@ -429,7 +437,7 @@ SPECS = [
         _g(
             'SELECT "partition", "offset", op, ROW_NUMBER() OVER'
             ' (PARTITION BY "partition" ORDER BY "offset") AS seq FROM decoded',
-            include_delete=True,
+            extended=True,
         ),
     ),
     QuerySpec(
@@ -457,9 +465,24 @@ SPECS = [
     QuerySpec(
         "a14_envelope_encode",
         "A",
-        "state -> {schema,payload} JSON wire form (rows-only: JSON string compare is brittle)",
+        "state -> {schema,payload} JSON wire form (strict: oracle rebuilds exact wire bytes)",
         a14_envelope_encode,
-        None,
+        # The oracle reconstructs the JsonConverter wire form byte-for-byte:
+        # Spark's to_json emits compact JSON with struct-declaration field
+        # order and no null fields, so the expected string is fully
+        # determined by (key_cols, state columns) — both engines must agree
+        # on every character (connect-standalone.properties:2-3 contract).
+        _s(
+            "SELECT\n"
+            '  \'{"schema":{"name":"' + TOPIC + '.Key"},"payload":{"customer_id":\''
+            " || customer_id || ',\"order_id\":' || order_id || '}}' AS \"key\",\n"
+            '  \'{"schema":{"name":"' + TOPIC + '.Envelope"},"payload":{"customer_id":\''
+            " || customer_id || ',\"order_id\":' || order_id ||"
+            " ',\"product\":\"' || product || '\"}}' AS \"value\",\n"
+            "  customer_id, order_id, product\n"
+            "FROM state",
+            extended=True,
+        ),
     ),
     QuerySpec(
         "a15_snapshot_vs_live_split",
@@ -471,7 +494,8 @@ SPECS = [
             " AS snapshot_phase,\n"
             '  COUNT(*) AS n_events, MIN("offset") AS min_offset,'
             ' MAX("offset") AS max_offset\n'
-            "FROM decoded GROUP BY 1"
+            "FROM decoded GROUP BY 1",
+            extended=True,
         ),
     ),
     QuerySpec(

@@ -135,13 +135,27 @@ def x10_dedup_simhash(spark, sf_dir):
 
 
 def x11_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard >= 0.1 pairs via inverted-index join on shared
-    shingles (pair space bounded by co-occurrence, not n²). Jaccard is an
-    exact rational — strict oracle."""
+    """3-gram Jaccard >= 0.1 pairs via inverted-index join on shared
+    shingles, over the DF-CAPPED shingle universe: shingle document
+    frequency is zipfian, and a shingle shared by m docs fans out to
+    O(m^2) candidate pairs in the self-join — one stop-word-grade shingle
+    in 1M docs would create 10^12 pairs. Shingles with df > 50 carry no
+    discriminative signal for near-dup detection and are dropped BEFORE
+    the join (the standard production near-dup move), bounding per-shingle
+    fan-out at 50^2 = 2500 pairs. Jaccard (numerator and sizes) is then an
+    exact rational over the capped universe — strict oracle mirrors the
+    same cap."""
     d = _T(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
     )
+    keep = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("s")
+    )
+    sh = sh.join(keep, "s")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -585,7 +599,10 @@ JOIN dfreq ON tc.term = dfreq.term CROSS JOIN nd"""
 
 _X11_SQL = f"""WITH {_TOKS_CTE},
 {_SHINGLES_CTE},
-s2 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+s2all AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+keep AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS df
+                        FROM s2all GROUP BY 1) WHERE df <= 50),
+s2 AS (SELECT s2all.* FROM s2all JOIN keep USING (s)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM s2 GROUP BY 1),
 shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
            FROM s2 a JOIN s2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -739,7 +756,7 @@ SPECS = [
     QuerySpec(
         "x11_dedup_ngram_jaccard",
         "X",
-        "exact 3-gram Jaccard >= 0.1 near-dup pairs",
+        "3-gram Jaccard >= 0.1 near-dup pairs (df-capped shingle universe)",
         x11_dedup_ngram_jaccard,
         _X11_SQL,
     ),

@@ -1,11 +1,25 @@
-"""The reference's golden CDC capture, reconstructed as a test fixture.
+"""The reference's golden CDC capture, reconstructed as a test fixture —
+in TWO clearly-separated flavors.
 
-The reference checks in the exact 7 change events its pipeline produces for
-the scripted CQL workload (reference rpk_topic_consume.json:1-56;
-workload scylladb_cql_statements.md:18-34): six ``op:"c"`` inserts at offsets
-0-5 and one ``op:"u"`` update at offset 6 rewriting key (1,6) from 'pasta' to
-'spaghetti'. DELETE events (``op:"d"``) are in-contract though not captured
-(README.md:166), so the fixture can optionally append one.
+**Capture-exact (``extended=False``).** The reference checks in the exact 7
+change events its pipeline produces for the scripted CQL workload (reference
+rpk_topic_consume.json:1-56; workload scylladb_cql_statements.md:18-34): six
+``op:"c"`` inserts at offsets 0-5 and one ``op:"u"`` update at offset 6
+rewriting key (1,6) from 'pasta' to 'spaghetti'. Matching the real capture's
+wire semantics: ``snapshot`` is ``"false"`` on ALL events and ``before`` is
+``null`` even on the update (Scylla CDC emits no preimages) —
+rpk_topic_consume.json:4,44. Consumers coded against this fixture see exactly
+what the reference pipeline produces.
+
+**Synthetic extension (``extended=True``).** A DELIBERATE superset, NOT part
+of the capture: appends the in-contract-but-uncaptured delete (README.md:166),
+fabricates a snapshot phase for the first three events (the Debezium snapshot
+enum ``true/last/false`` documented at README.md:117 — the connector *would*
+emit these had it started after rows existed), and populates before-images on
+u/d events (the generic Debezium envelope shape, which Scylla CDC leaves null
+but the decode layer must still handle as Cell-wrapped 3-state columns).
+Specs that exercise delete/tombstone, snapshot-phase, or 3-state-null
+semantics build on this flavor and say so.
 
 We do NOT copy the capture file. The events below are re-synthesized from the
 documented semantics (FIXTURES.md §1): same keys/products/ops/offsets — the
@@ -56,14 +70,16 @@ _WORKLOAD: list[tuple[int, int, str | None, str, str | None]] = [
     (1, 6, "spaghetti", "u", "pasta"),
 ]
 
-#: Optional 8th event exercising the delete contract (README.md:166).
+#: Extension-only 8th event exercising the delete contract (README.md:166).
+#: NOT in the capture.
 _DELETE_EVENT: tuple[int, int, str | None, str, str | None] = (1, 2, None, "d", "cookies")
 
-#: Snapshot flags: the tutorial starts the connector after 3 rows exist
-#: (README.md:117 — "seven events in total, four ... change events"), so the
-#: first three are snapshot reads ("true","true","last") and the rest live
-#: ("false") per the Debezium snapshot enum (rpk_topic_consume.json:4).
-_SNAPSHOT_FLAGS = ["true", "true", "last", "false", "false", "false", "false", "false"]
+#: Extension-only snapshot phases: the tutorial narrates starting the
+#: connector after 3 rows exist (README.md:117), so the extension labels the
+#: first three events as snapshot reads ("true","true","last") per the
+#: Debezium snapshot enum. The REAL capture carries "false" on all events
+#: (rpk_topic_consume.json:4) — capture-exact mode reproduces that.
+_EXT_SNAPSHOT_FLAGS = ["true", "true", "last", "false", "false", "false", "false", "false"]
 
 
 def _row_image(customer_id: int, order_id: int, product: str | None, *, touched: bool) -> dict[str, Any] | None:
@@ -78,10 +94,16 @@ def _row_image(customer_id: int, order_id: int, product: str | None, *, touched:
     return image
 
 
-def golden_records(include_delete: bool = False) -> list[dict[str, Any]]:
-    """The 7 (or 8) change events as Kafka-frame dicts (RECORD_SCHEMA shape)."""
+def golden_records(extended: bool = False) -> list[dict[str, Any]]:
+    """The change events as Kafka-frame dicts (RECORD_SCHEMA shape).
+
+    ``extended=False``: the 7 capture-exact events (snapshot always "false",
+    before always null — the wire form the reference pipeline really emits).
+    ``extended=True``: the 8-event labeled synthetic extension (delete +
+    snapshot phases + before-images); see the module docstring.
+    """
     records = []
-    workload = list(_WORKLOAD) + ([_DELETE_EVENT] if include_delete else [])
+    workload = list(_WORKLOAD) + ([_DELETE_EVENT] if extended else [])
     for offset, (cust, order, product, op, before_product) in enumerate(workload):
         source_ts_ms = _SOURCE_TS0 + offset * 10_000
         envelope_ts_ms = source_ts_ms + _ENVELOPE_LAG_MS
@@ -92,14 +114,16 @@ def golden_records(include_delete: bool = False) -> list[dict[str, Any]]:
                 "connector": "scylla",
                 "name": NAMESPACE,
                 "ts_ms": source_ts_ms,
-                "snapshot": _SNAPSHOT_FLAGS[offset],
+                "snapshot": _EXT_SNAPSHOT_FLAGS[offset] if extended else "false",
                 "db": KEYSPACE,
                 "keyspace_name": KEYSPACE,
                 "table_name": TABLE,
                 "ts_us": source_ts_ms * 1000 + offset,
             },
             "before": (
-                _row_image(cust, order, before_product, touched=True) if op in ("u", "d") else None
+                _row_image(cust, order, before_product, touched=True)
+                if extended and op in ("u", "d")
+                else None
             ),
             "after": (
                 _row_image(cust, order, product, touched=True) if op in ("c", "u") else None
@@ -121,12 +145,22 @@ def golden_records(include_delete: bool = False) -> list[dict[str, Any]]:
     return records
 
 
-def golden_stream_df(spark: SparkSession, include_delete: bool = False) -> DataFrame:
-    """The golden capture as a Spark DataFrame in the Kafka record frame."""
-    return spark.createDataFrame(golden_records(include_delete), RECORD_SCHEMA)
+_cached_dfs: dict[tuple[str, bool], DataFrame] = {}
 
 
-def golden_values_sql(include_delete: bool = False) -> str:
+def golden_stream_df(spark: SparkSession, extended: bool = False) -> DataFrame:
+    """The golden capture (or its labeled extension) as a Spark DataFrame in
+    the Kafka record frame. Cached per session: every A-group query decodes
+    the same 7/8 rows, so the local relation is built once and reused."""
+    cache_key = (spark.sparkContext.applicationId, extended)
+    if cache_key not in _cached_dfs:
+        _cached_dfs[cache_key] = spark.createDataFrame(
+            golden_records(extended), RECORD_SCHEMA
+        )
+    return _cached_dfs[cache_key]
+
+
+def golden_values_sql(extended: bool = False) -> str:
     """The same records as a DuckDB-ready VALUES relation.
 
     Used inside oracle SQL as
@@ -134,7 +168,7 @@ def golden_values_sql(include_delete: bool = False) -> str:
     so DuckDB decodes byte-identical JSON to what Spark decodes.
     """
     rows = []
-    for r in golden_records(include_delete):
+    for r in golden_records(extended):
         key_lit = r["key"].replace("'", "''")
         val_lit = r["value"].replace("'", "''")
         rows.append(
@@ -144,9 +178,9 @@ def golden_values_sql(include_delete: bool = False) -> str:
     return ",\n    ".join(rows)
 
 
-def golden_raw_cte(include_delete: bool = False) -> str:
+def golden_raw_cte(extended: bool = False) -> str:
     """``raw(...) AS (VALUES ...)`` CTE body for oracle SQL strings."""
     return (
         'raw(topic, "key", "value", "timestamp", "partition", "offset") AS (\n'
-        f"  VALUES\n    {golden_values_sql(include_delete)}\n)"
+        f"  VALUES\n    {golden_values_sql(extended)}\n)"
     )

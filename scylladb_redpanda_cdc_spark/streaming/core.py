@@ -25,6 +25,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,6 +84,41 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+#: Shuffle/state-store partition count while materializing a TEST sink.
+#: A stateful streaming query creates one state-store instance per shuffle
+#: partition per stateful operator, and every micro-batch pays a load+commit
+#: on each; at fixture scale that fixed cost dominates wall time (32
+#: partitions ≈ 1 s/query of pure store churn, ~6 s for the stream-stream
+#: join's two stores). Results are partitioning-invariant (aggregation /
+#: dedup / join / per-key state do not depend on partition count), so this
+#: only trades parallelism for per-store overhead. The production path
+#: (writeStream to Kafka / partitioned parquet on a real cluster) never
+#: passes through these helpers and keeps the session's own setting.
+STREAM_SINK_SHUFFLE_PARTITIONS = int(os.environ.get("SG_STREAM_SINK_SHUFFLE", "4"))
+
+
+@contextmanager
+def scoped_shuffle(spark: SparkSession, n: int = -1):
+    """Temporarily set ``spark.sql.shuffle.partitions`` while a test-sink
+    stream runs to completion (availableNow is synchronous, so the scope
+    covers all micro-batch planning), restoring the caller's value after."""
+    if n < 0:
+        n = STREAM_SINK_SHUFFLE_PARTITIONS
+    key = "spark.sql.shuffle.partitions"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def run_to_table(sdf: DataFrame, mode: str = "append") -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink; return the materialized batch DataFrame.
@@ -91,14 +127,15 @@ def run_to_table(sdf: DataFrame, mode: str = "append") -> DataFrame:
     "update" for stateful operators emitting per-key updates.
     """
     name = _fresh("sg_mem")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.table(name)
 
 
@@ -110,12 +147,13 @@ def run_to_parquet(
     connect-standalone.properties:4-5: offsets file + 10 s flush cadence;
     here: checkpointLocation + availableNow). Restarting with the same
     checkpoint reprocesses nothing (exactly-once within the sink)."""
-    q = (
-        sdf.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -25,12 +25,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from scylladb_redpanda_cdc_spark.operators.cdc import materialize_latest
 from scylladb_redpanda_cdc_spark.sources.changelog import synth_changelog
-from scylladb_redpanda_cdc_spark.streaming.core import tmpdir
+from scylladb_redpanda_cdc_spark.streaming.core import scoped_shuffle, tmpdir
 
 CHANGELOG_STREAM_DDL = (
     "customer_id bigint, order_id bigint, op string, totalprice double, "
     "orderstatus string, ts_ms bigint, `offset` bigint"
 )
+
+#: Max number of distinct keys in a micro-batch we will broadcast for the
+#: touched/untouched state split. A catch-up batch (initial topic drain,
+#: resume after downtime) can carry arbitrarily many keys; broadcasting
+#: those would blow the driver/executor broadcast limit, so past the cap
+#: the merge falls back to a shuffled join and lets AQE pick the strategy.
+BROADCAST_KEY_CAP = int(os.environ.get("SG_BROADCAST_KEY_CAP", "2000000"))
+
+_staged_changelogs: dict[tuple[str, str, int], str] = {}
 
 
 def stage_changelog_stream(
@@ -38,15 +47,19 @@ def stage_changelog_stream(
 ) -> DataFrame:
     """Materialize the synthesized CDC log as ``n_files`` parquet files and
     stream them back one file per micro-batch — a deterministic stand-in for
-    a Kafka topic drained in several polls."""
-    stage = tmpdir("changelog")
-    synth_changelog(spark, sf_dir).repartition(n_files).write.mode(
-        "overwrite"
-    ).parquet(stage)
+    a Kafka topic drained in several polls. The staged log is deterministic
+    per (sf_dir, n_files), so it is written once per session and reused."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir, n_files)
+    if cache_key not in _staged_changelogs:
+        stage = tmpdir("changelog")
+        synth_changelog(spark, sf_dir).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        _staged_changelogs[cache_key] = stage
     return (
         spark.readStream.schema(CHANGELOG_STREAM_DDL)
         .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
+        .parquet(_staged_changelogs[cache_key])
     )
 
 
@@ -81,6 +94,7 @@ def foreachbatch_upsert(
         batch_latest = materialize_latest(
             batch_df, key_cols, drop_deletes=False
         ).persist()
+        n_batch_keys = batch_latest.count()
         prev = (
             spark.read.parquet(current["path"]).persist()
             if current["path"] is not None
@@ -89,12 +103,17 @@ def foreachbatch_upsert(
         if prev is None:
             merged = batch_latest
         else:
-            # one broadcast probe marks touched keys; split by the marker
-            # (anti+semi as two joins would probe the same hash table twice)
+            # one key probe marks touched keys; split by the marker
+            # (anti+semi as two joins would probe the same hash table
+            # twice). Broadcast only while the batch key set is small —
+            # a catch-up batch past BROADCAST_KEY_CAP keys shuffles
+            # instead (AQE may still re-plan it).
             batch_keys = batch_latest.select(*key_cols).withColumn(
                 "__hit", F.lit(1)
             )
-            marked = prev.join(F.broadcast(batch_keys), key_cols, "left")
+            if n_batch_keys <= BROADCAST_KEY_CAP:
+                batch_keys = F.broadcast(batch_keys)
+            marked = prev.join(batch_keys, key_cols, "left")
             unaffected = marked.filter(F.col("__hit").isNull()).drop("__hit")
             affected = (
                 marked.filter(F.col("__hit").isNotNull())
@@ -116,13 +135,14 @@ def foreachbatch_upsert(
         if prev is not None:
             prev.unpersist()
 
-    q = (
-        changes.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", tmpdir("ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle(spark):
+        q = (
+            changes.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", tmpdir("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert current["path"] is not None, "stream produced no batches"
     from pyspark.sql import functions as F
 

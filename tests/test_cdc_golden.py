@@ -13,8 +13,8 @@ from scylladb_redpanda_cdc_spark.operators import cdc
 from scylladb_redpanda_cdc_spark.sources.cdc_fixture import TOPIC, golden_stream_df
 
 
-def _decoded(spark, include_delete=False):
-    return cdc.decode_key(cdc.decode_envelope(golden_stream_df(spark, include_delete)))
+def _decoded(spark, extended=False):
+    return cdc.decode_key(cdc.decode_envelope(golden_stream_df(spark, extended)))
 
 
 def test_seven_events_decode(spark):
@@ -48,7 +48,7 @@ def test_materialized_state_matches_reference(spark):
 
 
 def test_delete_tombstone_drops_key(spark):
-    df = _decoded(spark, include_delete=True)
+    df = _decoded(spark, extended=True)
     events = df.select(
         F.col("pk.customer_id").alias("customer_id"),
         F.col("pk.order_id").alias("order_id"),
@@ -63,7 +63,7 @@ def test_delete_tombstone_drops_key(spark):
 
 
 def test_cell_three_state_nulls(spark):
-    df = _decoded(spark, include_delete=True)
+    df = _decoded(spark, extended=True)
     # op 'c': before image absent entirely -> before.product untouched
     ins = df.filter(F.col("envelope.op") == "c").select(
         cdc.cell_touched(F.col("envelope.before"), "product").alias("t")

@@ -20,8 +20,6 @@ def test_rows_only_set_is_the_documented_one():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "a14_envelope_encode",
-        "b17_agg_approx_distinct",
         "x2_dedup_fuzzy_minhash",
         "x4_sim_lsh_approx",
         "x10_dedup_simhash",

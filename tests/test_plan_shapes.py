@@ -86,6 +86,35 @@ def test_jvm_only_hot_paths_have_no_python(spark, sf_dir, specs):
             assert marker not in plan, f"{qid} contains {marker}"
 
 
+def test_theta_range_has_no_nested_loop(spark, sf_dir, specs):
+    """b13: theta-join semantics via bucket + merge-rank — the O(|S|x|C|)
+    BroadcastNestedLoopJoin must never reappear (the worst plan at 100 TB:
+    customer grows with SF, so BNL compares every supplier against every
+    customer)."""
+    plan = plan_of(spark, sf_dir, specs, "b13_join_theta_range")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_band_join_is_equi(spark, sf_dir, specs):
+    """x2: LSH candidate pairing must be an equi-join on (band, sig) — a
+    nested-loop fallback would silently revert to all-pairs O(n^2)."""
+    plan = plan_of(spark, sf_dir, specs, "x2_dedup_fuzzy_minhash")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_ivf_probe_join_broadcasts(spark, sf_dir, specs):
+    """x13: the probed-centroid filter must broadcast (2-row probe list);
+    shuffling the full assignment by centroid id to filter 2 clusters
+    would be a full-data shuffle at 100 TB."""
+    plan = plan_of(spark, sf_dir, specs, "x13_sim_ivf_probe")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_bucketed_join_is_exchange_free(spark, sf_dir, specs):
     """b32: both sides bucketed by the join key -> the SortMergeJoin itself
     needs no shuffle; the ONLY Exchange in the plan is the final rollup."""

@@ -67,3 +67,39 @@ def test_materialized_state_matches_tutorial(decoded):
     assert state[(1, 6)] == "spaghetti"  # offset-6 update wins over offset-5
     assert state[(1, 1)] == "pizza"
     assert state[(1, 5)] == "lollies"
+
+
+def test_capture_wire_semantics_all_live_no_preimage(decoded):
+    """The REAL capture is all-live and preimage-free: snapshot:"false" on
+    every event and before:null even on the op:"u" event (Scylla CDC emits
+    no preimages) — rpk_topic_consume.json:4,44. Pins the facts the
+    capture-exact fixture flavor reproduces (cdc_fixture docstring)."""
+    rows = decoded.select(
+        F.col("envelope.source.snapshot").alias("snapshot"),
+        F.col("envelope.before").alias("before"),
+    ).collect()
+    assert {r["snapshot"] for r in rows} == {"false"}
+    assert all(r["before"] is None for r in rows)
+
+
+def test_capture_exact_fixture_matches_real_capture(spark, decoded):
+    """The extended=False fixture must agree with the real capture on every
+    semantic column (keys, ops, images, snapshot, offsets) — only the
+    synthetic timestamps may differ."""
+    from scylladb_redpanda_cdc_spark.sources.cdc_fixture import golden_stream_df
+
+    sem_cols = [
+        "offset",
+        F.col("pk.customer_id").alias("cust"),
+        F.col("pk.order_id").alias("order"),
+        F.col("envelope.op").alias("op"),
+        F.col("envelope.source.snapshot").alias("snapshot"),
+        F.col("envelope.before.product.value").alias("before_product"),
+        F.col("envelope.after.product.value").alias("after_product"),
+    ]
+    fixture = cdc.decode_key(
+        cdc.decode_envelope(golden_stream_df(spark, extended=False))
+    )
+    fx = [tuple(r) for r in fixture.select(*sem_cols).orderBy("offset").collect()]
+    real = [tuple(r) for r in decoded.select(*sem_cols).orderBy("offset").collect()]
+    assert fx == real

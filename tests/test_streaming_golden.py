@@ -22,7 +22,7 @@ from scylladb_redpanda_cdc_spark.streaming.ops import foreachbatch_upsert
 
 
 def _decoded_changes(spark):
-    df = cdc.decode_key(cdc.decode_envelope(golden_stream_df(spark, include_delete=True)))
+    df = cdc.decode_key(cdc.decode_envelope(golden_stream_df(spark, extended=True)))
     return df.select(
         F.col("pk.customer_id").alias("customer_id"),
         F.col("pk.order_id").alias("order_id"),
