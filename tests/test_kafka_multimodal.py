@@ -15,7 +15,11 @@ from scylladb_redpanda_cdc_spark.operators.multimodal import (
     frame_sample_indices,
     media_struct,
 )
-from scylladb_redpanda_cdc_spark.sources.kafka import ConnectorConfig, kafka_source
+from scylladb_redpanda_cdc_spark.sources.kafka import (
+    ConnectorConfig,
+    kafka_source,
+    project_kafka_frame,
+)
 
 
 def test_topic_name_matches_reference():
@@ -32,6 +36,37 @@ def test_topic_name_matches_reference():
 def test_kafka_source_fails_fast_without_connector(spark):
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_source(spark, ConnectorConfig())
+
+
+def test_kafka_projection_matches_record_schema(spark):
+    """kafka_source's post-load projection, driven by a mock of Spark's
+    native Kafka frame (key/value BINARY, timestamp TimestampType,
+    timestampType int — the connector's fixed output schema), must produce
+    exactly RECORD_SCHEMA and decode bytes -> JSON strings. With this, the
+    only broker-dependent seam left is the socket."""
+    from scylladb_redpanda_cdc_spark.schemas import RECORD_SCHEMA
+
+    native = spark.createDataFrame(
+        [
+            (
+                "QuickstartConnectorNamespace.quickstart_keyspace.orders",
+                bytearray(b'{"payload":{"customer_id":1,"order_id":6}}'),
+                bytearray(b'{"payload":{"op":"u"}}'),
+                0,
+                6,
+                1_683_357_342_500,
+                0,
+            )
+        ],
+        "topic string, key binary, value binary, partition int, "
+        "offset long, ts_ms long, timestampType int",
+    ).withColumn("timestamp", F.timestamp_millis("ts_ms")).drop("ts_ms")
+    out = project_kafka_frame(native)
+    assert out.schema == RECORD_SCHEMA
+    row = out.collect()[0]
+    assert row["key"] == '{"payload":{"customer_id":1,"order_id":6}}'
+    assert row["value"] == '{"payload":{"op":"u"}}'
+    assert row["timestamp"] == 1_683_357_342_500
 
 
 def test_decode_media_is_marked_stub(spark, sf_dir):
