@@ -53,6 +53,18 @@ def word_shingles(ws: Column, k: int = 3) -> Column:
     )
 
 
+def word_grams(ws: Column, k: int) -> Column:
+    """All k-grams of a token array IN ORDER, duplicates kept (the multiset
+    form — repetition analysis needs the duplicates word_shingles drops)."""
+    joined = F.transform(
+        _shingle_zip(ws, k),
+        lambda t: F.concat_ws(" ", *[t[str(j)] for j in range(k)]),
+    )
+    return F.when(F.size(ws) >= k, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingle_hashes(ws: Column, k: int = 3) -> Column:
     """64-bit hashes of the k-word shingles (multiset, not distinct — min()
     consumers like MinHash are duplicate-insensitive). Skips string

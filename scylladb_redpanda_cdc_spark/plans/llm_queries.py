@@ -25,6 +25,7 @@ from scylladb_redpanda_cdc_spark.operators.llm import (
     rolling_fingerprint,
     shingle_hashes,
     simhash16,
+    word_grams,
     word_shingles,
     words,
 )
@@ -506,6 +507,101 @@ def x19_frame_sample(spark, sf_dir):
     )
 
 
+def x21_dedup_cluster_cc(spark, sf_dir):
+    """Near-dup GROUPS, not just pairs: connected components over the x11
+    candidate-pair graph, every doc labeled with the minimum doc_id
+    reachable from it (its canonical representative; singletons label
+    themselves). This is the step a production dedup pipeline runs after
+    pair generation — keep one doc per component, drop the rest.
+
+    Iterative min-label propagation: each round is one edge join + min
+    aggregate, both shuffling on doc_id only; rounds needed = component
+    diameter (near-dup components are small cliques, so 2-3 rounds in
+    practice, capped at 50). The per-round convergence check counts at most
+    one row — no row data ever reaches the driver. At adversarial diameters
+    swap the round body for alternating star contraction (same join shape,
+    log n rounds). Exact labels -> strict oracle (DuckDB recursive CTE
+    computes the same min-reachable label)."""
+    pairs = x11_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    # Iterate ONLY over docs that occur in some pair (edges are symmetric,
+    # so doc_a covers them all): docs-in-pairs << corpus at any scale, and
+    # untouched docs are singletons by definition — they rejoin at the end.
+    labels = (
+        edges.select("doc_a")
+        .distinct()
+        .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("cluster_id"))
+        .persist()
+    )
+    for _round in range(50):
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .select(F.col("doc_a").alias("doc_id"), "cluster_id")
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        n_changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    singletons = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return labels.unionByName(singletons).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+def x22_text_repetition(spark, sf_dir):
+    """Gopher/RefinedWeb-style repetition signal: the fraction of duplicate
+    word bigrams per document. Boilerplate and keyword-stuffed docs score
+    high and fail the <= 0.2 gate. Pure per-row expression algebra — no
+    shuffle at all. The gate uses integer arithmetic (5*(total-distinct) <=
+    total) so both engines decide knife-edge cases identically; the ratio
+    itself is a single IEEE division, bit-equal across engines."""
+    d = _T(spark, sf_dir, "documents")
+    grams = word_grams(words(F.col("text")), 2)
+    t = F.size(grams).cast("long")
+    dct = F.size(F.array_distinct(grams)).cast("long")
+    ratio = F.when(
+        t > 0, F.lit(1.0) - dct.cast("double") / t.cast("double")
+    ).otherwise(F.lit(0.0))
+    gate = F.when(t == 0, F.lit(True)).otherwise((F.lit(5) * (t - dct)) <= t)
+    return d.select(
+        "doc_id",
+        t.alias("n_bigrams"),
+        dct.alias("n_distinct_bigrams"),
+        ratio.alias("repetition_ratio"),
+        gate.alias("passes_repetition_gate"),
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
@@ -597,7 +693,9 @@ SELECT tc.doc_id, tc.term,
 FROM tc JOIN dl ON tc.doc_id = dl.doc_id
 JOIN dfreq ON tc.term = dfreq.term CROSS JOIN nd"""
 
-_X11_SQL = f"""WITH {_TOKS_CTE},
+#: x11's CTE chain and final select, split so x21's recursive oracle can
+#: reuse the identical pair definition as a subquery.
+_X11_CTES = f"""{_TOKS_CTE},
 {_SHINGLES_CTE},
 s2all AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 keep AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS df
@@ -605,11 +703,40 @@ keep AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS df
 s2 AS (SELECT s2all.* FROM s2all JOIN keep USING (s)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM s2 GROUP BY 1),
 shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-           FROM s2 a JOIN s2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT doc_a, doc_b,
+           FROM s2 a JOIN s2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)"""
+
+_X11_FINAL = """SELECT doc_a, doc_b,
   CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
 FROM shared JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.1"""
+
+_X11_SQL = f"WITH {_X11_CTES}\n{_X11_FINAL}"
+
+_X21_SQL = f"""WITH RECURSIVE {_X11_CTES},
+jpairs AS ({_X11_FINAL}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM jpairs),
+reach AS (SELECT doc_id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.doc_id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a)
+SELECT doc_id, MIN(r) AS cluster_id, MIN(r) = doc_id AS is_canonical
+FROM reach GROUP BY doc_id"""
+
+_X22_SQL = f"""WITH {_TOKS_CTE},
+g AS (SELECT doc_id,
+  CASE WHEN len(ws) >= 2
+       THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+       ELSE [] END AS grams FROM toks)
+SELECT doc_id,
+  len(grams) AS n_bigrams,
+  len(list_distinct(grams)) AS n_distinct_bigrams,
+  CASE WHEN len(grams) > 0
+       THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+       ELSE 0.0 END AS repetition_ratio,
+  CASE WHEN len(grams) = 0 THEN TRUE
+       ELSE 5 * (len(grams) - len(list_distinct(grams))) <= len(grams)
+       END AS passes_repetition_gate
+FROM g"""
 
 _MARKER_SQL = {
     lang: "[" + ", ".join(f"'{m}'" for m in marks) + "]"
@@ -836,5 +963,19 @@ SPECS = [
         "composed corpus prep: quality gate + lang allowlist + exact dedup",
         x20_corpus_prep,
         _X20_SQL,
+    ),
+    QuerySpec(
+        "x21_dedup_cluster_cc",
+        "X",
+        "near-dup clusters: connected components over x11 pairs (iterative)",
+        x21_dedup_cluster_cc,
+        _X21_SQL,
+    ),
+    QuerySpec(
+        "x22_text_repetition",
+        "X",
+        "duplicate-bigram repetition ratio + quality gate per doc",
+        x22_text_repetition,
+        _X22_SQL,
     ),
 ]
