@@ -115,6 +115,63 @@ def test_ivf_probe_join_broadcasts(spark, sf_dir, specs):
     assert "BroadcastHashJoin" in plan, plan
 
 
+#: Specs whose plans INTENTIONALLY contain a BroadcastNestedLoopJoin /
+#: CartesianProduct: declared bounded cross products and broadcast
+#: single-row scalar joins (a 1-row broadcast side makes BNL O(n)).
+_INTENDED_NESTED_LOOP = {
+    "b12_join_cross_nested_loop",  # declared bounded cross join
+    "b30_scalar_subquery_agg",  # broadcast 1-row scalar
+    "x3_sim_cosine_topk",  # broadcast 1-row query vector
+    "x7_text_tfidf",  # broadcast 1-row corpus size
+    "x13_sim_ivf_probe",  # broadcast 1-row query vector + 2-row probe list
+}
+
+#: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
+#: surface and the Arrow decode pipeline.
+_INTENDED_PYTHON = {
+    "u1_udf_python",
+    "u2_udf_pandas_scalar",
+    "u3_udaf_pandas",
+    "u4_udtf_mapinpandas",
+    "u5_udf_sql_register",
+    "x18_multimodal_decode",
+}
+
+#: Builds that EXECUTE work (streams run to completion; x21 iterates) —
+#: their physical shape is covered by their own tests/oracles instead.
+_EXEC_ON_BUILD = {"x21_dedup_cluster_cc"}
+
+
+def test_no_accidental_nested_loop_or_python_anywhere(spark, sf_dir, specs):
+    """Full-registry sweep: any BroadcastNestedLoopJoin, CartesianProduct,
+    or Python-eval node outside the exact allowlists above is a scale
+    regression (an optimizer fallback or an accidental UDF), even if the
+    query still passes its oracle."""
+    violations = {}
+    for qid, spec in specs.items():
+        if (qid[0] == "s" and qid[1].isdigit()) or qid in _EXEC_ON_BUILD:
+            continue
+        plan = plan_of(spark, sf_dir, specs, qid)
+        flags = [
+            m
+            for m in (
+                "BroadcastNestedLoopJoin",
+                "CartesianProduct",
+                "BatchEvalPython",
+                "ArrowEvalPython",
+                "MapInPandas",
+            )
+            if m in plan
+        ]
+        loops = [f for f in flags if f in ("BroadcastNestedLoopJoin", "CartesianProduct")]
+        pythons = [f for f in flags if f not in ("BroadcastNestedLoopJoin", "CartesianProduct")]
+        if loops and qid not in _INTENDED_NESTED_LOOP:
+            violations[qid] = loops
+        if pythons and qid not in _INTENDED_PYTHON:
+            violations.setdefault(qid, []).extend(pythons)
+    assert not violations, violations
+
+
 def test_bucketed_join_is_exchange_free(spark, sf_dir, specs):
     """b32: both sides bucketed by the join key -> the SortMergeJoin itself
     needs no shuffle; the ONLY Exchange in the plan is the final rollup."""
