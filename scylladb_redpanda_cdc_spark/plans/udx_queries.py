@@ -26,9 +26,11 @@ def _net_price(price: float, discount: float) -> float:
 
 def u1_udf_python(spark, sf_dir):
     """Row-at-a-time UDF: IEEE double ops, so results are bit-identical to
-    the SQL expression — exact oracle, no tolerance."""
+    the SQL expression — exact oracle, no tolerance. The bulk-rows filter
+    runs JVM-side BEFORE the UDF (predicate never enters Python), bounding
+    the per-row interpreter cost the operator exists to demonstrate."""
     net = F.udf(_net_price, DoubleType())
-    li = _T(spark, sf_dir, "lineitem")
+    li = _T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -123,7 +125,8 @@ SPECS = [
         "row-at-a-time Python UDF",
         u1_udf_python,
         "SELECT l_orderkey, l_linenumber,"
-        " l_extendedprice * (1.0 - l_discount) AS net_price FROM lineitem",
+        " l_extendedprice * (1.0 - l_discount) AS net_price FROM lineitem"
+        " WHERE l_quantity >= 40",
     ),
     QuerySpec(
         "u2_udf_pandas_scalar",

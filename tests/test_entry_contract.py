@@ -24,7 +24,6 @@ def test_rows_only_set_is_the_documented_one():
         "x4_sim_lsh_approx",
         "x10_dedup_simhash",
         "x12_dedup_embedding_cosine",
-        "x13_sim_ivf_probe",
     }
 
 
