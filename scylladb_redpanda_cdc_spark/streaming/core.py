@@ -89,12 +89,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: partition per stateful operator, and every micro-batch pays a load+commit
 #: on each; at fixture scale that fixed cost dominates wall time (32
 #: partitions ≈ 1 s/query of pure store churn, ~6 s for the stream-stream
-#: join's two stores). Results are partitioning-invariant (aggregation /
-#: dedup / join / per-key state do not depend on partition count), so this
-#: only trades parallelism for per-store overhead. The production path
-#: (writeStream to Kafka / partitioned parquet on a real cluster) never
-#: passes through these helpers and keeps the session's own setting.
-STREAM_SINK_SHUFFLE_PARTITIONS = int(os.environ.get("SG_STREAM_SINK_SHUFFLE", "4"))
+#: join's two stores; measured: 1 partition roughly halves s9/s11 again vs
+#: 4). Results are partitioning-invariant (aggregation / dedup / join /
+#: per-key state do not depend on partition count), so this only trades
+#: parallelism for per-store overhead. The production path (writeStream to
+#: Kafka / partitioned parquet on a real cluster) never passes through
+#: these helpers and keeps the session's own setting.
+STREAM_SINK_SHUFFLE_PARTITIONS = int(os.environ.get("SG_STREAM_SINK_SHUFFLE", "1"))
 
 
 @contextmanager
