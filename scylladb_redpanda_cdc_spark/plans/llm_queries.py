@@ -637,6 +637,96 @@ def x22_text_repetition(spark, sf_dir):
     )
 
 
+def x23_split_train_test(spark, sf_dir):
+    """Deterministic content-hash train/validation/test split (80/10/10).
+
+    The split key is sha256 of the NORMALIZED text (same normalization as
+    x1's exact dedup), not doc_id: exact duplicates land in the same split
+    by construction, so dedup and splitting can never disagree and no
+    near-copy of a test document leaks into train via a different id — the
+    production split discipline for pretraining corpora. Pure per-row
+    expression, zero shuffle; at 100 TB this is a map-only pass the scan
+    absorbs. Bucket = first 16 bits of the digest mod 100, identical
+    arithmetic in both engines (hex -> int is exact)."""
+    d = _T(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim("text")), 256)
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+    )
+    return d.select(
+        "doc_id", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+def x24_seq_packing(spark, sf_dir):
+    """Sequence packing for pretraining: concatenate documents in a fixed
+    deterministic order and cut the token stream into 2048-token context
+    windows; each document is assigned to the window its FIRST token falls
+    in (the standard concat-then-chunk packing layout). Emits per-doc
+    (shard, seq_id, token_offset) — the physical address of the doc in the
+    packed corpus.
+
+    Scale shape: packing is embarrassingly parallel ACROSS shards, so the
+    running token sum is windowed per shard (doc_id mod 32 here — a
+    literal fan-out knob sized to the cluster, not data-dependent), never
+    a global cumulative sum: one bounded-width shuffle, no single-ordering
+    bottleneck at any corpus size. Token counts reuse the x16 whitespace
+    tokenizer's word kernel."""
+    d = _T(spark, sf_dir, "documents")
+    n_tokens = F.size(words(F.col("text"))).cast("long")
+    shard = (F.col("doc_id") % 32).alias("shard")
+    base = d.select("doc_id", shard, n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("token_start")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / F.lit(2048)).alias("seq_id"),
+        ((cum - F.col("n_tokens")) % 2048).alias("token_offset"),
+    )
+
+
+def x25_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsample: the 20 docs per language with
+    the smallest content digest (sha256, doc_id tiebreak) — a seedless,
+    rerun-stable "reservoir" whose membership never changes under corpus
+    re-partitioning or growth-by-append of larger digests.
+
+    Two-phase top-k so no stratum is ever shuffled wholesale: phase 1 takes
+    a per-(lang, salt) local top-20 across 16 deterministic salts (window
+    over at most |stratum|/16 rows each), phase 2 re-ranks only the <= 320
+    surviving candidates per language. The overall top-20 is a subset of
+    the per-salt top-20s, so the result is exactly the single-window
+    answer — the oracle computes that directly — while the heavy shuffle
+    carries candidates, not the corpus. Same pattern defeats the B24-style
+    giant-stratum skew at 100 TB."""
+    d = _T(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    base = d.select("doc_id", "lang", h.alias("digest"))
+    w1 = Window.partitionBy("lang", F.col("doc_id") % 16).orderBy(
+        "digest", "doc_id"
+    )
+    cand = base.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= 20
+    )
+    w2 = Window.partitionBy("lang").orderBy("digest", "doc_id")
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= 20)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
@@ -791,6 +881,37 @@ SELECT vec_id, {_cos_sql('embedding', 'qe')} AS cos_sim
 FROM assigned JOIN probes USING (cid) CROSS JOIN q
 WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 5"""
+
+#: x23: hex->int is exact in both engines (Spark conv(,16,10); DuckDB
+#: CAST('0x….' AS BIGINT)), so the 16-bit bucket arithmetic is identical.
+_X23_SQL = """SELECT doc_id, bucket,
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'validation'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id,
+        CAST(concat('0x', substr(sha256(lower(trim(text))), 1, 4)) AS BIGINT)
+          % 100 AS bucket
+      FROM documents)"""
+
+_X24_SQL = f"""WITH {_TOKS_CTE},
+base AS (SELECT doc_id, doc_id % 32 AS shard,
+                CAST(len(ws) AS BIGINT) AS n_tokens FROM toks),
+c AS (SELECT doc_id, shard, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base)
+SELECT doc_id, shard, n_tokens,
+  CAST(cum - n_tokens AS BIGINT) AS token_start,
+  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+  CAST((cum - n_tokens) % 2048 AS BIGINT) AS token_offset
+FROM c"""
+
+_X25_SQL = """SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY sha256(text), doc_id) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 20"""
 
 _X22_SQL = f"""WITH {_TOKS_CTE},
 g AS (SELECT doc_id,
@@ -1047,5 +1168,26 @@ SPECS = [
         "duplicate-bigram repetition ratio + quality gate per doc",
         x22_text_repetition,
         _X22_SQL,
+    ),
+    QuerySpec(
+        "x23_split_train_test",
+        "X",
+        "content-hash 80/10/10 train/val/test split (dedup-consistent)",
+        x23_split_train_test,
+        _X23_SQL,
+    ),
+    QuerySpec(
+        "x24_seq_packing",
+        "X",
+        "pack docs into 2048-token context windows, sharded cumsum",
+        x24_seq_packing,
+        _X24_SQL,
+    ),
+    QuerySpec(
+        "x25_stratified_sample",
+        "X",
+        "deterministic per-language top-20 digest sample, two-phase top-k",
+        x25_stratified_sample,
+        _X25_SQL,
     ),
 ]

@@ -29,6 +29,7 @@ from scylladb_redpanda_cdc_spark.streaming.core import (
 from scylladb_redpanda_cdc_spark.streaming.ops import (
     foreachbatch_upsert,
     stage_changelog_stream,
+    stage_late_events_stream,
     user_running_state,
 )
 
@@ -250,6 +251,35 @@ def s10_foreachbatch_upsert(spark, sf_dir):
     )
 
 
+def s12_watermark_late_drop_observed(spark, sf_dir):
+    """S12: the watermark contract with late data ACTUALLY DROPPED (S6's
+    single-batch scenario can only show the no-late case). Three ordered
+    micro-batches (stage_late_events_stream): the old half minus the
+    stragglers, then the new half (the watermark leaps past every old
+    window), then the stragglers — odd-id events 70+ minutes behind the
+    old half's own maximum, which arrive behind any reachable watermark
+    and must be discarded by the engine, not by this query.
+
+    Update-mode memory sink records one row per (window, update); a
+    window's final count is its maximum update (counts only grow). The
+    oracle counts events that are NOT in the dropped class — if the engine
+    failed to drop the stragglers, the odd old-half ids would inflate
+    their windows and the hash would mismatch."""
+    ev = stage_late_events_stream(spark, sf_dir).withWatermark(
+        "ts", "10 minutes"
+    )
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+        F.count("*").alias("n_events")
+    )
+    out = agg.select(
+        F.unix_millis("win.start").alias("win_start_ms"), "n_events"
+    )
+    updates = run_to_table(out, mode="update")
+    return updates.groupBy("win_start_ms").agg(
+        F.max("n_events").alias("n_events")
+    )
+
+
 def s11_stateful_running_state(spark, sf_dir):
     """S11: arbitrary per-key streaming state (applyInPandasWithState) —
     running per-user counters. Single availableNow batch => one final
@@ -382,6 +412,19 @@ SPECS = [
         "incremental foreachBatch MERGE of the CDC log (multi-micro-batch)",
         s10_foreachbatch_upsert,
         _S10_SQL,
+    ),
+    QuerySpec(
+        "s12_watermark_late_drop_observed",
+        "S",
+        "late stragglers arrive behind the watermark and are dropped",
+        s12_watermark_late_drop_observed,
+        """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+           FROM events)
+SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_ms,
+  COUNT(*) AS n_events
+FROM events, b
+WHERE NOT (event_id % 2 = 1 AND epoch_us(ts) < mid - 4200000000)
+GROUP BY 1""",
     ),
     QuerySpec(
         "s11_stateful_running_state",

@@ -63,6 +63,84 @@ def stage_changelog_stream(
     )
 
 
+_staged_late_events: dict[tuple[str, str], str] = {}
+
+
+def stage_late_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the ``events`` table as THREE ordered stream files that force a
+    real late-arrival scenario (S12):
+
+    - file 0: the older half of the event-time range, minus the stragglers;
+    - file 1: the newer half — processing it advances the watermark far
+      past every old-half window;
+    - file 2: the stragglers — ODD event_ids more than 70 minutes older
+      than the midpoint, which the engine must DROP.
+
+    The halves split at the midpoint of the epoch-micros range (exact
+    integer arithmetic both engines can reproduce), and file order is
+    pinned by modification time (FileStreamSource processes oldest-mtime
+    first; ``maxFilesPerTrigger=1`` asks for one file per micro-batch).
+    The straggler cutoff is mid − 70 min, not mid: the weakest watermark
+    any legal batch grouping can apply to file 2 is max(file 0) − 10 min ≈
+    mid − 10 min (watermarks take effect one batch late), and a straggler's
+    1-hour window must already have closed under THAT — ts < mid − 70 min
+    ⟹ window.end ≤ mid − 10 min. Only "file 2 inside the very first
+    batch" would break determinism, and mtime ordering plus the trigger
+    cap rules that out. Staged once per (session, dataset)."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from scylladb_redpanda_cdc_spark.streaming.core import EVENTS_STREAM_DDL
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key not in _staged_late_events:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(EVENTS_STREAM_DDL).parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        us = F.expr("ts DIV 1000")
+        bounds = raw.agg(
+            ((F.min(us) + F.max(us)) / F.lit(2)).cast("long").alias("mid_us")
+        )
+        tagged = raw.crossJoin(F.broadcast(bounds))
+        straggler = (F.col("event_id") % 2 == 1) & (
+            us < F.col("mid_us") - F.lit(4_200_000_000)
+        )
+        rank = (
+            F.when(straggler, 2).when(us >= F.col("mid_us"), 1).otherwise(0)
+        )
+        # One pass: write all three stream files via a partitioned layout,
+        # then flatten rank=K/part-*.parquet to K.parquet with mtimes
+        # pinning the stream order.
+        scratch = tmpdir("late_scratch")
+        tagged.withColumn("file_rank", rank).drop("mid_us").repartition(
+            1
+        ).write.partitionBy("file_rank").mode("overwrite").parquet(scratch)
+        stage = tmpdir("late_events")
+        now = _time.time()
+        for i in range(3):
+            found = glob.glob(
+                os.path.join(scratch, f"file_rank={i}", "part-*.parquet")
+            )
+            if not found:  # a rank can be empty at tiny fixture scale
+                continue
+            (src,) = found
+            dst = os.path.join(stage, f"{i:02d}.parquet")
+            shutil.move(src, dst)
+            mtime = now - 300 + i * 100
+            os.utime(dst, (mtime, mtime))
+        _staged_late_events[cache_key] = stage
+    return (
+        spark.readStream.schema(EVENTS_STREAM_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_late_events[cache_key])
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
 def foreachbatch_upsert(
     changes: DataFrame, key_cols: list[str]
 ) -> DataFrame:
