@@ -14,6 +14,8 @@ from inverted-index joins (shared shingle / band signature / LSH bucket).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -545,8 +547,9 @@ def x21_dedup_cluster_cc(spark, sf_dir):
     docs-in-pairs sized (orders of magnitude below the corpus), and at
     local fixture scale per-round scheduler cost at 32 partitions dwarfs
     the work. Labels are partitioning-invariant; a cluster deployment
-    keeps its own setting (or lets AQE coalesce) — only the local
-    materialization harness passes through this scope."""
+    sizes the loop via ``SG_CC_LOOP_SHUFFLE`` (default 8) or lets AQE
+    coalesce — only the width of the loop's shuffles changes, never the
+    labels."""
     pairs = x11_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -559,7 +562,7 @@ def x21_dedup_cluster_cc(spark, sf_dir):
         prev_shuffle = spark.conf.get(shuffle_key)
     except Exception:
         prev_shuffle = None
-    spark.conf.set(shuffle_key, "8")
+    spark.conf.set(shuffle_key, os.environ.get("SG_CC_LOOP_SHUFFLE", "8"))
     try:
         labels = (
             edges.select("doc_a")
@@ -684,15 +687,14 @@ def x24_seq_packing(spark, sf_dir):
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).alias("token_start")
-    return base.select(
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("token_start")
+    return base.select("doc_id", "shard", "n_tokens", start).select(
         "doc_id",
         "shard",
         "n_tokens",
-        start,
-        F.floor((cum - F.col("n_tokens")) / F.lit(2048)).alias("seq_id"),
-        ((cum - F.col("n_tokens")) % 2048).alias("token_offset"),
+        "token_start",
+        F.floor(F.col("token_start") / F.lit(2048)).alias("seq_id"),
+        (F.col("token_start") % 2048).alias("token_offset"),
     )
 
 

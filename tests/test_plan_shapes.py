@@ -115,6 +115,30 @@ def test_ivf_probe_join_broadcasts(spark, sf_dir, specs):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_split_train_test_is_map_only(spark, sf_dir, specs):
+    """x23: the content-hash split is a pure per-row expression — any
+    Exchange in its plan means someone added a shuffle to a pass that must
+    ride the scan at 100 TB."""
+    plan = plan_of(spark, sf_dir, specs, "x23_split_train_test")
+    assert "Exchange" not in plan, plan
+
+
+def test_seq_packing_single_shard_shuffle(spark, sf_dir, specs):
+    """x24: packing must shuffle ONCE, on the shard key; a global (empty
+    partitionBy) window or a second exchange would serialize the corpus
+    through one task."""
+    plan = plan_of(spark, sf_dir, specs, "x24_seq_packing", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_stratified_sample_is_two_phase(spark, sf_dir, specs):
+    """x25: two Window nodes (per-(lang,salt) local top-k, then re-rank of
+    survivors) — collapsing to one window would shuffle whole strata."""
+    plan = plan_of(spark, sf_dir, specs, "x25_stratified_sample")
+    assert plan.count("Window") >= 2, plan
+
+
 #: Specs whose plans INTENTIONALLY contain a BroadcastNestedLoopJoin /
 #: CartesianProduct: declared bounded cross products and broadcast
 #: single-row scalar joins (a 1-row broadcast side makes BNL O(n)).
