@@ -729,6 +729,63 @@ def x25_stratified_sample(spark, sf_dir):
     )
 
 
+def x27_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: find corpus documents sharing any 4-word
+    shingle with a held-out evaluation set (docs with doc_id % 97 == 0 — a
+    deterministic stand-in for the real benchmark suite), reporting shared
+    n-gram counts per (corpus doc, eval doc). The step every serious
+    pretraining pipeline runs before training: eval n-gram overlap IS the
+    contamination definition used by GPT-3/PaLM-style decontamination.
+
+    Scale shape: the eval set is small by construction (benchmarks are
+    MBs, the corpus is TBs), so its exploded shingle set is BROADCAST —
+    the corpus side streams through one explode + broadcast hash join +
+    partial agg, never shuffling the corpus. Plan-asserted."""
+    d = _T(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(word_shingles(words(F.col("text")), 4)).alias("s"),
+    )
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_4grams"))
+    )
+
+
+def x28_domain_mixture(spark, sf_dir):
+    """Domain-mixture reweighting: subsample each source at a per-domain
+    rate (keep-all / half / one-fifth here, as a literal policy) by
+    content-hash bucket — the deterministic form of mixture sampling used
+    to rebalance web/books/code shares in a pretraining corpus. A doc's
+    keep/drop decision depends only on (source, text), so it is stable
+    across reruns, re-partitioning, and corpus growth; reusing x23's hash
+    bucket means mixture sampling composes with the train/test split
+    without correlation. Map-only: the filter rides the scan at 100 TB."""
+    d = _T(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim("text")), 256)
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
+    rate = (
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 100
+        )
+        .when(
+            F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 50
+        )
+        .otherwise(20)
+    )
+    return (
+        d.select(
+            "doc_id", "source", bucket.alias("bucket"), rate.alias("keep_rate")
+        )
+        .filter(F.col("bucket") < F.col("keep_rate"))
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
@@ -907,6 +964,29 @@ SELECT doc_id, shard, n_tokens,
   CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
   CAST((cum - n_tokens) % 2048 AS BIGINT) AS token_offset
 FROM c"""
+
+_X27_SQL = """WITH toks AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws
+  FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 2),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         AS shingles
+       FROM toks WHERE len(ws) >= 4),
+eg AS (SELECT doc_id AS eval_doc_id, unnest(shingles) AS s FROM sh
+       WHERE doc_id % 97 = 0),
+cg AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 <> 0)
+SELECT cg.doc_id, eg.eval_doc_id, COUNT(*) AS n_shared_4grams
+FROM cg JOIN eg USING (s) GROUP BY 1, 2"""
+
+_X28_SQL = """SELECT doc_id, source, bucket, keep_rate FROM (
+  SELECT doc_id, source,
+    CAST(concat('0x', substr(sha256(lower(trim(text))), 1, 4)) AS BIGINT)
+      % 100 AS bucket,
+    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
+         WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+         ELSE 20 END AS keep_rate
+  FROM documents)
+WHERE bucket < keep_rate"""
 
 _X25_SQL = """SELECT doc_id, lang, sample_rank FROM (
   SELECT doc_id, lang,
@@ -1191,5 +1271,19 @@ SPECS = [
         "deterministic per-language top-20 digest sample, two-phase top-k",
         x25_stratified_sample,
         _X25_SQL,
+    ),
+    QuerySpec(
+        "x27_decontaminate",
+        "X",
+        "eval-set 4-gram overlap (benchmark decontamination), broadcast eval side",
+        x27_decontaminate,
+        _X27_SQL,
+    ),
+    QuerySpec(
+        "x28_domain_mixture",
+        "X",
+        "per-source mixture reweighting by content-hash bucket (map-only)",
+        x28_domain_mixture,
+        _X28_SQL,
     ),
 ]

@@ -19,6 +19,58 @@ from scylladb_redpanda_cdc_spark.plans import QuerySpec
 from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
 
 
+def w6_win_sessionize(spark, sf_dir):
+    """Batch gaps-and-islands sessionization: the classic two-stacked-window
+    idiom (lag to mark 30-min-gap breaks, running sum of breaks to number
+    sessions, then a keyed aggregate). The streaming twin is S5's
+    session_window; this is how the same semantics are computed over a
+    static 100 TB event log — both windows share the user_id partitioning,
+    so Catalyst plans ONE shuffle, and the aggregate reuses it.
+
+    Gap comparison in exact integer micros on both engines (>= breaks ties
+    identically); session end = last event + gap, matching S5's oracle."""
+    ev = _T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us >= F.lit(1_800_000_000)), 1
+    ).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.select("user_id", "ts", "event_id", brk.alias("brk"))
+    sessioned = marked.select(
+        "user_id", "ts", F.sum("brk").over(wrun).alias("sid")
+    )
+    return sessioned.groupBy("user_id", "sid").agg(
+        F.unix_millis(F.min("ts")).alias("sess_start_ms"),
+        (F.unix_millis(F.max("ts")) + F.lit(1_800_000)).alias("sess_end_ms"),
+        F.count("*").alias("n_events"),
+    ).drop("sid")
+
+
+_W6_SQL = """WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+  epoch_ms(MIN(ts)) AS sess_start_ms,
+  epoch_ms(MAX(ts)) + 1800000 AS sess_end_ms,
+  COUNT(*) AS n_events
+FROM sessioned GROUP BY user_id, sid"""
+
+
 def w1_win_ranking(spark, sf_dir):
     o = _T(spark, sf_dir, "orders")
     w_tie = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
@@ -167,5 +219,12 @@ SPECS = [
         "FROM orders\n"
         "WINDOW w AS (PARTITION BY o_orderpriority"
         " ORDER BY o_totalprice ASC, o_orderkey ASC)",
+    ),
+    QuerySpec(
+        "w6_win_sessionize",
+        "W",
+        "batch gaps-and-islands sessionization (lag + running break sum)",
+        w6_win_sessionize,
+        _W6_SQL,
     ),
 ]

@@ -139,6 +139,20 @@ def test_stratified_sample_is_two_phase(spark, sf_dir, specs):
     assert plan.count("Window") >= 2, plan
 
 
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir, specs):
+    """x27: the eval-set shingles must be the broadcast build side —
+    shuffling the corpus' exploded n-grams to meet a benchmark-sized eval
+    set would be the single worst move at 100 TB."""
+    plan = plan_of(spark, sf_dir, specs, "x27_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_domain_mixture_is_map_only(spark, sf_dir, specs):
+    """x28: mixture reweighting is a per-row decision — no Exchange."""
+    plan = plan_of(spark, sf_dir, specs, "x28_domain_mixture")
+    assert "Exchange" not in plan, plan
+
+
 #: Specs whose plans INTENTIONALLY contain a BroadcastNestedLoopJoin /
 #: CartesianProduct: declared bounded cross products and broadcast
 #: single-row scalar joins (a 1-row broadcast side makes BNL O(n)).
