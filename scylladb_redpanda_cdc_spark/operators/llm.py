@@ -179,3 +179,82 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c) % F.lit(2147483647).cast("long"),
     )
+
+
+def connected_components_min_label(edges, node_col: str = "doc_a", nbr_col: str = "doc_b"):
+    """Connected components by iterative min-label propagation over a
+    SYMMETRIC edge list: every node that appears in ``node_col`` is labeled
+    with the smallest node id reachable from it (X21's kernel; callers add
+    singletons).
+
+    Each round is one edge⋈label join plus one aggregate (the node's own
+    label rides the union as a self-row, and the convergence flag — new
+    label < old label — is computed inside the aggregate), so one Spark
+    action materializes the round AND answers "did anything change".
+    Rounds needed = component diameter, capped at 50. The loop scopes
+    ``spark.sql.shuffle.partitions`` to ``SG_CC_LOOP_SHUFFLE`` (default 8)
+    while it runs: the label frame is nodes-in-edges sized, orders of
+    magnitude below the corpus, and labels are partitioning-invariant —
+    cluster deployments size the knob, results never change.
+
+    Returns (node_col, cluster_id), one row per distinct ``node_col``.
+    """
+    import os as _os
+
+    spark = edges.sparkSession
+    shuffle_key = "spark.sql.shuffle.partitions"
+    try:
+        prev_shuffle = spark.conf.get(shuffle_key)
+    except Exception:
+        prev_shuffle = None
+    spark.conf.set(shuffle_key, _os.environ.get("SG_CC_LOOP_SHUFFLE", "8"))
+    try:
+        # Eager localCheckpoint, NOT persist: persist caches execution but
+        # the LOGICAL plan still nests — each round's plan embeds the
+        # previous round's twice (neighbor join + self union), doubling the
+        # tree per round, and the analyzer OOMs around diameter ~9.
+        # Checkpointing truncates the plan so every round starts from a
+        # leaf. (Local checkpoint is the single-process form; a cluster
+        # deployment sets a reliable checkpoint dir — same algorithm.)
+        labels = (
+            edges.select(node_col)
+            .distinct()
+            .select(
+                F.col(node_col).alias("doc_id"),
+                F.col(node_col).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev_ckpt = labels
+        for _round in range(50):
+            nbr = edges.join(labels, edges[nbr_col] == labels.doc_id).select(
+                F.col(node_col).alias("doc_id"),
+                F.col("cluster_id").alias("lbl"),
+                F.lit(False).alias("is_self"),
+            )
+            mine = labels.select(
+                "doc_id",
+                F.col("cluster_id").alias("lbl"),
+                F.lit(True).alias("is_self"),
+            )
+            nxt = (
+                nbr.unionByName(mine)
+                .groupBy("doc_id")
+                .agg(
+                    F.min("lbl").alias("cluster_id"),
+                    F.min(F.when(F.col("is_self"), F.col("lbl"))).alias("__old"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_changed = nxt.filter(F.col("cluster_id") < F.col("__old")).count()
+            prev_ckpt.unpersist()
+            prev_ckpt = nxt
+            labels = nxt.drop("__old")
+            if n_changed == 0:
+                break
+        return labels.select(F.col("doc_id").alias(node_col), "cluster_id")
+    finally:
+        if prev_shuffle is None:
+            spark.conf.unset(shuffle_key)
+        else:
+            spark.conf.set(shuffle_key, prev_shuffle)

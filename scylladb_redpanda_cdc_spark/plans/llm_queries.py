@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from scylladb_redpanda_cdc_spark.operators.llm import (
     STOPWORDS,
+    connected_components_min_label,
     cosine,
     l2_norm,
     lsh_bucket,
@@ -530,90 +531,33 @@ def x21_dedup_cluster_cc(spark, sf_dir):
     themselves). This is the step a production dedup pipeline runs after
     pair generation — keep one doc per component, drop the rest.
 
-    Iterative min-label propagation, tuned so each round is exactly TWO
-    shuffles and ONE Spark action: neighbor labels come from one edge⋈label
-    join, the doc's own label rides the same aggregation as a union'd
-    self-row (no second join), and the convergence flag (new < old) is
-    computed inside the aggregate, so materializing the round IS the
-    convergence check. Rounds needed = component diameter (near-dup
-    components are small cliques, so 2-3 rounds in practice, capped at 50);
-    no row data ever reaches the driver. At adversarial diameters swap the
-    round body for alternating star contraction (same join shape, log n
-    rounds). Exact labels -> strict oracle (DuckDB recursive CTE computes
-    the same min-reachable label).
-
-    Like the streaming test-sink knob (streaming/core.py), the loop scopes
-    ``spark.sql.shuffle.partitions`` down while it runs: the label frame is
-    docs-in-pairs sized (orders of magnitude below the corpus), and at
-    local fixture scale per-round scheduler cost at 32 partitions dwarfs
-    the work. Labels are partitioning-invariant; a cluster deployment
-    sizes the loop via ``SG_CC_LOOP_SHUFFLE`` (default 8) or lets AQE
-    coalesce — only the width of the loop's shuffles changes, never the
-    labels."""
+    The component kernel is operators.llm.connected_components_min_label
+    (iterative min-label propagation, one action per round, scoped loop
+    shuffle width; property-tested against a union-find reference on
+    random graphs). Docs-in-pairs only iterate — untouched docs are
+    singletons by definition and rejoin at the end. Exact labels ->
+    strict oracle (DuckDB recursive CTE computes the same min-reachable
+    label)."""
     pairs = x11_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    # Iterate ONLY over docs that occur in some pair (edges are symmetric,
-    # so doc_a covers them all): docs-in-pairs << corpus at any scale, and
-    # untouched docs are singletons by definition — they rejoin at the end.
-    shuffle_key = "spark.sql.shuffle.partitions"
-    try:
-        prev_shuffle = spark.conf.get(shuffle_key)
-    except Exception:
-        prev_shuffle = None
-    spark.conf.set(shuffle_key, os.environ.get("SG_CC_LOOP_SHUFFLE", "8"))
-    try:
-        labels = (
-            edges.select("doc_a")
-            .distinct()
-            .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("cluster_id"))
-            .persist()
-        )
-        prev_persisted = labels
-        for _round in range(50):
-            nbr = edges.join(labels, edges.doc_b == labels.doc_id).select(
-                F.col("doc_a").alias("doc_id"),
-                F.col("cluster_id").alias("lbl"),
-                F.lit(False).alias("is_self"),
-            )
-            mine = labels.select(
-                "doc_id", F.col("cluster_id").alias("lbl"), F.lit(True).alias("is_self")
-            )
-            nxt = (
-                nbr.unionByName(mine)
-                .groupBy("doc_id")
-                .agg(
-                    F.min("lbl").alias("cluster_id"),
-                    F.min(F.when(F.col("is_self"), F.col("lbl"))).alias("__old"),
-                )
-                .persist()
-            )
-            n_changed = (
-                nxt.filter(F.col("cluster_id") < F.col("__old")).limit(1).count()
-            )
-            prev_persisted.unpersist()
-            prev_persisted = nxt
-            labels = nxt.drop("__old")
-            if n_changed == 0:
-                break
-        edges.unpersist()
-        singletons = (
-            _T(spark, sf_dir, "documents")
-            .select("doc_id")
-            .join(labels, "doc_id", "left_anti")
-            .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        )
-        return labels.unionByName(singletons).select(
-            "doc_id",
-            "cluster_id",
-            (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
-        )
-    finally:
-        if prev_shuffle is None:
-            spark.conf.unset(shuffle_key)
-        else:
-            spark.conf.set(shuffle_key, prev_shuffle)
+    labels = connected_components_min_label(edges).select(
+        F.col("doc_a").alias("doc_id"), "cluster_id"
+    )
+    singletons = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    out = labels.unionByName(singletons).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+    edges.unpersist(blocking=False)
+    return out
 
 
 def x22_text_repetition(spark, sf_dir):
