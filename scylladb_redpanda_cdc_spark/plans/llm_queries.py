@@ -673,7 +673,7 @@ def x25_stratified_sample(spark, sf_dir):
     )
 
 
-def x27_decontaminate(spark, sf_dir):
+def x26_decontaminate(spark, sf_dir):
     """Benchmark decontamination: find corpus documents sharing any 4-word
     shingle with a held-out evaluation set (docs with doc_id % 97 == 0 — a
     deterministic stand-in for the real benchmark suite), reporting shared
@@ -701,7 +701,7 @@ def x27_decontaminate(spark, sf_dir):
     )
 
 
-def x28_domain_mixture(spark, sf_dir):
+def x27_domain_mixture(spark, sf_dir):
     """Domain-mixture reweighting: subsample each source at a per-domain
     rate (keep-all / half / one-fifth here, as a literal policy) by
     content-hash bucket — the deterministic form of mixture sampling used
@@ -909,7 +909,7 @@ SELECT doc_id, shard, n_tokens,
   CAST((cum - n_tokens) % 2048 AS BIGINT) AS token_offset
 FROM c"""
 
-_X27_SQL = """WITH toks AS (SELECT doc_id,
+_X26_SQL = """WITH toks AS (SELECT doc_id,
   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws
   FROM documents),
 sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 2),
@@ -922,7 +922,7 @@ cg AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 <> 0)
 SELECT cg.doc_id, eg.eval_doc_id, COUNT(*) AS n_shared_4grams
 FROM cg JOIN eg USING (s) GROUP BY 1, 2"""
 
-_X28_SQL = """SELECT doc_id, source, bucket, keep_rate FROM (
+_X27_SQL = """SELECT doc_id, source, bucket, keep_rate FROM (
   SELECT doc_id, source,
     CAST(concat('0x', substr(sha256(lower(trim(text))), 1, 4)) AS BIGINT)
       % 100 AS bucket,
@@ -1217,17 +1217,17 @@ SPECS = [
         _X25_SQL,
     ),
     QuerySpec(
-        "x27_decontaminate",
+        "x26_decontaminate",
         "X",
         "eval-set 4-gram overlap (benchmark decontamination), broadcast eval side",
-        x27_decontaminate,
-        _X27_SQL,
+        x26_decontaminate,
+        _X26_SQL,
     ),
     QuerySpec(
-        "x28_domain_mixture",
+        "x27_domain_mixture",
         "X",
         "per-source mixture reweighting by content-hash bucket (map-only)",
-        x28_domain_mixture,
-        _X28_SQL,
+        x27_domain_mixture,
+        _X27_SQL,
     ),
 ]

@@ -140,16 +140,16 @@ def test_stratified_sample_is_two_phase(spark, sf_dir, specs):
 
 
 def test_decontaminate_broadcasts_eval_side(spark, sf_dir, specs):
-    """x27: the eval-set shingles must be the broadcast build side —
+    """x26: the eval-set shingles must be the broadcast build side —
     shuffling the corpus' exploded n-grams to meet a benchmark-sized eval
     set would be the single worst move at 100 TB."""
-    plan = plan_of(spark, sf_dir, specs, "x27_decontaminate")
+    plan = plan_of(spark, sf_dir, specs, "x26_decontaminate")
     assert "BroadcastHashJoin" in plan, plan
 
 
 def test_domain_mixture_is_map_only(spark, sf_dir, specs):
-    """x28: mixture reweighting is a per-row decision — no Exchange."""
-    plan = plan_of(spark, sf_dir, specs, "x28_domain_mixture")
+    """x27: mixture reweighting is a per-row decision — no Exchange."""
+    plan = plan_of(spark, sf_dir, specs, "x27_domain_mixture")
     assert "Exchange" not in plan, plan
 
 
