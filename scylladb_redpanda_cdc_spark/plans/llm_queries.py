@@ -49,6 +49,12 @@ _SHINGLES_CTE = (
     "  FROM toks WHERE len(ws) >= 3)"
 )
 
+#: x24's packing fan-out: shards are independent, so this bounds packing
+#: parallelism — size it to the cluster (32 suits local[32]; a 1000-executor
+#: deployment raises it). Read once at import by BOTH the Spark builder and
+#: the DuckDB oracle string, so the two can never disagree within a process.
+PACK_SHARDS = int(os.environ.get("SG_PACK_SHARDS", "32"))
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -617,14 +623,14 @@ def x24_seq_packing(spark, sf_dir):
     packed corpus.
 
     Scale shape: packing is embarrassingly parallel ACROSS shards, so the
-    running token sum is windowed per shard (doc_id mod 32 here — a
-    literal fan-out knob sized to the cluster, not data-dependent), never
-    a global cumulative sum: one bounded-width shuffle, no single-ordering
-    bottleneck at any corpus size. Token counts reuse the x16 whitespace
-    tokenizer's word kernel."""
+    running token sum is windowed per shard (doc_id mod SG_PACK_SHARDS,
+    default 32 — a fan-out knob sized to the cluster, not data-dependent),
+    never a global cumulative sum: one bounded-width shuffle, no
+    single-ordering bottleneck at any corpus size. Token counts reuse the
+    x16 whitespace tokenizer's word kernel."""
     d = _T(spark, sf_dir, "documents")
     n_tokens = F.size(words(F.col("text"))).cast("long")
-    shard = (F.col("doc_id") % 32).alias("shard")
+    shard = (F.col("doc_id") % PACK_SHARDS).alias("shard")
     base = d.select("doc_id", shard, n_tokens.alias("n_tokens"))
     w = (
         Window.partitionBy("shard")
@@ -897,7 +903,7 @@ FROM (SELECT doc_id,
       FROM documents)"""
 
 _X24_SQL = f"""WITH {_TOKS_CTE},
-base AS (SELECT doc_id, doc_id % 32 AS shard,
+base AS (SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
                 CAST(len(ws) AS BIGINT) AS n_tokens FROM toks),
 c AS (SELECT doc_id, shard, n_tokens,
         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
