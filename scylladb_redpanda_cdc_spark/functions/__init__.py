@@ -18,6 +18,7 @@ from scylladb_redpanda_cdc_spark.operators.cdc import (
 )
 from scylladb_redpanda_cdc_spark.operators.llm import (
     STOPWORDS,
+    connected_components_min_label,
     cosine,
     dot_d,
     l2_norm,
@@ -26,6 +27,7 @@ from scylladb_redpanda_cdc_spark.operators.llm import (
     rolling_fingerprint,
     shingle_hashes,
     simhash16,
+    word_grams,
     word_shingles,
     words,
 )
@@ -38,6 +40,7 @@ __all__ = [
     "STOPWORDS",
     "cell_touched",
     "cell_value",
+    "connected_components_min_label",
     "cosine",
     "derive_topic_name",
     "dot_d",
@@ -50,6 +53,7 @@ __all__ = [
     "rolling_fingerprint",
     "shingle_hashes",
     "simhash16",
+    "word_grams",
     "word_shingles",
     "words",
 ]
