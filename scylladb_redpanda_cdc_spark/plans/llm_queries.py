@@ -167,16 +167,24 @@ def x11_dedup_ngram_jaccard(spark, sf_dir):
     if cache_key in _x11_cache:
         return _x11_cache[cache_key]
     d = _T(spark, sf_dir, "documents")
-    sh = d.select(
+    # Materialize the posting list once: without the persists the plan
+    # re-runs the tokenize+shingle explode for EVERY consumer (df-cap agg,
+    # both self-join sides, sizes — 8 scans observed). At fixture scale the
+    # candidate-pair join dominates either way (measured neutral); at
+    # 100 TB the cache (MEMORY_AND_DISK, spills) replaces seven full
+    # re-tokenization passes over the corpus — the materialize-the-
+    # inverted-index-before-fan-out shape every production near-dup
+    # pipeline uses.
+    sh_raw = d.select(
         "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
-    )
+    ).persist()
     keep = (
-        sh.groupBy("s")
+        sh_raw.groupBy("s")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") <= 50)
         .select("s")
     )
-    sh = sh.join(keep, "s")
+    sh = sh_raw.join(keep, "s").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
