@@ -741,6 +741,46 @@ def x27_domain_mixture(spark, sf_dir):
     )
 
 
+def x28_unigram_lm_score(spark, sf_dir):
+    """CCNet-style language-model quality proxy, unigram form: score each
+    document by the average corpus frequency of its tokens. Fluent text
+    made of common words scores high; gibberish, rare-token spam, and
+    wrong-language text score low — the cheap stand-in for the LM
+    perplexity filter production pipelines run.
+
+    Exactness: per-doc frequency MASS is a sum of BIGINT corpus counts
+    (exact in any aggregation order); the score performs ONE double
+    division at the end — bit-identical across engines, no float-sum
+    order sensitivity (same trick as x7's rational idf).
+
+    Scale shape: the corpus term-frequency table is vocabulary-sized, not
+    corpus-sized — zipf means a few M distinct terms even at 100 TB — so
+    it is BROADCAST to the token stream (skew-proof: the 'the' hot key
+    never shuffles); a real deployment additionally df-caps the vocab and
+    defaults OOV terms to frequency 1."""
+    d = _T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    per_doc = (
+        tok.join(F.broadcast(tf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("freq_mass"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "freq_mass",
+        "n_tokens",
+        (
+            F.col("freq_mass").cast("double")
+            / (F.col("n_tokens") * F.col("n_total")).cast("double")
+        ).alias("lm_score"),
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
@@ -942,6 +982,17 @@ _X27_SQL = """SELECT doc_id, source, bucket, keep_rate FROM (
          ELSE 20 END AS keep_rate
   FROM documents)
 WHERE bucket < keep_rate"""
+
+_X28_SQL = f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+total AS (SELECT COUNT(*) AS n_total FROM tok),
+per_doc AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS freq_mass,
+                   COUNT(*) AS n_tokens
+            FROM tok JOIN tf USING (term) GROUP BY doc_id)
+SELECT doc_id, freq_mass, n_tokens,
+  CAST(freq_mass AS DOUBLE) / CAST(n_tokens * n_total AS DOUBLE) AS lm_score
+FROM per_doc, total"""
 
 _X25_SQL = """SELECT doc_id, lang, sample_rank FROM (
   SELECT doc_id, lang,
@@ -1233,6 +1284,13 @@ SPECS = [
         "eval-set 4-gram overlap (benchmark decontamination), broadcast eval side",
         x26_decontaminate,
         _X26_SQL,
+    ),
+    QuerySpec(
+        "x28_unigram_lm_score",
+        "X",
+        "unigram LM quality proxy: broadcast vocab, exact integer mass",
+        x28_unigram_lm_score,
+        _X28_SQL,
     ),
     QuerySpec(
         "x27_domain_mixture",

@@ -162,6 +162,7 @@ _INTENDED_NESTED_LOOP = {
     "x3_sim_cosine_topk",  # broadcast 1-row query vector
     "x7_text_tfidf",  # broadcast 1-row corpus size
     "x13_sim_ivf_probe",  # broadcast 1-row query vector + 2-row probe list
+    "x28_unigram_lm_score",  # broadcast 1-row total token count
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
