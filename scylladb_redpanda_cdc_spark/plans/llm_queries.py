@@ -781,6 +781,70 @@ def x28_unigram_lm_score(spark, sf_dir):
     )
 
 
+def _kmeans_assign(vecs, cents):
+    """Nearest-centroid assignment: broadcast the centroid table (K rows)
+    against the vector stream — the one full pass Lloyd's algorithm costs
+    per iteration at any scale. Ties break to the lowest centroid id."""
+    ac = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos", cosine(F.col("embedding"), F.col("cemb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cid").asc()
+    )
+    return (
+        ac.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cemb")
+    )
+
+
+def x29_kmeans_refine(spark, sf_dir):
+    """K-means for embedding-space bucketing (coarse quantization /
+    clustering-based curation), two unrolled Lloyd iterations: seed
+    centroids deterministically (every 25th vector, as x13), assign by
+    cosine, recompute centroids, re-assign. The IVF index-build step (x13
+    consumes such centroids) done honestly as iterative refinement.
+
+    Exactness (the hard part of a strict k-means oracle): centroid means
+    average floats, and float sums are aggregation-order-dependent — so
+    components are floored to integer MICROS first (exact BIGINT sums in
+    any order), and the mean performs one double division. Every cosine is
+    the shared left-to-right double-fold kernel. All downstream doubles
+    are therefore bit-identical across engines, and the DuckDB twin
+    recomputes both iterations end to end.
+
+    Scale shape: per iteration one broadcast-join pass over the vectors
+    (K centroid rows broadcast) + one (cid, dim)-keyed partial-agg shuffle
+    whose cardinality is K x dims — centroid-sized, not corpus-sized. No
+    iteration count surprises: exactly 2, unrolled."""
+    e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent0 = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    a1 = _kmeans_assign(e, cent0)
+    comp = a1.select("cid", F.posexplode("embedding").alias("dim", "val"))
+    micros = F.floor(F.col("val").cast("double") * F.lit(1000000.0)).alias("vm")
+    sums = (
+        comp.select("cid", "dim", micros)
+        .groupBy("cid", "dim")
+        .agg(F.sum("vm").alias("s"), F.count("*").alias("n"))
+    )
+    mean = sums.select(
+        "cid",
+        "dim",
+        (F.col("s").cast("double") / (F.col("n") * F.lit(1000000.0))).alias("m"),
+    )
+    cent1 = mean.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda t: t["m"]
+        ).alias("cemb")
+    )
+    a2 = _kmeans_assign(e, cent1)
+    return a2.select(
+        "vec_id", F.col("cid").alias("cluster_id"), F.col("c_cos").alias("cos_sim")
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
@@ -982,6 +1046,39 @@ _X27_SQL = """SELECT doc_id, source, bucket, keep_rate FROM (
          ELSE 20 END AS keep_rate
   FROM documents)
 WHERE bucket < keep_rate"""
+
+def _x29_sql() -> str:
+    """Both Lloyd iterations unrolled in DuckDB, mirroring x29's exact
+    arithmetic: integer-micros centroid sums, one double division per
+    mean component, the shared cosine fold."""
+    return f"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cemb
+              FROM embeddings WHERE vec_id % 25 = 0),
+ac1 AS (SELECT e.vec_id, e.embedding, c.cid,
+               {_cos_sql('e.embedding', 'c.cemb')} AS c_cos
+        FROM embeddings e CROSS JOIN cent0 c),
+a1 AS (SELECT vec_id, embedding, cid FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY c_cos DESC, cid ASC) AS rn FROM ac1)
+       WHERE rn = 1),
+comp AS (SELECT cid,
+                unnest(range(1, len(embedding) + 1)) AS dim,
+                unnest(embedding) AS val
+         FROM a1),
+sums AS (SELECT cid, dim,
+                CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT))
+                     AS BIGINT) AS s,
+                COUNT(*) AS n
+         FROM comp GROUP BY 1, 2),
+mean AS (SELECT cid, dim, CAST(s AS DOUBLE) / (n * 1000000.0) AS m FROM sums),
+cent1 AS (SELECT cid, list(m ORDER BY dim) AS cemb FROM mean GROUP BY cid),
+ac2 AS (SELECT e.vec_id, c.cid,
+               {_cos_sql('e.embedding', 'c.cemb')} AS c_cos
+        FROM embeddings e CROSS JOIN cent1 c)
+SELECT vec_id, cid AS cluster_id, c_cos AS cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY c_cos DESC, cid ASC) AS rn FROM ac2)
+WHERE rn = 1"""
+
 
 _X28_SQL = f"""WITH {_TOKS_CTE},
 tok AS (SELECT doc_id, unnest(ws) AS term FROM toks),
@@ -1284,6 +1381,13 @@ SPECS = [
         "eval-set 4-gram overlap (benchmark decontamination), broadcast eval side",
         x26_decontaminate,
         _X26_SQL,
+    ),
+    QuerySpec(
+        "x29_kmeans_refine",
+        "X",
+        "k-means embedding bucketing: 2 unrolled Lloyd iterations, strict",
+        x29_kmeans_refine,
+        _x29_sql(),
     ),
     QuerySpec(
         "x28_unigram_lm_score",
