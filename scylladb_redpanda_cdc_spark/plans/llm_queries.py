@@ -23,6 +23,7 @@ from scylladb_redpanda_cdc_spark.operators.llm import (
     STOPWORDS,
     connected_components_min_label,
     cosine,
+    dot_d,
     l2_norm,
     lsh_bucket,
     rolling_fingerprint,
@@ -272,12 +273,22 @@ def x13_sim_ivf_probe(spark, sf_dir):
     cent = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
-    # assign every vector to its nearest centroid
-    ac = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        cosine(F.col("embedding"), F.col("cemb")).alias("c_cos"),
+    # assign every vector to its nearest centroid; norms precomputed once
+    # per side (same bit-exact dot/(na*nb) arithmetic as the cosine
+    # kernel — see _kmeans_assign) instead of 3 HOF folds per pair
+    cent_n = cent.withColumn("_nb", l2_norm(F.col("cemb")))
+    ac = (
+        e.withColumn("_na", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent_n))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            (
+                dot_d(F.col("embedding"), F.col("cemb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("c_cos"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
     assigned = ac.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
@@ -784,9 +795,20 @@ def x28_unigram_lm_score(spark, sf_dir):
 def _kmeans_assign(vecs, cents):
     """Nearest-centroid assignment: broadcast the centroid table (K rows)
     against the vector stream — the one full pass Lloyd's algorithm costs
-    per iteration at any scale. Ties break to the lowest centroid id."""
-    ac = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "c_cos", cosine(F.col("embedding"), F.col("cemb"))
+    per iteration at any scale. Ties break to the lowest centroid id.
+
+    Norms are precomputed ONCE per vector and once per centroid instead of
+    inside every pair's cosine — the interpreted higher-order-function
+    fold is the dominant cost, and the naive form runs it 3x per pair
+    (dot + both norms), K+1 redundant norm folds per vector. The final
+    expression is still dot / (na * nb), the exact arithmetic the shared
+    kernel and the DuckDB twin use — values are bit-identical."""
+    v = vecs.withColumn("_na", l2_norm(F.col("embedding")))
+    c = cents.withColumn("_nb", l2_norm(F.col("cemb")))
+    ac = v.crossJoin(F.broadcast(c)).withColumn(
+        "c_cos",
+        dot_d(F.col("embedding"), F.col("cemb"))
+        / (F.col("_na") * F.col("_nb")),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("c_cos").desc(), F.col("cid").asc()
@@ -794,7 +816,7 @@ def _kmeans_assign(vecs, cents):
     return (
         ac.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn", "cemb")
+        .drop("rn", "cemb", "_na", "_nb")
     )
 
 
