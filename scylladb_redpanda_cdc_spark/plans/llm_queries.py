@@ -56,6 +56,25 @@ _SHINGLES_CTE = (
 #: the DuckDB oracle string, so the two can never disagree within a process.
 PACK_SHARDS = int(os.environ.get("SG_PACK_SHARDS", "32"))
 
+
+def _docs_fanned(spark, sf_dir):
+    """``documents``, fanned out for per-doc heavy map work (shingling,
+    hashing, Arrow-batched Python decode).
+
+    The test fixture is ONE small parquet row group = one input split, which
+    would serialize the heavy map stage on a single core. A 100 TB corpus
+    scan already yields ~10^6 splits; an unconditional ``repartition`` there
+    re-shuffles the full corpus for nothing. So fan out ONLY when the scan's
+    actual split count cannot feed the cluster — at scale this branch never
+    fires and the plan stays scan -> narrow map with zero extra shuffles.
+    Split count (not file count) is the test: big files split by
+    maxPartitionBytes into many tasks without any repartition."""
+    d = _T(spark, sf_dir, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < cores:
+        d = d.repartition(cores, "doc_id")
+    return d
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -67,10 +86,8 @@ def x1_dedup_exact(spark, sf_dir):
     Expressed as groupBy(min, count), NOT a window: partial aggregation
     combines map-side, so the shuffle carries one row per distinct hash —
     at 100 TB that is the difference between shuffling every doc and
-    shuffling every *distinct* doc. Hash keys are uniform, no skew.
-    The repartition parallelizes sha2 over the single-row-group fixture
-    file (a no-op at scale where the scan is already many splits)."""
-    d = _T(spark, sf_dir, "documents").repartition("doc_id")
+    shuffling every *distinct* doc. Hash keys are uniform, no skew."""
+    d = _docs_fanned(spark, sf_dir)
     h = F.sha2(F.lower(F.trim("text")), 256)
     return (
         d.select("doc_id", h.alias("text_hash"))
@@ -91,11 +108,7 @@ def x2_dedup_fuzzy_minhash(spark, sf_dir):
     re-mix, computed map-side in a single partial-agg shuffle on doc_id.
     (The naive form — 16 seeded string-hash passes inside nested array
     transforms — was 20x slower at sf0.1.)"""
-    # repartition: the fixture is one small parquet file = one input split;
-    # per-doc shingling is the heavy step, so spread docs across the cluster
-    # first (at 100 TB the source is already many splits and this is a no-op
-    # cost relative to the scan).
-    d = _T(spark, sf_dir, "documents").repartition("doc_id")
+    d = _docs_fanned(spark, sf_dir)
     sh = d.select(
         "doc_id", F.explode(shingle_hashes(words(F.col("text")))).alias("h")
     )
@@ -518,7 +531,7 @@ def x18_multimodal_decode(spark, sf_dir):
         fake_decode_batches,
     )
 
-    d = _T(spark, sf_dir, "documents").repartition("doc_id")
+    d = _docs_fanned(spark, sf_dir)
     assembled = d.select(
         "doc_id",
         F.encode("text", "utf-8").alias("blob"),
@@ -877,7 +890,7 @@ def x20_corpus_prep(spark, sf_dir):
     one partial-agg shuffle on the text hash for dedup, one broadcast-able
     join back for survivor attributes. Score arithmetic is the exact same
     expression order as x15, so the float threshold is engine-stable."""
-    d = _T(spark, sf_dir, "documents").repartition("doc_id")
+    d = _docs_fanned(spark, sf_dir)
     ws = words(F.col("text"))
     n_words = F.size(ws)
     n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
