@@ -68,12 +68,21 @@ def _docs_fanned(spark, sf_dir):
     actual split count cannot feed the cluster — at scale this branch never
     fires and the plan stays scan -> narrow map with zero extra shuffles.
     Split count (not file count) is the test: big files split by
-    maxPartitionBytes into many tasks without any repartition."""
+    maxPartitionBytes into many tasks without any repartition.
+
+    The split-count probe forces physical planning of the scan, so its
+    verdict is memoized per dataset dir — four X specs share one probe."""
     d = _T(spark, sf_dir, "documents")
     cores = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < cores:
+    key = (sf_dir, cores)
+    if key not in _FAN_DECISION:
+        _FAN_DECISION[key] = d.rdd.getNumPartitions() < cores
+    if _FAN_DECISION[key]:
         d = d.repartition(cores, "doc_id")
     return d
+
+
+_FAN_DECISION: dict[tuple[str, int], bool] = {}
 
 # ---------------------------------------------------------------------------
 # Deduplication
