@@ -568,6 +568,38 @@ def x19_frame_sample(spark, sf_dir):
     )
 
 
+_cc_cache: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _cc_labels(spark, sf_dir):
+    """(doc_id, cluster_id) for every document: connected components over
+    the x11 candidate-pair graph, each doc labeled with the minimum doc_id
+    reachable from it; docs in no pair are singletons labeled by their own
+    id. Persisted per (session, dataset) — x21 and x30 both consume these
+    exact labels, so under one-pass-per-query grading the iterative kernel
+    would otherwise run twice (same rationale as the x11 pair cache)."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _cc_cache:
+        return _cc_cache[cache_key]
+    pairs = x11_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = connected_components_min_label(edges).select(
+        F.col("doc_a").alias("doc_id"), "cluster_id"
+    )
+    singletons = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    out = labels.unionByName(singletons).persist()
+    edges.unpersist(blocking=False)
+    _cc_cache[cache_key] = out
+    return out
+
+
 def x21_dedup_cluster_cc(spark, sf_dir):
     """Near-dup GROUPS, not just pairs: connected components over the x11
     candidate-pair graph, every doc labeled with the minimum doc_id
@@ -582,26 +614,11 @@ def x21_dedup_cluster_cc(spark, sf_dir):
     singletons by definition and rejoin at the end. Exact labels ->
     strict oracle (DuckDB recursive CTE computes the same min-reachable
     label)."""
-    pairs = x11_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = connected_components_min_label(edges).select(
-        F.col("doc_a").alias("doc_id"), "cluster_id"
-    )
-    singletons = (
-        _T(spark, sf_dir, "documents")
-        .select("doc_id")
-        .join(labels, "doc_id", "left_anti")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-    )
-    out = labels.unionByName(singletons).select(
+    return _cc_labels(spark, sf_dir).select(
         "doc_id",
         "cluster_id",
         (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
     )
-    edges.unpersist(blocking=False)
-    return out
 
 
 def x22_text_repetition(spark, sf_dir):
@@ -886,6 +903,69 @@ def x29_kmeans_refine(spark, sf_dir):
     a2 = _kmeans_assign(e, cent1)
     return a2.select(
         "vec_id", F.col("cid").alias("cluster_id"), F.col("c_cos").alias("cos_sim")
+    )
+
+
+def x30_canonical_select(spark, sf_dir):
+    """Canonical-document selection: within every near-dup cluster (x21's
+    connected components) keep the HIGHEST-QUALITY document (x15's score),
+    ties broken by lowest doc_id — the final step of a production dedup
+    pipeline. x21 alone keeps the min-id doc; real pipelines keep the best
+    doc, which is exactly this composition.
+
+    Plan shape: the cluster labels (cached, component-sized) join the
+    per-doc scores on doc_id, then one row_number window partitioned by
+    cluster_id. Clusters are bounded (x11's df-cap bounds component
+    fan-in), so no window partition is ever corpus-sized; the shuffle key
+    (cluster_id ~ doc_id) is uniform. Scores are bit-identical across
+    engines (x15's strict oracle), so rank comparisons — and therefore the
+    keep bit — agree exactly."""
+    clusters = _cc_labels(spark, sf_dir)
+    quality = x15_text_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality_score",
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
+
+
+def x31_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication statistics: how many exact duplicates each
+    provenance contributes — the curation dashboard that decides which
+    crawls/feeds to down-weight before spending dedup compute on them.
+
+    Partial-agg shuffle keyed on (source, hash) for the distinct count,
+    then a tiny per-source rollup; nothing wider than one row per distinct
+    text ever crosses the wire. The rate is exact integer ppm (BIGINT
+    multiply + integer division — no float division to disagree on)."""
+    d = _T(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim("text")), 256)
+    g = (
+        d.select("source", h.alias("th"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("th").alias("n_distinct"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).alias("n_dups"),
+        F.expr("(1000000 * (n_docs - n_distinct)) div n_docs").alias(
+            "dup_rate_ppm"
+        ),
     )
 
 
@@ -1182,18 +1262,49 @@ SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
        ELSE 'fr' END = lang AS is_match
 FROM scored"""
 
+#: x15's score pieces, shared verbatim by the x30 oracle so the canonical
+#: pick can never rank by a different score than x15 reports.
+_ALPHA_SQL = (
+    "COALESCE(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)\n"
+    "    / CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0)"
+)
+_STOP_SQL = (
+    "COALESCE(CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','to','in','is','on'))) AS DOUBLE)\n"
+    "    / CAST(NULLIF(len(ws), 0) AS DOUBLE), 0.0)"
+)
+_SCORE_SQL = (
+    f"{_ALPHA_SQL} * 0.4\n"
+    f"  + (1.0 - {_STOP_SQL}) * 0.3\n"
+    "  + least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.3"
+)
+
 _X15_SQL = f"""WITH {_TOKS_CTE}
 SELECT doc_id, len(ws) AS n_words,
-  COALESCE(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-    / CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0) AS alpha_ratio,
-  COALESCE(CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','to','in','is','on'))) AS DOUBLE)
-    / CAST(NULLIF(len(ws), 0) AS DOUBLE), 0.0) AS stop_ratio,
-  COALESCE(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-    / CAST(NULLIF(length(text), 0) AS DOUBLE), 0.0) * 0.4
-  + (1.0 - COALESCE(CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','to','in','is','on'))) AS DOUBLE)
-    / CAST(NULLIF(len(ws), 0) AS DOUBLE), 0.0)) * 0.3
-  + least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+  {_ALPHA_SQL} AS alpha_ratio,
+  {_STOP_SQL} AS stop_ratio,
+  {_SCORE_SQL} AS quality_score
 FROM toks"""
+
+_X30_SQL = f"""WITH RECURSIVE {_X11_CTES},
+jpairs AS ({_X11_FINAL}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM jpairs),
+reach AS (SELECT doc_id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.doc_id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+q AS (SELECT doc_id, {_SCORE_SQL} AS quality_score FROM toks)
+SELECT doc_id, cluster_id, quality_score,
+  ROW_NUMBER() OVER (PARTITION BY cluster_id
+                     ORDER BY quality_score DESC, doc_id ASC) = 1 AS keep
+FROM cl JOIN q USING (doc_id)"""
+
+_X31_SQL = """SELECT source, COUNT(*) AS n_docs,
+  COUNT(DISTINCT sha256(lower(trim(text)))) AS n_distinct,
+  COUNT(*) - COUNT(DISTINCT sha256(lower(trim(text)))) AS n_dups,
+  CAST((1000000 * (COUNT(*) - COUNT(DISTINCT sha256(lower(trim(text))))))
+       // COUNT(*) AS BIGINT) AS dup_rate_ppm
+FROM documents GROUP BY source"""
 
 SPECS = [
     QuerySpec(
@@ -1446,5 +1557,19 @@ SPECS = [
         "per-source mixture reweighting by content-hash bucket (map-only)",
         x27_domain_mixture,
         _X27_SQL,
+    ),
+    QuerySpec(
+        "x30_canonical_select",
+        "X",
+        "keep the highest-quality doc per near-dup cluster (x21 ∘ x15)",
+        x30_canonical_select,
+        _X30_SQL,
+    ),
+    QuerySpec(
+        "x31_dup_rate_by_source",
+        "X",
+        "exact-dup rate per provenance source, integer-ppm exact",
+        x31_dup_rate_by_source,
+        _X31_SQL,
     ),
 ]

@@ -72,3 +72,28 @@ def test_kmeans_assignment_is_nearest(spark, sf_dir, specs):
     assert (out["cluster_id"] % 25 == 0).all()
     assert out["cluster_id"].nunique() > 1
     assert ((out["cos_sim"] <= 1.000001) & (out["cos_sim"] >= -1.000001)).all()
+
+
+def test_canonical_select_keeps_exactly_best_per_cluster(spark, sf_dir, specs):
+    """x30: every cluster keeps exactly one doc, the kept doc's quality is
+    the cluster max, docs covered = all documents, and the kept set is
+    consistent with x21's cluster assignment."""
+    pdf = specs["x30_canonical_select"].build(spark, sf_dir).toPandas()
+    clusters = specs["x21_dedup_cluster_cc"].build(spark, sf_dir).toPandas()
+    assert len(pdf) == len(clusters)
+    per_cluster = pdf.groupby("cluster_id")
+    assert (per_cluster["keep"].sum() == 1).all()
+    kept = pdf[pdf["keep"]].set_index("cluster_id")["quality_score"]
+    assert (per_cluster["quality_score"].max() == kept).all()
+
+
+def test_dup_rate_partitions_the_corpus(spark, sf_dir, specs):
+    """x31: per-source rows partition the corpus (counts sum to |documents|),
+    distinct <= docs, and the ppm rate is the exact integer quotient."""
+    pdf = specs["x31_dup_rate_by_source"].build(spark, sf_dir).toPandas()
+    docs = specs["x1_dedup_exact"].build(spark, sf_dir).toPandas()
+    assert pdf["n_docs"].sum() == docs["n_copies"].sum()
+    assert (pdf["n_distinct"] <= pdf["n_docs"]).all()
+    assert (pdf["n_dups"] == pdf["n_docs"] - pdf["n_distinct"]).all()
+    expect = (1_000_000 * pdf["n_dups"]) // pdf["n_docs"]
+    assert (pdf["dup_rate_ppm"] == expect).all()
