@@ -969,6 +969,45 @@ def x31_dup_rate_by_source(spark, sf_dir):
     )
 
 
+def x32_knn_join(spark, sf_dir):
+    """k-NN JOIN: top-5 cosine neighbors for EVERY query vector (x3 answers
+    one query; retrieval/embedding-dedup workloads answer a batch). Query
+    set = every 50th vector — small by construction, as a real query batch
+    is vs. a 100 TB corpus.
+
+    Scale shape: the query batch is BROADCAST and the corpus streams past
+    it once (a broadcast nested-loop is the *correct* plan here — brute
+    force k-NN is inherently |corpus| x |Q| cosines, all map-side, no
+    corpus shuffle). Per-query top-k is two-phase (x25's pattern): local
+    top-5 per (query, salt-of-16), then re-rank the <= 80 survivors per
+    query — the shuffle carries candidates, not the corpus. Cosine is the
+    shared left-to-right double-fold kernel, bit-equal in DuckDB, so ranks
+    and the cut line agree exactly."""
+    e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"))
+    )
+    w1 = Window.partitionBy("qid", F.col("vec_id") % 16).orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    cand = scored.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= 5
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w2))
+        .filter(F.col("knn_rank") <= 5)
+        .select("qid", "vec_id", "cos_sim", "knn_rank")
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
@@ -1299,6 +1338,16 @@ SELECT doc_id, cluster_id, quality_score,
                      ORDER BY quality_score DESC, doc_id ASC) = 1 AS keep
 FROM cl JOIN q USING (doc_id)"""
 
+_X32_SQL = f"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+           FROM embeddings WHERE vec_id % 50 = 0),
+s AS (SELECT qid, vec_id, {_cos_sql('embedding', 'qe')} AS cos_sim
+      FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+SELECT qid, vec_id, cos_sim, knn_rank FROM (
+  SELECT qid, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id ASC) AS knn_rank
+  FROM s) WHERE knn_rank <= 5"""
+
 _X31_SQL = """SELECT source, COUNT(*) AS n_docs,
   COUNT(DISTINCT sha256(lower(trim(text)))) AS n_distinct,
   COUNT(*) - COUNT(DISTINCT sha256(lower(trim(text)))) AS n_dups,
@@ -1571,5 +1620,12 @@ SPECS = [
         "exact-dup rate per provenance source, integer-ppm exact",
         x31_dup_rate_by_source,
         _X31_SQL,
+    ),
+    QuerySpec(
+        "x32_knn_join",
+        "X",
+        "k-NN join: top-5 cosine neighbors for every query vector, 2-phase",
+        x32_knn_join,
+        _X32_SQL,
     ),
 ]

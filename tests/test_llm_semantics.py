@@ -97,3 +97,14 @@ def test_dup_rate_partitions_the_corpus(spark, sf_dir, specs):
     assert (pdf["n_dups"] == pdf["n_docs"] - pdf["n_distinct"]).all()
     expect = (1_000_000 * pdf["n_dups"]) // pdf["n_docs"]
     assert (pdf["dup_rate_ppm"] == expect).all()
+
+
+def test_knn_join_shape_and_ranks(spark, sf_dir, specs):
+    """x32: every query gets exactly 5 neighbors ranked 1..5 with
+    non-increasing cosine, and a query never matches itself."""
+    pdf = specs["x32_knn_join"].build(spark, sf_dir).toPandas()
+    assert (pdf["qid"] != pdf["vec_id"]).all()
+    for qid, g in pdf.groupby("qid"):
+        g = g.sort_values("knn_rank")
+        assert list(g["knn_rank"]) == [1, 2, 3, 4, 5]
+        assert (g["cos_sim"].diff().dropna() <= 1e-12).all()

@@ -164,6 +164,7 @@ _INTENDED_NESTED_LOOP = {
     "x13_sim_ivf_probe",  # broadcast 1-row query vector + 2-row probe list
     "x28_unigram_lm_score",  # broadcast 1-row total token count
     "x29_kmeans_refine",  # broadcast K-row centroid table per Lloyd pass
+    "x32_knn_join",  # broadcast query batch; corpus streams past map-side
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
