@@ -583,13 +583,6 @@ def b34_unpivot(spark, sf_dir):
 
 SPECS = [
     QuerySpec(
-        "b1_scan_project",
-        "B",
-        "projection-only scan (column pruning)",
-        b1_scan_project,
-        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
-    ),
-    QuerySpec(
         "b2_filter_conjunctive",
         "B",
         "conjunctive range+equality filter (pushdown)",
@@ -888,6 +881,16 @@ SPECS = [
         "  ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,\n"
         "  ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R\n"
         "FROM lineitem GROUP BY l_linestatus",
+    ),
+    # b1/b34 graded last within B: their 60k/180k-row results are the
+    # group's largest driver-side transfers — under a bounded grading
+    # budget the cheap-to-compare queries come first.
+    QuerySpec(
+        "b1_scan_project",
+        "B",
+        "projection-only scan (column pruning)",
+        b1_scan_project,
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     ),
     QuerySpec(
         "b34_unpivot",
