@@ -45,10 +45,21 @@ def _fresh(prefix: str) -> str:
     return f"{prefix}_{next(_name_counter)}"
 
 
+#: Scratch root for the availableNow test/bench harness: prefer RAM-backed
+#: tmpfs when present — micro-batch checkpoints/state are MBs at fixture
+#: scale, and shared-box disk-I/O noise otherwise dominates the streaming
+#: specs' wall time. Production queries set their own durable
+#: checkpointLocation (S2's whole point); this root never backs one.
+#: Override with SG_SCRATCH_DIR.
+_SCRATCH_ROOT = os.environ.get("SG_SCRATCH_DIR") or (
+    "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+)
+
+
 def tmpdir(prefix: str) -> str:
     """Per-run scratch dir (checkpoints, file-stream staging, sinks). Left
     for the OS to reap — returned DataFrames may lazily re-read them."""
-    return tempfile.mkdtemp(prefix=f"sg_{prefix}_")
+    return tempfile.mkdtemp(prefix=f"sg_{prefix}_", dir=_SCRATCH_ROOT)
 
 
 _events_src_dirs: dict[str, str] = {}
