@@ -509,7 +509,7 @@ def b32_join_bucketed_colocated(spark, sf_dir):
     This is the 'pay the shuffle once at write time' pattern — at 100 TB
     the fact table is bucketed on its PK at ingest and every subsequent
     key join is shuffle-free."""
-    import tempfile
+    from scylladb_redpanda_cdc_spark.streaming.core import tmpdir
 
     # Stage the bucketed tables once per (session, dataset): the write IS
     # the "pay the shuffle once" half of the pattern, so re-staging per
@@ -518,7 +518,7 @@ def b32_join_bucketed_colocated(spark, sf_dir):
     if stage_key not in _bucketed_stages:
         _bucket_counter[0] += 1
         suffix = _bucket_counter[0]
-        loc = tempfile.mkdtemp(prefix="sg_bucketed_")
+        loc = tmpdir("bucketed")
         o_tbl, li_tbl = f"sg_orders_b{suffix}", f"sg_lineitem_b{suffix}"
         (
             _T(spark, sf_dir, "orders")
