@@ -33,8 +33,11 @@ class Engine:
     #: Temp views are SESSION-global while engines are per-dataset: tracks
     #: which engine's sf_dir the session's views currently point at, so a
     #: second engine on the same session cannot silently serve the first
-    #: engine's ``sql()`` from the wrong dataset.
-    _views_bound_to: dict[str, str] = {}
+    #: engine's ``sql()`` from the wrong dataset. Keyed by the session
+    #: OBJECT (not applicationId): ``spark.newSession()`` siblings share an
+    #: applicationId but have their own empty temp-view catalog, so an
+    #: app-level key would wrongly skip ``register_views`` for them.
+    _views_bound_to: dict[int, str] = {}
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
@@ -64,11 +67,10 @@ class Engine:
         """Expose every dataset table as a temp view for ``sql()``."""
         for name in TABLE_NAMES:
             self.table(name).createOrReplaceTempView(name)
-        Engine._views_bound_to[self.spark.sparkContext.applicationId] = self.sf_dir
+        Engine._views_bound_to[id(self.spark)] = self.sf_dir
 
     def sql(self, query: str) -> DataFrame:
-        app_id = self.spark.sparkContext.applicationId
-        if Engine._views_bound_to.get(app_id) != self.sf_dir:
+        if Engine._views_bound_to.get(id(self.spark)) != self.sf_dir:
             self.register_views()
         return self.spark.sql(query)
 

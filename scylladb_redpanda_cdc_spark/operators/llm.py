@@ -252,6 +252,17 @@ def connected_components_min_label(edges, node_col: str = "doc_a", nbr_col: str 
             labels = nxt.drop("__old")
             if n_changed == 0:
                 break
+        else:
+            # The df<=50 shingle cap bounds per-shingle fan-out but NOT
+            # similarity-chain length, so a >50-diameter component is
+            # possible at scale. Returning the unconverged labels would be
+            # silently wrong; fail loudly instead so callers can raise the
+            # round cap (rounds needed = component diameter).
+            raise RuntimeError(
+                "connected_components_min_label: not converged after 50 "
+                f"rounds ({n_changed} labels still changing); a component's "
+                "diameter exceeds the round cap"
+            )
         return labels.select(F.col("doc_id").alias(node_col), "cluster_id")
     finally:
         if prev_shuffle is None:

@@ -229,8 +229,17 @@ def x11_dedup_ngram_jaccard(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
-    _x11_cache[cache_key] = j.filter(F.col("jaccard") >= 0.1).persist()
-    return _x11_cache[cache_key]
+    out = j.filter(F.col("jaccard") >= 0.1).persist()
+    # Materialize the pair cache eagerly, then drop the posting-list
+    # caches: they exist only to keep the fan-out join from re-tokenizing,
+    # and once `out` is pinned nothing reads them again — leaving them
+    # persisted would grow executor storage per dataset for the
+    # application lifetime.
+    out.count()
+    sh.unpersist(blocking=False)
+    sh_raw.unpersist(blocking=False)
+    _x11_cache[cache_key] = out
+    return out
 
 
 def x12_dedup_embedding_cosine(spark, sf_dir):

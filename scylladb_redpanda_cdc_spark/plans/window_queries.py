@@ -52,7 +52,7 @@ def w6_win_sessionize(spark, sf_dir):
 
 
 _W6_SQL = """WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS brk
@@ -60,7 +60,7 @@ _W6_SQL = """WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessioned AS (
   SELECT user_id, ts,
-    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 )

@@ -62,6 +62,37 @@ def tmpdir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"sg_{prefix}_", dir=_SCRATCH_ROOT)
 
 
+def staged_dir_valid(path: str | None) -> bool:
+    """True iff a cached staging dir still exists and is non-empty. Scratch
+    lives under tmpfs (/dev/shm) which the OS may reap mid-session; a cache
+    hit on a reaped path would silently yield an EMPTY stream, so callers
+    must re-stage when this is False."""
+    try:
+        return path is not None and os.path.isdir(path) and bool(os.listdir(path))
+    except OSError:
+        return False
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Temporarily set a SQL conf, restoring the caller's value (or unset)
+    on exit — same discipline as :func:`scoped_shuffle` but for an arbitrary
+    key. Use for confs that only need to cover an eager batch read/write,
+    never for confs a lazily-executed stream will need at run time."""
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 _events_src_dirs: dict[str, str] = {}
 
 
@@ -70,7 +101,7 @@ def _events_source_dir(sf_dir: str) -> str:
     dir holds ten unrelated tables, and a bare file path trips the source's
     basePath/partition-inference machinery). Stage a one-symlink directory
     per sf_dir — zero data copied, created once per process."""
-    if sf_dir not in _events_src_dirs:
+    if not staged_dir_valid(_events_src_dirs.get(sf_dir)):
         stage = tmpdir("events_src")
         os.symlink(
             os.path.join(sf_dir, "events.parquet"),

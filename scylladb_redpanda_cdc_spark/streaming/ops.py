@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from scylladb_redpanda_cdc_spark.operators.cdc import materialize_latest
 from scylladb_redpanda_cdc_spark.sources.changelog import synth_changelog
-from scylladb_redpanda_cdc_spark.streaming.core import scoped_shuffle, tmpdir
+from scylladb_redpanda_cdc_spark.streaming.core import (
+    scoped_conf,
+    scoped_shuffle,
+    staged_dir_valid,
+    tmpdir,
+)
 
 CHANGELOG_STREAM_DDL = (
     "customer_id bigint, order_id bigint, op string, totalprice double, "
@@ -50,7 +55,7 @@ def stage_changelog_stream(
     a Kafka topic drained in several polls. The staged log is deterministic
     per (sf_dir, n_files), so it is written once per session and reused."""
     cache_key = (spark.sparkContext.applicationId, sf_dir, n_files)
-    if cache_key not in _staged_changelogs:
+    if not staged_dir_valid(_staged_changelogs.get(cache_key)):
         stage = tmpdir("changelog")
         synth_changelog(spark, sf_dir).repartition(n_files).write.mode(
             "overwrite"
@@ -96,29 +101,33 @@ def stage_late_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scylladb_redpanda_cdc_spark.streaming.core import EVENTS_STREAM_DDL
 
     cache_key = (spark.sparkContext.applicationId, sf_dir)
-    if cache_key not in _staged_late_events:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(EVENTS_STREAM_DDL).parquet(
-            os.path.join(sf_dir, "events.parquet")
-        )
-        us = F.expr("ts DIV 1000")
-        bounds = raw.agg(
-            ((F.min(us) + F.max(us)) / F.lit(2)).cast("long").alias("mid_us")
-        )
-        tagged = raw.crossJoin(F.broadcast(bounds))
-        straggler = (F.col("event_id") % 2 == 1) & (
-            us < F.col("mid_us") - F.lit(4_200_000_000)
-        )
-        rank = (
-            F.when(straggler, 2).when(us >= F.col("mid_us"), 1).otherwise(0)
-        )
-        # One pass: write all three stream files via a partitioned layout,
-        # then flatten rank=K/part-*.parquet to K.parquet with mtimes
-        # pinning the stream order.
-        scratch = tmpdir("late_scratch")
-        tagged.withColumn("file_rank", rank).drop("mid_us").repartition(
-            1
-        ).write.partitionBy("file_rank").mode("overwrite").parquet(scratch)
+    if not staged_dir_valid(_staged_late_events.get(cache_key)):
+        # The legacy conf is only needed for this eager batch read of the
+        # source fixture (TIMESTAMP(NANOS) -> long); the staged files below
+        # store ts as plain int64, so the lazily-run readStream at the end
+        # does not depend on it — safe to scope and restore.
+        with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            raw = spark.read.schema(EVENTS_STREAM_DDL).parquet(
+                os.path.join(sf_dir, "events.parquet")
+            )
+            us = F.expr("ts DIV 1000")
+            bounds = raw.agg(
+                ((F.min(us) + F.max(us)) / F.lit(2)).cast("long").alias("mid_us")
+            )
+            tagged = raw.crossJoin(F.broadcast(bounds))
+            straggler = (F.col("event_id") % 2 == 1) & (
+                us < F.col("mid_us") - F.lit(4_200_000_000)
+            )
+            rank = (
+                F.when(straggler, 2).when(us >= F.col("mid_us"), 1).otherwise(0)
+            )
+            # One pass: write all three stream files via a partitioned layout,
+            # then flatten rank=K/part-*.parquet to K.parquet with mtimes
+            # pinning the stream order.
+            scratch = tmpdir("late_scratch")
+            tagged.withColumn("file_rank", rank).drop("mid_us").repartition(
+                1
+            ).write.partitionBy("file_rank").mode("overwrite").parquet(scratch)
         stage = tmpdir("late_events")
         now = _time.time()
         for i in range(3):
