@@ -17,13 +17,18 @@ from scylladb_redpanda_cdc_spark.operators.cdc import (
     op_kind,
 )
 from scylladb_redpanda_cdc_spark.operators.llm import (
+    MINHASH_BANDS,
     STOPWORDS,
     connected_components_min_label,
     cosine,
     dot_d,
+    hash16,
+    hash60,
     l2_norm,
     lsh_bucket,
+    lsh_plane_ints,
     minhash_band_signature,
+    minhash_remix,
     rolling_fingerprint,
     shingle_hashes,
     simhash16,
@@ -37,6 +42,7 @@ from scylladb_redpanda_cdc_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "MINHASH_BANDS",
     "STOPWORDS",
     "cell_touched",
     "cell_value",
@@ -45,10 +51,14 @@ __all__ = [
     "derive_topic_name",
     "dot_d",
     "frame_sample_indices",
+    "hash16",
+    "hash60",
     "l2_norm",
     "lsh_bucket",
+    "lsh_plane_ints",
     "media_struct",
     "minhash_band_signature",
+    "minhash_remix",
     "op_kind",
     "rolling_fingerprint",
     "shingle_hashes",

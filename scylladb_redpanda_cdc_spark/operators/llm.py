@@ -18,6 +18,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import hashlib
+import random
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -66,9 +69,11 @@ def word_grams(ws: Column, k: int) -> Column:
 
 
 def shingle_hashes(ws: Column, k: int = 3) -> Column:
-    """64-bit hashes of the k-word shingles (multiset, not distinct — min()
-    consumers like MinHash are duplicate-insensitive). Skips string
-    materialization entirely: xxhash64 over the k token fields directly."""
+    """64-bit xxhash64 hashes of the k-word shingles (multiset, not
+    distinct — min() consumers like MinHash are duplicate-insensitive).
+    Skips string materialization entirely: xxhash64 over the k token
+    fields directly. NON-portable fast path; the graded MinHash query uses
+    :func:`hash60` over :func:`word_grams` so DuckDB can twin it."""
     hashed = F.transform(
         _shingle_zip(ws, k),
         lambda t: F.xxhash64(*[t[str(j)] for j in range(k)]),
@@ -76,6 +81,49 @@ def shingle_hashes(ws: Column, k: int = 3) -> Column:
     return F.when(F.size(ws) >= k, hashed).otherwise(
         F.array().cast("array<bigint>")
     )
+
+
+def hash16(c: Column) -> Column:
+    """Portable 16-bit hash: first 4 hex chars of sha256, as a long.
+
+    Engine-exact twin: DuckDB ``CAST(concat('0x', substr(sha256(x), 1, 4))
+    AS BIGINT)`` and Python ``int(hashlib.sha256(x).hexdigest()[:4], 16)``
+    produce the identical value — the property that lets SimHash carry a
+    strict cross-engine value oracle instead of a rows-only check."""
+    return F.conv(F.substring(F.sha2(c, 256), 1, 4), 16, 10).cast("long")
+
+
+def hash60(c: Column) -> Column:
+    """Portable 60-bit hash (first 15 hex chars of sha256 — the widest
+    prefix that always fits a signed 64-bit int). Same cross-engine
+    exactness contract as :func:`hash16`; used as the one-per-shingle base
+    hash that MinHash band signatures re-mix."""
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+
+#: Mersenne-prime modulus for the MinHash re-mix family: products of two
+#: 31-bit values stay under 2^62, so the arithmetic is overflow-free (and
+#: ANSI-mode safe) in int64 on every engine.
+MINHASH_P = 2147483647
+
+#: 16 literal (multiplier, offset) pairs drawn once from a fixed-seed PRNG
+#: at import — the universal-hash family h_b(x) = ((x mod P)*a_b + c_b)
+#: mod P. Literals (not runtime randomness) keep plans pure and let the
+#: DuckDB oracle embed the identical constants.
+_MINHASH_RNG = random.Random(20240813)
+MINHASH_BANDS: list[tuple[int, int]] = [
+    (_MINHASH_RNG.randrange(1, MINHASH_P), _MINHASH_RNG.randrange(0, MINHASH_P))
+    for _ in range(16)
+]
+
+
+def minhash_remix(h: Column, band: int) -> Column:
+    """Band-``band`` universal-hash re-mix of a base shingle hash. Pure
+    int64 arithmetic — each shingle string is sha-hashed ONCE and the 16
+    band values are derived by two multiply-adds, keeping the 20x win over
+    per-band string hashing while staying engine-portable."""
+    a, c = MINHASH_BANDS[band]
+    return ((h % MINHASH_P) * F.lit(a) + F.lit(c)) % MINHASH_P
 
 
 def dot_d(a: Column, b: Column) -> Column:
@@ -101,13 +149,15 @@ def cosine(a: Column, b: Column) -> Column:
 
 def minhash_band_signature(shingles: Column, band: int) -> Column:
     """MinHash signature for one band: min over shingles of a band-seeded
-    64-bit hash. Seed is the literal band index — deterministic across runs
-    and cluster sizes.
+    64-bit xxhash64 — the NON-portable fast path (no DuckDB twin) for
+    deployments that don't need cross-engine reproducibility. Seed is the
+    literal band index — deterministic across runs and cluster sizes.
 
     Per-row expression form, useful for a handful of bands. For many bands
     prefer the explode + per-band ``min()`` aggregate shape used by
-    plans/llm_queries.x2_dedup_fuzzy_minhash — it hashes each shingle string
-    once and re-mixes the long hash per band, which is ~20x faster."""
+    plans/llm_queries.x2_dedup_fuzzy_minhash — it hashes each shingle
+    string once (portably, via :func:`hash60`) and re-mixes the long hash
+    per band with :func:`minhash_remix`, which is ~20x faster."""
     return F.array_min(
         F.transform(shingles, lambda s: F.xxhash64(F.lit(band), s))
     )
@@ -117,9 +167,11 @@ def simhash16(ws: Column) -> Column:
     """16-bit SimHash of a token array.
 
     For each bit b, sum +1/-1 over token hashes' bit b; bit set iff the sum
-    is positive. Pure expression algebra — per-row, no shuffle.
+    is positive. Pure expression algebra — per-row, no shuffle. Token
+    hashes are :func:`hash16` (sha-prefix), so a DuckDB oracle can
+    recompute the identical signature.
     """
-    hs = F.transform(ws, lambda w: F.xxhash64(w))
+    hs = F.transform(ws, hash16)
 
     def bit_vote(b: int):
         # PySpark arity-inspects HOF lambdas (merge fn must take exactly 2
@@ -135,34 +187,41 @@ def simhash16(ws: Column) -> Column:
     return sig
 
 
-def hyperplane_component(plane: int, dim: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1): seeded by
-    (plane, dim) literals via xxhash64 so every executor computes the same
-    plane without broadcasting anything."""
-    return (
-        F.pmod(F.xxhash64(F.lit(plane), dim), F.lit(1000)).cast("double") / 500.0
-        - 1.0
-    )
+#: Embedding dimensionality contract for the LSH plane family (the
+#: ``embeddings`` fixture is FLOAT[64] at every SF; a deployment with a
+#: different model dim changes this constant alongside its data).
+EMBEDDING_DIM = 64
+
+
+def lsh_plane_ints(plane: int, dim: int = EMBEDDING_DIM) -> list[int]:
+    """Hyperplane ``plane`` as ``dim`` integers in [0, 1000): sha256 of the
+    literal string ``"{plane}:{d}"`` per component. Computed driver-side
+    (hashlib) and embedded as plan literals — the plane matrix is model
+    state, not data, so per-row hashing of (plane, dim) pairs would burn
+    executor cycles recomputing a constant; and because Python hashlib,
+    Spark ``sha2`` and DuckDB ``sha256`` agree byte-for-byte, the DuckDB
+    oracle embeds the identical integers."""
+    return [
+        int(hashlib.sha256(f"{plane}:{d}".encode()).hexdigest()[:4], 16) % 1000
+        for d in range(dim)
+    ]
 
 
 def lsh_bucket(emb: Column, n_planes: int = 8) -> Column:
-    """Sign-LSH bucket id: bit p = sign of dot(emb, plane_p)."""
-    def plane_fn(p: int):
-        # Closure-bound plane index: a `p=p` default would turn the lambda
-        # into transform's 2-arg (element, index) form and silently bind the
-        # index Column to p.
-        return lambda d: hyperplane_component(p, d)
+    """Sign-LSH bucket id: bit p = sign of dot(emb, plane_p).
 
+    Components are ``v/500.0 - 1.0`` over :func:`lsh_plane_ints` (uniform
+    in [-1, 1)); the projection fold mirrors :func:`dot_d`'s double
+    accumulator left-to-right, so DuckDB reproduces every bucket id
+    bit-for-bit. Per-row expression over literal arrays — no shuffle, no
+    broadcast, nothing recomputed per row beyond the 64 multiply-adds."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
+        comps = F.array(
+            *[F.lit(v / 500.0 - 1.0) for v in lsh_plane_ints(p)]
+        )
         proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(emb) - 1), plane_fn(p)
-                ),
-                lambda x, h: x.cast("double") * h,
-            ),
+            F.zip_with(emb, comps, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

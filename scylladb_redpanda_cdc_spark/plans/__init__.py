@@ -56,9 +56,11 @@ def registry() -> dict[str, QuerySpec]:
     # ROTATE the prefix to maximise *cumulative* driver-verified coverage:
     #   round 1 artifact proves  A + B            (CORRECTNESS_r01.json)
     #   round 2 artifact proves  A + X + s1,s2    (CORRECTNESS_r02.json)
-    #   round 3 prefix     =     W,F,U + S + B    (the 28 never-graded
-    #     queries first, then b17/b13 — round 1's one `err` row and the
-    #     reworked theta-join plan — then the rest of B).
+    #   round 3 prefix     =     W,F,U + S + the four former rows-only X
+    #     queries (now carrying strict oracles — graded `err: no_oracle`
+    #     in r2, so their green row is NEW information) + b17/b13 — round
+    #     1's one `err` row and the reworked theta-join plan — then B
+    #     re-proof fills the remaining slots.
     # Within the prefix, cheapest groups lead (W/F/U are sub-second
     # expression queries) so that if the budget ever turns out to be
     # time-bound as well, the cut still lands after the most new
@@ -94,10 +96,16 @@ def registry() -> dict[str, QuerySpec]:
         "s10_foreachbatch_upsert",
         "s12_watermark_late_drop_observed",
         "s11_stateful_running_state",
-        # slots 29-30: round 1's err row + the reworked plan
+        # slots 29-32: the four X queries whose r2 row was `err: no_oracle`,
+        # upgraded to strict portable-hash oracles this round
+        "x2_dedup_fuzzy_minhash",
+        "x4_sim_lsh_approx",
+        "x10_dedup_simhash",
+        "x12_dedup_embedding_cosine",
+        # slots 33-34: round 1's err row + the reworked plan
         "b17_agg_approx_distinct",
         "b13_join_theta_range",
-        # slots 31-50: B re-proof, recently-reworked joins first
+        # slots 35-50: B re-proof, recently-reworked joins first
         "b31_join_skew_salted",
         "b32_join_bucketed_colocated",
         "b2_filter_conjunctive",
@@ -114,10 +122,6 @@ def registry() -> dict[str, QuerySpec]:
         "b14_join_asof",
         "b15_agg_basic",
         "b16_agg_count_distinct",
-        "b18_agg_filtered",
-        "b19_agg_grouping_sets",
-        "b20_agg_collect",
-        "b21_agg_percentile",
     ]
     missing = [q for q in prefix if q not in specs]
     if missing:

@@ -3,10 +3,11 @@ driver-mandated extensions: SimHash, n-gram Jaccard, embedding near-dup,
 IVF ANN, language-ID, quality scoring, token counting, fingerprinting).
 
 Fixtures: ``documents`` (text analysis / dedup) and ``embeddings``
-(similarity). Operators whose kernels hash with xxhash64 (MinHash, SimHash,
-sign-LSH) have no DuckDB twin — rows-only checks, with seeds as literals so
-counts are deterministic (SURVEY.md §4.3). Everything else carries a strict
-value oracle.
+(similarity). EVERY query carries a strict DuckDB value oracle: the hash
+kernels (MinHash, SimHash, sign-LSH) use engine-portable sha-prefix hashes
+and literal constants (operators.llm.hash16/hash60/MINHASH_BANDS/
+lsh_plane_ints), so both engines recompute identical signatures, buckets,
+and similarities (SURVEY.md §4.3).
 
 Scale posture: near-dup search never materializes O(n²) — candidates come
 from inverted-index joins (shared shingle / band signature / LSH bucket).
@@ -20,14 +21,18 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from scylladb_redpanda_cdc_spark.operators.llm import (
+    MINHASH_BANDS,
+    MINHASH_P,
     STOPWORDS,
     connected_components_min_label,
     cosine,
     dot_d,
+    hash60,
     l2_norm,
     lsh_bucket,
+    lsh_plane_ints,
+    minhash_remix,
     rolling_fingerprint,
-    shingle_hashes,
     simhash16,
     word_grams,
     word_shingles,
@@ -109,21 +114,24 @@ def x1_dedup_exact(spark, sf_dir):
 def x2_dedup_fuzzy_minhash(spark, sf_dir):
     """MinHash+LSH banding near-dup candidates: 16 band signatures per doc,
     candidate pair = docs sharing >= 4 band signatures. The join key is
-    (band, signature) — an equi-join, never a cross product. Rows-only:
-    xxhash64 has no DuckDB twin; seeds are literal band indices.
+    (band, signature) — an equi-join, never a cross product. Strict
+    oracle: the base shingle hash is the sha-prefix ``hash60`` and band
+    signatures are a literal-constant universal-hash re-mix, so DuckDB
+    recomputes identical signatures (engine-exact hex->int, memoized
+    constants in ``operators.llm.MINHASH_BANDS``).
 
-    Scale shape: each shingle string is hashed ONCE; the 16 per-band
-    signatures are 16 ``min()`` aggregates over a cheap (band, long-hash)
+    Scale shape: each shingle string is sha-hashed ONCE; the 16 per-band
+    signatures are 16 ``min()`` aggregates over a 2-multiply-add int64
     re-mix, computed map-side in a single partial-agg shuffle on doc_id.
     (The naive form — 16 seeded string-hash passes inside nested array
     transforms — was 20x slower at sf0.1.)"""
     d = _docs_fanned(spark, sf_dir)
     sh = d.select(
-        "doc_id", F.explode(shingle_hashes(words(F.col("text")))).alias("h")
-    )
+        "doc_id", F.explode(word_grams(words(F.col("text")), 3)).alias("s")
+    ).select("doc_id", hash60(F.col("s")).alias("h"))
     sigs = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(b), F.col("h"))).alias(f"sig_{b}")
+            F.min(minhash_remix(F.col("h"), b)).alias(f"sig_{b}")
             for b in range(16)
         ]
     )
@@ -160,7 +168,8 @@ def x2_dedup_fuzzy_minhash(spark, sf_dir):
 def x10_dedup_simhash(spark, sf_dir):
     """16-bit SimHash signature per document (near-dup docs collide or sit
     at small Hamming distance). Per-row expression — embarrassingly
-    parallel. Rows-only (xxhash64)."""
+    parallel. Strict oracle: token hashes are sha-prefix ``hash16``, so
+    DuckDB recomputes the identical bit votes."""
     d = _T(spark, sf_dir, "documents")
     return d.select(
         "doc_id", simhash16(words(F.col("text"))).alias("simhash")
@@ -246,7 +255,8 @@ def x12_dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs: sign-LSH (6 planes) buckets the vectors,
     pairs are only formed within a bucket, then exact cosine >= 0.25
     filters. Bucketing bounds the pair space by ~2^-6 per plane-match.
-    Rows-only (xxhash64-seeded planes)."""
+    Strict oracle: literal integer hyperplanes + the bit-exact cosine fold
+    let DuckDB recompute buckets AND similarities identically."""
     e = _T(spark, sf_dir, "embeddings")
     bucketed = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding"), 6).alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
@@ -283,7 +293,8 @@ def x3_sim_cosine_topk(spark, sf_dir):
 
 def x4_sim_lsh_approx(spark, sf_dir):
     """Sign-LSH bucket histogram (8 deterministic hyperplanes): the bucket
-    structure behind approximate neighbor lookup. Rows-only."""
+    structure behind approximate neighbor lookup. Strict oracle via the
+    same literal-plane projection DuckDB reproduces bit-for-bit."""
     e = _T(spark, sf_dir, "embeddings")
     return (
         e.select(lsh_bucket(F.col("embedding"), 8).alias("bucket"))
@@ -1150,6 +1161,81 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _lsh_bucket_sql(n_planes: int, emb: str = "embedding") -> str:
+    """DuckDB twin of operators.llm.lsh_bucket: the SAME literal integer
+    planes (lsh_plane_ints), the same ``v/500.0 - 1.0`` component map, and
+    the same left-to-right double fold — bucket ids match bit-for-bit."""
+    terms = []
+    for p in range(n_planes):
+        ints = ",".join(str(v) for v in lsh_plane_ints(p))
+        proj = (
+            f"list_aggregate(list_transform(list_zip({emb}, [{ints}]),"
+            " z -> CAST(z[1] AS DOUBLE) * (CAST(z[2] AS DOUBLE)/500.0 - 1.0)),"
+            " 'sum')"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END")
+    return "(" + "\n + ".join(terms) + ")"
+
+
+#: x2's MinHash twin: one sha60 hash per shingle occurrence, the same 16
+#: literal (a, c) re-mix constants, min per (doc, band), then the identical
+#: (band, sig) equi-join. VALUES embeds operators.llm.MINHASH_BANDS so the
+#: two engines can never disagree within a process.
+_X2_BANDS_VALUES = ",\n  ".join(
+    f"({b}, {a}, {c})" for b, (a, c) in enumerate(MINHASH_BANDS)
+)
+_X2_SQL = f"""WITH {_TOKS_CTE},
+grams AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM toks WHERE len(ws) >= 3),
+hs AS (SELECT doc_id,
+         CAST(concat('0x', substr(sha256(s), 1, 15)) AS BIGINT) AS h
+       FROM grams),
+bands(band, a, c) AS (VALUES
+  {_X2_BANDS_VALUES}),
+sigs AS (SELECT doc_id, band,
+           MIN(((h % {MINHASH_P}) * a + c) % {MINHASH_P}) AS sig
+         FROM hs CROSS JOIN bands GROUP BY doc_id, band)
+SELECT doc_a, doc_b, n_shared_bands FROM (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+  FROM sigs x JOIN sigs y
+    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+WHERE n_shared_bands >= 4"""
+
+#: x10's SimHash twin: per-token sha16 hash, +1/-1 votes per bit, bit set
+#: iff the vote sum is positive. Docs with zero tokens get signature 0 via
+#: the LEFT JOIN (Spark's fold over an empty token array yields 0 votes).
+_X10_SQL = f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+th AS (SELECT doc_id,
+         CAST(concat('0x', substr(sha256(w), 1, 4)) AS BIGINT) AS h
+       FROM tok),
+votes AS (SELECT doc_id, b,
+            SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN (SELECT unnest(range(16)) AS b) bits
+          GROUP BY doc_id, b),
+sigs AS (SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+             AS simhash
+         FROM votes GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id"""
+
+_X4_SQL = f"""SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM (
+  SELECT {_lsh_bucket_sql(8)} AS bucket FROM embeddings)
+GROUP BY bucket"""
+
+_X12_SQL = f"""WITH bk AS (SELECT vec_id, embedding,
+  {_lsh_bucket_sql(6)} AS bucket FROM embeddings)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE cos_sim >= 0.25"""
+
+
 #: x13 is seed-free (centroids by modulus, everything else cosine
 #: arithmetic), so unlike the xxhash64-based X ops it admits a full strict
 #: oracle: DuckDB recomputes the IVF pipeline — assignment, probe choice,
@@ -1380,9 +1466,9 @@ SPECS = [
     QuerySpec(
         "x2_dedup_fuzzy_minhash",
         "X",
-        "MinHash+LSH banding near-dup candidates (rows-only: seed-hash)",
+        "MinHash+LSH banding near-dup candidates (portable-hash, strict oracle)",
         x2_dedup_fuzzy_minhash,
-        None,
+        _X2_SQL,
     ),
     QuerySpec(
         "x3_sim_cosine_topk",
@@ -1403,9 +1489,9 @@ SPECS = [
     QuerySpec(
         "x4_sim_lsh_approx",
         "X",
-        "sign-LSH bucket histogram (rows-only: seed-hash planes)",
+        "sign-LSH bucket histogram (literal planes, strict oracle)",
         x4_sim_lsh_approx,
-        None,
+        _X4_SQL,
     ),
     QuerySpec(
         "x5_embed_normalize",
@@ -1465,9 +1551,9 @@ SPECS = [
     QuerySpec(
         "x10_dedup_simhash",
         "X",
-        "16-bit SimHash signatures (rows-only: seed-hash)",
+        "16-bit SimHash signatures (portable-hash, strict oracle)",
         x10_dedup_simhash,
-        None,
+        _X10_SQL,
     ),
     QuerySpec(
         "x11_dedup_ngram_jaccard",
@@ -1479,9 +1565,9 @@ SPECS = [
     QuerySpec(
         "x12_dedup_embedding_cosine",
         "X",
-        "embedding near-dup pairs via LSH buckets + exact cosine (rows-only)",
+        "embedding near-dup pairs via LSH buckets + exact cosine (strict oracle)",
         x12_dedup_embedding_cosine,
-        None,
+        _X12_SQL,
     ),
     QuerySpec(
         "x13_sim_ivf_probe",

@@ -15,16 +15,12 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_rows_only_set_is_the_documented_one():
-    """Only seeded-hash / approximate / wire-format ops may lack oracles —
-    a new query silently missing its oracle is a bug, not a choice."""
+    """EVERY query carries a strict value oracle (the former seeded-hash
+    holdouts x2/x4/x10/x12 now use engine-portable sha-prefix hashes) — a
+    new query silently missing its oracle is a bug, not a choice."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "x2_dedup_fuzzy_minhash",
-        "x4_sim_lsh_approx",
-        "x10_dedup_simhash",
-        "x12_dedup_embedding_cosine",
-    }
+    assert rows_only == set()
 
 
 def test_entry_runs_and_returns_rows(spark):
