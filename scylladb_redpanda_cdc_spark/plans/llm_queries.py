@@ -1028,6 +1028,86 @@ def x32_knn_join(spark, sf_dir):
     )
 
 
+def x33_span_dedup(spark, sf_dir):
+    """Repeated token-SPAN detection — the span-granular cousin of document
+    dedup (approximating exact-substring dedup a la Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): each doc's
+    token stream is chunked into consecutive 8-token spans (stride 8, full
+    spans only), and a span is flagged when the identical span text occurs
+    in >= 2 DISTINCT documents. Emits (doc_id, span_idx, span_hash,
+    n_docs) for every flagged occurrence — exactly the cut list a trainer
+    needs to blank repeated boilerplate without dropping whole docs.
+
+    Scale shape: chunking+hashing is map-side expression algebra; the only
+    shuffles are the partial-agg on span_hash (one row per DISTINCT span
+    after map-side combine) and the hash equi-join back to occurrences.
+    Span hashes are uniform 60-bit — no skew key exists by construction
+    (a span shared by millions of docs still aggregates map-side first).
+    Strict oracle: spans are strings, hashes are portable ``hash60``."""
+    d = _docs_fanned(spark, sf_dir)
+    # Materialize the token array as a projected attribute first: slicing
+    # inside transform() references a column, not the tokenize expression,
+    # so tokenization runs once per doc (the _shingle_zip O(n^2) trap).
+    t = d.select("doc_id", words(F.col("text")).alias("ws"))
+    ws = F.col("ws")
+    n_spans = F.floor(F.size(ws) / F.lit(8)).cast("int")
+    spans = F.when(
+        n_spans >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: F.concat_ws(
+                " ", F.slice(ws, (i - 1) * F.lit(8) + 1, 8)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = t.select(
+        "doc_id", F.posexplode(spans).alias("span_idx", "s")
+    ).select("doc_id", "span_idx", hash60(F.col("s")).alias("span_hash"))
+    dup = (
+        occ.groupBy("span_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return occ.join(dup, "span_hash").select(
+        "doc_id", "span_idx", "span_hash", "n_docs"
+    )
+
+
+def x34_vocab_coverage(spark, sf_dir):
+    """Tokenizer-building vocabulary statistics: every distinct token with
+    its corpus frequency, frequency rank, and CUMULATIVE coverage in exact
+    integer ppm — the curve a BPE/vocab-size decision reads off ("the top
+    32k tokens cover 99.2% of the corpus").
+
+    Scale shape: the corpus-sized work is ONE partial-agg shuffle on token
+    (map-side combine ships a row per distinct token per task, immune to
+    zipf skew). The ordered running sum then runs over the VOCABULARY —
+    orders of magnitude smaller than the corpus and bounded by language,
+    not data size — which is the one place a single-ordering window is the
+    honest plan (same argument as a sort of aggregated output). Coverage
+    is (cumulative * 1_000_000) DIV total in int64 — engine-exact, no
+    float division to disagree on. Ties rank deterministically by
+    (count desc, token asc)."""
+    d = _docs_fanned(spark, sf_dir)
+    tok = d.select(F.explode(words(F.col("text"))).alias("token"))
+    vc = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = vc.agg(F.sum("n").alias("tot"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = (
+        vc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return ranked.select(
+        "token",
+        "n",
+        "rank",
+        F.expr("CAST(cum * 1000000 DIV tot AS BIGINT)").alias("coverage_ppm"),
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
@@ -1234,6 +1314,40 @@ SELECT vec_a, vec_b, cos_sim FROM (
          {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
   FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 WHERE cos_sim >= 0.25"""
+
+
+#: x33's twin: identical 8-token stride-8 chunking via list slicing, the
+#: same portable sha60 span hash, distinct-doc counting, and the hash join
+#: back to occurrences.
+_X33_SQL = f"""WITH {_TOKS_CTE},
+spans AS (SELECT doc_id,
+            unnest(list_transform(range(1, CAST(len(ws) // 8 AS BIGINT) + 1),
+              i -> {{'idx': i - 1,
+                    'h': CAST(concat('0x', substr(sha256(
+                           array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ')),
+                           1, 15)) AS BIGINT)}})) AS sp
+          FROM toks WHERE len(ws) >= 8),
+occ AS (SELECT doc_id, sp.idx AS span_idx, sp.h AS span_hash FROM spans),
+dup AS (SELECT span_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM occ GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT occ.doc_id, occ.span_idx, occ.span_hash, dup.n_docs
+FROM occ JOIN dup USING (span_hash)"""
+
+#: x34's twin: same (count desc, token asc) ordering, windowed cumulative
+#: sum cast back to BIGINT (DuckDB widens to HUGEINT), and the identical
+#: integer-ppm floor division.
+_X34_SQL = f"""WITH {_TOKS_CTE},
+tok AS (SELECT unnest(ws) AS token FROM toks),
+vc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM vc),
+r AS (SELECT token, n,
+        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+          AS rank,
+        CAST(SUM(n) OVER (ORDER BY n DESC, token ASC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM vc)
+SELECT token, n, rank, CAST(cum * 1000000 // tot AS BIGINT) AS coverage_ppm
+FROM r CROSS JOIN tot"""
 
 
 #: x13 is seed-free (centroids by modulus, everything else cosine
@@ -1722,5 +1836,19 @@ SPECS = [
         "k-NN join: top-5 cosine neighbors for every query vector, 2-phase",
         x32_knn_join,
         _X32_SQL,
+    ),
+    QuerySpec(
+        "x33_span_dedup",
+        "X",
+        "repeated 8-token spans across docs (substring-dedup cut list)",
+        x33_span_dedup,
+        _X33_SQL,
+    ),
+    QuerySpec(
+        "x34_vocab_coverage",
+        "X",
+        "vocabulary frequency ranks + cumulative coverage (integer ppm)",
+        x34_vocab_coverage,
+        _X34_SQL,
     ),
 ]

@@ -108,3 +108,55 @@ def test_knn_join_shape_and_ranks(spark, sf_dir, specs):
         g = g.sort_values("knn_rank")
         assert list(g["knn_rank"]) == [1, 2, 3, 4, 5]
         assert (g["cos_sim"].diff().dropna() <= 1e-12).all()
+
+
+def test_span_dedup_flags_only_cross_doc_repeats(spark, sf_dir, specs):
+    """x33: every flagged span occurs in >= 2 distinct docs (that's the
+    definition), span indexes are dense non-negatives bounded by the doc's
+    token count / 8, and identical span_hash rows agree on n_docs."""
+    pdf = specs["x33_span_dedup"].build(spark, sf_dir).toPandas()
+    assert (pdf["n_docs"] >= 2).all()
+    assert (pdf["span_idx"] >= 0).all()
+    per_hash = pdf.groupby("span_hash").agg(
+        docs=("doc_id", "nunique"), n=("n_docs", "nunique"), claimed=("n_docs", "first")
+    )
+    assert (per_hash["n"] == 1).all()  # n_docs consistent per span
+    assert (per_hash["docs"] == per_hash["claimed"]).all()
+
+
+def test_vocab_coverage_is_a_monotone_cdf(spark, sf_dir, specs):
+    """x34: ranks are 1..V with strictly decreasing-or-tie-broken counts,
+    coverage is monotone non-decreasing in rank, and the last token's
+    coverage is exactly 1_000_000 ppm (cum == total)."""
+    pdf = (
+        specs["x34_vocab_coverage"]
+        .build(spark, sf_dir)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(pdf["rank"]) == list(range(1, len(pdf) + 1))
+    assert (pdf["n"].diff().dropna() <= 0).all()  # counts non-increasing
+    assert (pdf["coverage_ppm"].diff().dropna() >= 0).all()
+    assert pdf["coverage_ppm"].iloc[-1] == 1_000_000
+
+
+def test_rollup_day_equals_sum_of_hours(spark, sf_dir, specs):
+    """b35: the day level must be EXACTLY the re-aggregation of its hour
+    partials — the invariant that makes serving coarse queries from the
+    continuous aggregate sound."""
+    pdf = specs["b35_time_bucket_rollup"].build(spark, sf_dir).toPandas()
+    hours = pdf[pdf["granularity"] == "hour"].copy()
+    days = pdf[pdf["granularity"] == "day"]
+    hours["day_ms"] = hours["bucket_ms"] - (hours["bucket_ms"] % 86_400_000)
+    rolled = (
+        hours.groupby(["event_type", "day_ms"], as_index=False)
+        .agg(n_events=("n_events", "sum"), value_micros_sum=("value_micros_sum", "sum"))
+        .rename(columns={"day_ms": "bucket_ms"})
+    )
+    merged = days.drop(columns=["granularity"]).merge(
+        rolled, on=["event_type", "bucket_ms"], suffixes=("_d", "_h")
+    )
+    assert len(merged) == len(days) == len(rolled)
+    assert (merged["n_events_d"] == merged["n_events_h"]).all()
+    assert (merged["value_micros_sum_d"] == merged["value_micros_sum_h"]).all()

@@ -165,6 +165,7 @@ _INTENDED_NESTED_LOOP = {
     "x28_unigram_lm_score",  # broadcast 1-row total token count
     "x29_kmeans_refine",  # broadcast K-row centroid table per Lloyd pass
     "x32_knn_join",  # broadcast query batch; corpus streams past map-side
+    "x34_vocab_coverage",  # broadcast 1-row total token count
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
