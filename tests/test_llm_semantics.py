@@ -160,3 +160,28 @@ def test_rollup_day_equals_sum_of_hours(spark, sf_dir, specs):
     assert len(merged) == len(days) == len(rolled)
     assert (merged["n_events_d"] == merged["n_events_h"]).all()
     assert (merged["value_micros_sum_d"] == merged["value_micros_sum_h"]).all()
+
+
+def test_tokens_to_ids_roundtrips_the_token_stream(spark, sf_dir, specs):
+    """x35: decoding every doc's id sequence through the x34 vocabulary
+    must reproduce the document's token stream exactly, in order — the
+    property that makes the encoding lossless for training."""
+    from scylladb_redpanda_cdc_spark.operators.llm import words
+    from pyspark.sql import functions as F
+
+    enc = specs["x35_tokens_to_ids"].build(spark, sf_dir).toPandas()
+    vocab = (
+        specs["x34_vocab_coverage"].build(spark, sf_dir).toPandas()
+        .set_index("rank")["token"]
+    )
+    docs = (
+        specs["x1_dedup_exact"].build.__globals__["_T"](spark, sf_dir, "documents")
+        .select("doc_id", F.concat_ws(" ", words(F.col("text"))).alias("joined"))
+        .toPandas()
+        .set_index("doc_id")["joined"]
+    )
+    for _, row in enc.sample(n=min(50, len(enc)), random_state=7).iterrows():
+        ids = [int(t) for t in row["token_ids"].split()] if row["token_ids"] else []
+        assert len(ids) == row["n_tokens"]
+        decoded = " ".join(vocab.loc[i] for i in ids)
+        assert decoded == docs.loc[row["doc_id"]]
