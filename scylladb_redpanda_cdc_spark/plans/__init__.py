@@ -51,7 +51,7 @@ def registry() -> dict[str, QuerySpec]:
     # bounded harness budget grades a PREFIX of exactly 50 entries per round:
     # round 1's artifact cut at 50 with an A+B prefix, round 2's cut at 50
     # again with an A+X+S prefix — two different mixes landing on the same
-    # count pins the budget as count-based, not time-based). With 116
+    # count pins the budget as count-based, not time-based). With 117
     # registered queries no single round can grade everything, so rounds
     # ROTATE the prefix to maximise *cumulative* driver-verified coverage:
     #   round 1 artifact proves  A + B            (CORRECTNESS_r01.json)

@@ -1157,6 +1157,50 @@ def x35_tokens_to_ids(spark, sf_dir):
     )
 
 
+def x36_incremental_dedup(spark, sf_dir):
+    """INCREMENTAL exact dedup — the arriving-shard path of the engine's
+    CDC story applied to corpus building: docs with doc_id % 10 == 9 play
+    the newly-crawled shard, the rest are the standing corpus with its
+    content-hash index. Every shard doc is classified
+    ``dup_of_corpus`` (hash already indexed; canonical_id = corpus
+    canonical), ``dup_in_batch`` (first seen inside this shard), or
+    ``keep`` — exactly the decision an ingest pipeline makes per batch
+    without ever re-deduplicating the whole corpus.
+
+    Scale shape: the corpus side is its pre-aggregated HASH INDEX (one row
+    per distinct hash — the standing state a 100 TB pipeline maintains
+    anyway, cf. S10's merge state), and the shard is orders of magnitude
+    smaller, so the classify join is an equi-join the optimizer can
+    broadcast from the shard side; within-shard dedup is a partial agg on
+    the shard only. The raw corpus is never rescanned per batch."""
+    d = _docs_fanned(spark, sf_dir)
+    h = F.sha2(F.lower(F.trim("text")), 256)
+    hashed = d.select("doc_id", h.alias("text_hash"))
+    corpus_index = (
+        hashed.filter(F.col("doc_id") % 10 != 9)
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("corpus_canonical"))
+    )
+    shard = hashed.filter(F.col("doc_id") % 10 == 9)
+    first_in_shard = shard.groupBy("text_hash").agg(
+        F.min("doc_id").alias("shard_canonical")
+    )
+    return (
+        shard.join(corpus_index, "text_hash", "left")
+        .join(first_in_shard, "text_hash")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_canonical").isNotNull(), "dup_of_corpus")
+            .when(F.col("doc_id") != F.col("shard_canonical"), "dup_in_batch")
+            .otherwise("keep")
+            .alias("status"),
+            F.coalesce("corpus_canonical", "shard_canonical").alias(
+                "canonical_id"
+            ),
+        )
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
@@ -1417,6 +1461,25 @@ enc AS (SELECT t.doc_id, t.pos, v.token_id
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        array_to_string(list(token_id ORDER BY pos), ' ') AS token_ids
 FROM enc GROUP BY doc_id"""
+
+
+#: x36's twin: same hash index / shard split, LEFT JOIN classification.
+_X36_SQL = """WITH hashed AS (
+  SELECT doc_id, sha256(lower(trim(text))) AS text_hash FROM documents),
+corpus_index AS (
+  SELECT text_hash, MIN(doc_id) AS corpus_canonical
+  FROM hashed WHERE doc_id % 10 <> 9 GROUP BY 1),
+shard AS (SELECT * FROM hashed WHERE doc_id % 10 = 9),
+first_in_shard AS (
+  SELECT text_hash, MIN(doc_id) AS shard_canonical FROM shard GROUP BY 1)
+SELECT s.doc_id,
+  CASE WHEN ci.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+       WHEN s.doc_id <> fs.shard_canonical THEN 'dup_in_batch'
+       ELSE 'keep' END AS status,
+  COALESCE(ci.corpus_canonical, fs.shard_canonical) AS canonical_id
+FROM shard s
+LEFT JOIN corpus_index ci USING (text_hash)
+JOIN first_in_shard fs USING (text_hash)"""
 
 
 #: x13 is seed-free (centroids by modulus, everything else cosine
@@ -1926,5 +1989,12 @@ SPECS = [
         "tokenizer apply: order-preserving vocab-id encoding per doc",
         x35_tokens_to_ids,
         _X35_SQL,
+    ),
+    QuerySpec(
+        "x36_incremental_dedup",
+        "X",
+        "arriving-shard dedup against the corpus hash index (keep / dup)",
+        x36_incremental_dedup,
+        _X36_SQL,
     ),
 ]

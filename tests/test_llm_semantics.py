@@ -185,3 +185,18 @@ def test_tokens_to_ids_roundtrips_the_token_stream(spark, sf_dir, specs):
         assert len(ids) == row["n_tokens"]
         decoded = " ".join(vocab.loc[i] for i in ids)
         assert decoded == docs.loc[row["doc_id"]]
+
+
+def test_incremental_dedup_partitions_the_shard(spark, sf_dir, specs):
+    """x36: every shard doc (doc_id % 10 == 9) is classified exactly once;
+    'keep' docs are their own canonical; canonicals never point at a later
+    doc; and a 'dup_of_corpus' canonical lives OUTSIDE the shard."""
+    pdf = specs["x36_incremental_dedup"].build(spark, sf_dir).toPandas()
+    assert (pdf["doc_id"] % 10 == 9).all()
+    assert pdf["doc_id"].is_unique
+    keep = pdf[pdf["status"] == "keep"]
+    assert (keep["canonical_id"] == keep["doc_id"]).all()
+    dupc = pdf[pdf["status"] == "dup_of_corpus"]
+    assert (dupc["canonical_id"] % 10 != 9).all()
+    dupb = pdf[pdf["status"] == "dup_in_batch"]
+    assert (dupb["canonical_id"] < dupb["doc_id"]).all()
