@@ -30,14 +30,18 @@ from scylladb_redpanda_cdc_spark.sources.tables import load_table
 class Engine:
     """One session + one dataset directory, all engine surfaces attached."""
 
-    #: Temp views are SESSION-global while engines are per-dataset: tracks
-    #: which engine's sf_dir the session's views currently point at, so a
-    #: second engine on the same session cannot silently serve the first
-    #: engine's ``sql()`` from the wrong dataset. Keyed by the session
-    #: OBJECT (not applicationId): ``spark.newSession()`` siblings share an
-    #: applicationId but have their own empty temp-view catalog, so an
-    #: app-level key would wrongly skip ``register_views`` for them.
-    _views_bound_to: dict[int, str] = {}
+    #: Temp views are SESSION-global while engines are per-dataset: the
+    #: session object carries a ``_sg_views_sf_dir`` attribute recording
+    #: which engine's sf_dir its views currently point at, so a second
+    #: engine on the same session cannot silently serve the first engine's
+    #: ``sql()`` from the wrong dataset. Tagging the session OBJECT (not a
+    #: class dict keyed by id(), not applicationId) gets all three
+    #: properties at once: ``spark.newSession()`` siblings share an
+    #: applicationId but have their own empty temp-view catalog (so
+    #: app-level state is wrong), CPython reuses ids after GC (so an
+    #: id-keyed dict can false-hit a new session), and an attribute dies
+    #: with its session (no unbounded growth).
+    _VIEWS_ATTR = "_sg_views_sf_dir"
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
@@ -67,10 +71,10 @@ class Engine:
         """Expose every dataset table as a temp view for ``sql()``."""
         for name in TABLE_NAMES:
             self.table(name).createOrReplaceTempView(name)
-        Engine._views_bound_to[id(self.spark)] = self.sf_dir
+        setattr(self.spark, Engine._VIEWS_ATTR, self.sf_dir)
 
     def sql(self, query: str) -> DataFrame:
-        if Engine._views_bound_to.get(id(self.spark)) != self.sf_dir:
+        if getattr(self.spark, Engine._VIEWS_ATTR, None) != self.sf_dir:
             self.register_views()
         return self.spark.sql(query)
 

@@ -581,7 +581,14 @@ def b34_unpivot(spark, sf_dir):
     )
 
 
-_b35_hour_cache: dict[tuple[str, str], DataFrame] = {}
+# Per-session hour-rollup cache, stored as an attribute ON the session
+# object (same discipline as Engine._VIEWS_ATTR): a persisted DataFrame is
+# only valid in the session that built it, ``spark.newSession()`` siblings
+# share an applicationId but must not share it, and the attribute — plus
+# its pinned blocks' lineage handle — dies with the session instead of
+# accumulating in module state. Entries are per sf_dir; the dataset count
+# per process is tiny (3 driver fixtures) so no eviction is needed.
+_B35_CACHE_ATTR = "_sg_b35_hour_cache"
 
 
 def b35_time_bucket_rollup(spark, sf_dir):
@@ -617,10 +624,13 @@ def b35_time_bucket_rollup(spark, sf_dir):
             F.sum("value_micros").alias("value_micros_sum"),
         )
     )
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    if cache_key not in _b35_hour_cache:
-        _b35_hour_cache[cache_key] = hour.persist()
-    hour = _b35_hour_cache[cache_key]
+    cache = getattr(spark, _B35_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _B35_CACHE_ATTR, cache)
+    if sf_dir not in cache:
+        cache[sf_dir] = hour.persist()
+    hour = cache[sf_dir]
     day = (
         hour.select(
             "event_type",

@@ -1062,7 +1062,13 @@ def x33_span_dedup(spark, sf_dir):
     ).otherwise(F.array().cast("array<string>"))
     occ = t.select(
         "doc_id", F.posexplode(spans).alias("span_idx", "s")
-    ).select("doc_id", "span_idx", hash60(F.col("s")).alias("span_hash"))
+    ).select(
+        "doc_id",
+        # posexplode yields int32; the DuckDB twin's range()-derived sp.idx
+        # is BIGINT — cast so schema_match holds, not just value compare.
+        F.col("span_idx").cast("long").alias("span_idx"),
+        hash60(F.col("s")).alias("span_hash"),
+    )
     dup = (
         occ.groupBy("span_hash")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

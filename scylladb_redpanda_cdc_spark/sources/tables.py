@@ -16,22 +16,36 @@ from pyspark.sql import DataFrame, SparkSession
 from scylladb_redpanda_cdc_spark.schemas import TABLE_NAMES
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-tz TimestampType at microsecond
+    precision, whatever the fixture's physical layout. The driver has
+    shipped ``events.parquet`` with ts as TIMESTAMP(NANOS) (which Spark 4
+    reads as long nanos under ``spark.sql.legacy.parquet.nanosAsLong``) and
+    as plain TIMESTAMP(MICROS) without a UTC annotation (which Spark reads
+    as TIMESTAMP_NTZ). Under the engine's UTC session timezone all variants
+    land on identical epoch micros — the same value DuckDB's ``epoch_us(ts)``
+    sees — so plans and oracles agree regardless of the fixture vintage."""
+    from pyspark.sql import functions as F
+
+    kind = dict(df.dtypes).get("ts")
+    if kind == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if kind == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, e.g. ``load_table(spark, sf_dir, "lineitem")``."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, which Spark 4's parquet reader
-        # rejects unless spark.sql.legacy.parquet.nanosAsLong is on. Set it
-        # here (runtime-settable) so the loader works under ANY caller's
-        # session, including the driver's vanilla one — then truncate to
-        # micros (identically to DuckDB's epoch_us) and restore a real
-        # timestamp column for window/watermark semantics.
-        from pyspark.sql import functions as F
-
+        # The legacy conf is runtime-settable and harmless when ts is not
+        # nanos, so set it unconditionally: the loader must work under ANY
+        # caller's session, including the driver's vanilla one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -31,12 +31,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: Explicit source schema (file streams cannot infer; SURVEY.md §1.3 —
-#: schema drift must fail loudly, as in Kafka Connect). ``ts`` arrives as
-#: TIMESTAMP(NANOS) which Spark reads as long nanos under the legacy conf.
-EVENTS_STREAM_DDL = (
-    "event_id bigint, ts bigint, user_id bigint, "
+#: schema drift must fail loudly, as in Kafka Connect). ``ts``'s physical
+#: type has varied across fixture vintages (TIMESTAMP(NANOS) -> long under
+#: the legacy conf; TIMESTAMP(MICROS) without UTC annotation -> ntz), so
+#: the per-dataset DDL is derived from the parquet footer via
+#: :func:`events_stream_ddl`; after :func:`normalize_event_ts` the frame is
+#: always this canonical shape.
+EVENTS_NORMALIZED_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
     "event_type string, value double, props string"
 )
+
+_events_ts_sql_types: dict[str, str] = {}
+
+
+def _events_ts_sql_type(sf_dir: str) -> str:
+    """Spark SQL type the raw ``ts`` column loads as, probed once per
+    dataset from the parquet footer (file streams need a declared schema
+    up front, so the batch reader's footer-driven inference is replayed
+    here by hand)."""
+    if sf_dir not in _events_ts_sql_types:
+        import pyarrow.parquet as pq
+
+        t = str(
+            pq.read_schema(os.path.join(sf_dir, "events.parquet"))
+            .field("ts")
+            .type
+        )
+        if t == "int64" or t.startswith("timestamp[ns"):
+            kind = "bigint"  # read as long nanos under nanosAsLong
+        elif "tz=" in t:
+            kind = "timestamp"
+        else:
+            kind = "timestamp_ntz"
+        _events_ts_sql_types[sf_dir] = kind
+    return _events_ts_sql_types[sf_dir]
+
+
+def events_stream_ddl(sf_dir: str) -> str:
+    """Source DDL for ``events.parquet`` under ``sf_dir`` (raw, pre-normalize)."""
+    return (
+        f"event_id bigint, ts {_events_ts_sql_type(sf_dir)}, user_id bigint, "
+        "event_type string, value double, props string"
+    )
 
 _name_counter = itertools.count()
 
@@ -116,14 +153,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     File-stream restatement of ``readStream.format("kafka")`` (reference
     broker localhost:19092, connect-standalone.properties:1): same fixed
-    frame, different transport. ``ts`` is truncated to micros exactly like
+    frame, different transport. ``ts`` is normalized to micros exactly like
     the batch loader so stream and batch plans agree bit-for-bit.
     """
+    from scylladb_redpanda_cdc_spark.sources.tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_STREAM_DDL).parquet(
+    raw = spark.readStream.schema(events_stream_ddl(sf_dir)).parquet(
         _events_source_dir(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 #: Shuffle/state-store partition count while materializing a TEST sink.

@@ -98,19 +98,26 @@ def stage_late_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from scylladb_redpanda_cdc_spark.streaming.core import EVENTS_STREAM_DDL
+    from scylladb_redpanda_cdc_spark.sources.tables import normalize_event_ts
+    from scylladb_redpanda_cdc_spark.streaming.core import (
+        EVENTS_NORMALIZED_DDL,
+        events_stream_ddl,
+    )
 
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     if not staged_dir_valid(_staged_late_events.get(cache_key)):
         # The legacy conf is only needed for this eager batch read of the
-        # source fixture (TIMESTAMP(NANOS) -> long); the staged files below
-        # store ts as plain int64, so the lazily-run readStream at the end
-        # does not depend on it — safe to scope and restore.
+        # source fixture (only the nanos vintage depends on it); the staged
+        # files below store ts normalized to TimestampType micros, so the
+        # lazily-run readStream at the end does not depend on it — safe to
+        # scope and restore.
         with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-            raw = spark.read.schema(EVENTS_STREAM_DDL).parquet(
-                os.path.join(sf_dir, "events.parquet")
+            raw = normalize_event_ts(
+                spark.read.schema(events_stream_ddl(sf_dir)).parquet(
+                    os.path.join(sf_dir, "events.parquet")
+                )
             )
-            us = F.expr("ts DIV 1000")
+            us = F.unix_micros(F.col("ts"))
             bounds = raw.agg(
                 ((F.min(us) + F.max(us)) / F.lit(2)).cast("long").alias("mid_us")
             )
@@ -143,10 +150,9 @@ def stage_late_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (mtime, mtime))
         _staged_late_events[cache_key] = stage
     return (
-        spark.readStream.schema(EVENTS_STREAM_DDL)
+        spark.readStream.schema(EVENTS_NORMALIZED_DDL)
         .option("maxFilesPerTrigger", 1)
         .parquet(_staged_late_events[cache_key])
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
 
 
