@@ -663,6 +663,66 @@ def b35_time_bucket_rollup(spark, sf_dir):
     )
 
 
+def b36_range_interval_join(spark, sf_dir):
+    """Time-range self-join WITHOUT the nested loop: for every event, the
+    count of same-user events in the following 5 minutes.
+
+    ``e1 JOIN e2 ON same user AND e2.ts IN (e1.ts, e1.ts + 5min]`` plans
+    as a sort-merge on user_id alone with a per-user quadratic range
+    filter — fine until one bot user has 10^6 events. Bucketed range join
+    instead (the standard interval-join decomposition, same shape Flink's
+    interval join and range-join hints produce):
+
+      1. bucket both sides into 5-minute epoch buckets;
+      2. a right-side row can only match left rows in ITS bucket or the
+         one before, so explode the right side to those two keys (2x one
+         side, constant factor — not O(n^2));
+      3. equi-join on (user_id, bucket) — hash-partitionable, AQE-salvable
+         like any other key join — then apply the exact range predicate;
+      4. per-left-event count via partial agg.
+
+    Exact integer micros arithmetic both engines agree on; left join keeps
+    zero-neighbor events in the output."""
+    e = _T(spark, sf_dir, "events")
+    W = 300_000_000  # 5 minutes in micros
+    base = e.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    left = base.withColumn("bucket", F.expr(f"us DIV {W}"))
+    right = base.select(
+        F.col("user_id").alias("r_user"), F.col("us").alias("r_us")
+    ).select(
+        "r_user",
+        "r_us",
+        F.explode(
+            F.array(F.expr(f"r_us DIV {W}"), F.expr(f"r_us DIV {W} - 1"))
+        ).alias("bucket"),
+    )
+    hit = (F.col("r_us") > F.col("us")) & (F.col("r_us") - F.col("us") <= W)
+    return (
+        left.join(
+            right,
+            (left.user_id == right.r_user) & (left.bucket == right.bucket),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_next_5min")
+        )
+    )
+
+
+_B36_SQL = """SELECT e.event_id, e.user_id,
+  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_next_5min
+FROM events e LEFT JOIN (
+  SELECT a.event_id, COUNT(*) AS n
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND epoch_us(b.ts) > epoch_us(a.ts)
+   AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+  GROUP BY a.event_id) c USING (event_id)"""
+
+
 _B35_SQL = """WITH h AS (
   SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
          CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1009,5 +1069,12 @@ SPECS = [
         "continuous-aggregate rollup: hour buckets + day-from-hour partials",
         b35_time_bucket_rollup,
         _B35_SQL,
+    ),
+    QuerySpec(
+        "b36_range_interval_join",
+        "B",
+        "bucketed time-range self-join: same-user events in next 5 minutes",
+        b36_range_interval_join,
+        _B36_SQL,
     ),
 ]
