@@ -74,13 +74,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Two runs per query, report the min: run 1 pays one-time whole-stage
+    # Three runs per query, report the min: run 1 pays one-time whole-stage
     # codegen compilation (irrelevant amortized cost on any long-lived
-    # cluster); run 2 is the steady-state number.
+    # cluster); later runs are steady-state. Best-of-3 (not 2) because the
+    # shared box shows multi-second one-off spikes that land on arbitrary
+    # queries (measured: x18 1.5s/1.5s/7.7s, s10 2.4s isolated vs 18s in a
+    # noisy window) — a single spike must not masquerade as a regression.
     timings: dict[str, float] = {}
     for qid in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             specs[qid].build(spark, sf_dir).write.format("noop").mode(
                 "overwrite"

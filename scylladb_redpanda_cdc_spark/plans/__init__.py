@@ -64,6 +64,11 @@ def registry() -> dict[str, QuerySpec]:
     #     — every S spec plus w6/f6/f7/b14 re-proves the new normalize
     #     path), then the reference-evidenced A surface re-proof on the new
     #     fixture, then X headliners.
+    #   round 4 artifact was EMPTY (the prefix named x37-x39 before they
+    #     existed and registry() raised); round 5 keeps the identical
+    #     rotation intent — b35/b36/x33-x36 + the now-implemented x37-x39 +
+    #     the S-group/events re-proof + A re-proof + X headliners — so the
+    #     round-5 artifact proves everything round 4 was meant to.
     # Cheapest-first within equal-information groups so that if the budget
     # ever turns out to be time-bound as well, the cut still lands after
     # the most new information. SURVEY.md §2 records which artifact proves
@@ -139,9 +144,18 @@ def registry() -> dict[str, QuerySpec]:
         "x21_dedup_cluster_cc",
         "x30_canonical_select",
     ]
+    # A prefix entry is a PLANNING artifact, not a contract: a stale name
+    # must never take down queries(), oracle_sql(), and the test suite in
+    # one throw (round 4 shipped exactly that failure). Warn and skip.
     missing = [q for q in prefix if q not in specs]
     if missing:
-        raise ValueError(f"grading prefix names unknown queries: {missing}")
-    ordered = {q: specs[q] for q in prefix}
+        import warnings
+
+        warnings.warn(
+            f"grading prefix names unknown queries (skipped): {missing}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    ordered = {q: specs[q] for q in prefix if q in specs}
     ordered.update((q, s) for q, s in specs.items() if q not in ordered)
     return ordered

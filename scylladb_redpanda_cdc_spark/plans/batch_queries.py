@@ -688,14 +688,22 @@ def b36_range_interval_join(spark, sf_dir):
     base = e.select(
         "event_id", "user_id", F.unix_micros(F.col("ts")).alias("us")
     )
-    left = base.withColumn("bucket", F.expr(f"us DIV {W}"))
+    # FLOOR division, not DIV: DIV truncates toward zero, so pre-epoch
+    # (negative) micros would share bucket 0 with post-epoch micros and
+    # cross-epoch neighbors could be missed. ``x - pmod(x, W)`` is the
+    # largest multiple of W <= x, and DIV of an exact multiple is exact —
+    # pure int64 arithmetic, no double rounding at any timestamp range.
+    left = base.withColumn("bucket", F.expr(f"(us - pmod(us, {W})) DIV {W}"))
     right = base.select(
         F.col("user_id").alias("r_user"), F.col("us").alias("r_us")
     ).select(
         "r_user",
         "r_us",
         F.explode(
-            F.array(F.expr(f"r_us DIV {W}"), F.expr(f"r_us DIV {W} - 1"))
+            F.array(
+                F.expr(f"(r_us - pmod(r_us, {W})) DIV {W}"),
+                F.expr(f"(r_us - pmod(r_us, {W})) DIV {W} - 1"),
+            )
         ).alias("bucket"),
     )
     hit = (F.col("r_us") > F.col("us")) & (F.col("r_us") - F.col("us") <= W)

@@ -120,14 +120,20 @@ def x2_dedup_fuzzy_minhash(spark, sf_dir):
     recomputes identical signatures (engine-exact hex->int, memoized
     constants in ``operators.llm.MINHASH_BANDS``).
 
-    Scale shape: each shingle string is sha-hashed ONCE; the 16 per-band
-    signatures are 16 ``min()`` aggregates over a 2-multiply-add int64
-    re-mix, computed map-side in a single partial-agg shuffle on doc_id.
-    (The naive form — 16 seeded string-hash passes inside nested array
-    transforms — was 20x slower at sf0.1.)"""
+    Scale shape: each DISTINCT shingle string is sha-hashed ONCE — MinHash
+    is duplicate-insensitive, so ``word_shingles`` (the array_distinct
+    form) yields identical signatures while cutting sha256 invocations by
+    the per-doc repetition factor (the round-4 bench's 2.2x-baseline cost
+    was per-OCCURRENCE hashing of the ``word_grams`` multiset). The 16
+    per-band signatures are 16 ``min()`` aggregates over a 2-multiply-add
+    int64 re-mix, computed map-side in a single partial-agg shuffle on
+    doc_id. (The naive form — 16 seeded string-hash passes inside nested
+    array transforms — was 20x slower at sf0.1. Deployments that don't
+    need the cross-engine oracle should use ``operators.llm
+    .shingle_hashes``, the xxhash64 fast path, as the base hash.)"""
     d = _docs_fanned(spark, sf_dir)
     sh = d.select(
-        "doc_id", F.explode(word_grams(words(F.col("text")), 3)).alias("s")
+        "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
     ).select("doc_id", hash60(F.col("s")).alias("h"))
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -1028,6 +1034,21 @@ def x32_knn_join(spark, sf_dir):
     )
 
 
+def _spans8(ws):
+    """Consecutive 8-token spans (stride 8, full spans only) of a token
+    array, as strings — the shared chunking kernel of x33 (span dedup) and
+    x39 (containment). Map-side expression algebra; ``ws`` must be a
+    projected attribute so tokenization runs once per doc."""
+    n_spans = F.floor(F.size(ws) / F.lit(8)).cast("int")
+    return F.when(
+        n_spans >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: F.concat_ws(" ", F.slice(ws, (i - 1) * F.lit(8) + 1, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def x33_span_dedup(spark, sf_dir):
     """Repeated token-SPAN detection — the span-granular cousin of document
     dedup (approximating exact-substring dedup a la Lee et al. 2022,
@@ -1049,17 +1070,7 @@ def x33_span_dedup(spark, sf_dir):
     # inside transform() references a column, not the tokenize expression,
     # so tokenization runs once per doc (the _shingle_zip O(n^2) trap).
     t = d.select("doc_id", words(F.col("text")).alias("ws"))
-    ws = F.col("ws")
-    n_spans = F.floor(F.size(ws) / F.lit(8)).cast("int")
-    spans = F.when(
-        n_spans >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_spans),
-            lambda i: F.concat_ws(
-                " ", F.slice(ws, (i - 1) * F.lit(8) + 1, 8)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    spans = _spans8(F.col("ws"))
     occ = t.select(
         "doc_id", F.posexplode(spans).alias("span_idx", "s")
     ).select(
@@ -1204,6 +1215,188 @@ def x36_incremental_dedup(spark, sf_dir):
                 "canonical_id"
             ),
         )
+    )
+
+
+# PII regex classes. Semantics are identical in Java regex (Spark) and RE2
+# (DuckDB): ASCII classes only, no lookaround, leftmost non-overlapping
+# matching — so counts and replacements twin exactly. The three patterns are
+# mutually non-overlapping by construction (3-3-4 vs 3-2-4 digit groups).
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_ID = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def _pii_salted_text():
+    """``text`` with deterministic synthetic PII appended: the fixture
+    corpus is digit-free (no emails/phones/ids occur naturally), so a
+    redactor graded on raw ``text`` would be vacuously green. Salting an
+    email (doc_id%3==0), a phone (doc_id%5==0) and an SSN-style id
+    (doc_id%7==0) — pure string algebra both engines compute identically —
+    makes counts and redacted output meaningfully non-trivial."""
+    did = F.col("doc_id").cast("string")
+    tail = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" reach user"), did, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit(" call 555-123-"), tail)
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit(" id 987-65-"), tail)
+        ).otherwise(F.lit("")),
+    )
+
+
+def x37_pii_redact(spark, sf_dir):
+    """PII redaction: email / phone / SSN-style-id occurrences are counted
+    and replaced with ``<EMAIL>`` / ``<PHONE>`` / ``<ID>`` class tokens,
+    emitting per-doc redaction counts plus the sha256 of the redacted text
+    (compact, and pins the exact redacted bytes cross-engine).
+
+    Scale shape: map-only ``regexp_count``/``regexp_replace`` expression
+    algebra — whole-stage codegen, zero shuffles, embarrassingly parallel
+    at any corpus size. Counts are computed on the pre-redaction text (the
+    patterns are mutually non-overlapping, so order cannot shift counts);
+    replacement nests email -> id -> phone identically in both engines."""
+    d = _docs_fanned(spark, sf_dir)
+    aug = d.select("doc_id", _pii_salted_text().alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL, "<EMAIL>"),
+            PII_ID,
+            "<ID>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(PII_ID)).cast("long").alias("n_ids"),
+        F.sha2(redacted, 256).alias("redacted_hash"),
+    )
+
+
+#: x38's chunk geometry: 64-token windows at stride 48 (16-token overlap) —
+#: the classic RAG/packing prep. Literals shared by builder and oracle.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def x38_doc_chunk(spark, sf_dir):
+    """Fixed-size overlapping token-window chunking: every doc becomes
+    ceil-strided 64-token windows at stride 48, emitting (doc_id,
+    chunk_idx, token_start, n_chunk_tokens, chunk_hash) — the RAG indexing
+    / context-packing prerequisite (x24 packs whole docs; x38 splits them).
+
+    Chunk count k = 1 for 1..64 tokens, 1 + ceil((n-64)/48) above (the
+    last window may be short; empty docs emit nothing), so every token is
+    covered and consecutive windows overlap by 16 tokens.
+
+    Scale shape: per-doc expression algebra (sequence + slice inside one
+    projection) then a single explode — map-only, no shuffle, no skew
+    (fan-out per doc is n/48). ``chunk_hash`` is the portable ``hash60``
+    so the DuckDB twin pins the exact chunk text, not just the geometry."""
+    d = _docs_fanned(spark, sf_dir)
+    t = d.select("doc_id", words(F.col("text")).alias("ws"))
+    n = F.size(F.col("ws")).cast("long")
+    k = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= CHUNK_TOKENS, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.floor(
+                (n - CHUNK_TOKENS + (CHUNK_STRIDE - 1)) / F.lit(CHUNK_STRIDE)
+            )
+        )
+        .cast("long")
+    )
+    c = t.select(
+        "doc_id",
+        "ws",
+        n.alias("n_tokens"),
+        F.explode(
+            F.when(k >= 1, F.sequence(F.lit(0).cast("long"), k - 1)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("token_start"),
+        F.least(
+            F.lit(CHUNK_TOKENS).cast("long"), F.col("n_tokens") - start
+        ).alias("n_chunk_tokens"),
+        hash60(
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), (start + 1).cast("int"), CHUNK_TOKENS)
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+def x39_dedup_containment(spark, sf_dir):
+    """Near-CONTAINMENT detection (doc A largely inside doc B) — the
+    asymmetric complement of x33's span dedup and x11's symmetric Jaccard:
+    containment(A,B) = |spans(A) ∩ spans(B)| / |spans(A)| over the
+    DISTINCT 8-token stride-8 span sets, flagging ordered pairs with
+    containment >= 0.5. An exact duplicate yields containment 1.0 both
+    ways; a doc quoting half of another scores 0.5 one way only.
+
+    Scale shape: x33's span kernel feeds an x11-style inverted-index join
+    — candidates come only from shared span hashes, never all-pairs, and
+    the df<=50 hot-span cap bounds per-span fan-out at 50^2 pairs (the
+    denominator uses the same capped universe, mirrored by the oracle, so
+    the ratio is an exact rational both engines agree on). Span hashes are
+    uniform 60-bit: the partial aggs and the equi-join have no skew key by
+    construction."""
+    d = _docs_fanned(spark, sf_dir)
+    t = d.select("doc_id", words(F.col("text")).alias("ws"))
+    occ = (
+        t.select("doc_id", F.explode(_spans8(F.col("ws"))).alias("s"))
+        .select("doc_id", hash60(F.col("s")).alias("span_hash"))
+        .distinct()
+    )
+    keep = (
+        occ.groupBy("span_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("span_hash")
+    )
+    sp = occ.join(keep, "span_hash")
+    sizes = sp.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sp.alias("a"), sp.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.span_hash") == F.col("b.span_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_spans"))
+    )
+    return (
+        shared.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_spans",
+            F.col("sa.n").alias("n_spans_a"),
+            (
+                F.col("n_shared_spans").cast("double")
+                / F.col("sa.n").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.5)
     )
 
 
@@ -1356,17 +1549,18 @@ def _lsh_bucket_sql(n_planes: int, emb: str = "embedding") -> str:
     return "(" + "\n + ".join(terms) + ")"
 
 
-#: x2's MinHash twin: one sha60 hash per shingle occurrence, the same 16
-#: literal (a, c) re-mix constants, min per (doc, band), then the identical
-#: (band, sig) equi-join. VALUES embeds operators.llm.MINHASH_BANDS so the
-#: two engines can never disagree within a process.
+#: x2's MinHash twin: one sha60 hash per DISTINCT shingle (list_distinct
+#: mirrors word_shingles; MinHash's min() is duplicate-insensitive so the
+#: signatures are unchanged), the same 16 literal (a, c) re-mix constants,
+#: min per (doc, band), then the identical (band, sig) equi-join. VALUES
+#: embeds operators.llm.MINHASH_BANDS so the two engines can never
+#: disagree within a process.
 _X2_BANDS_VALUES = ",\n  ".join(
     f"({b}, {a}, {c})" for b, (a, c) in enumerate(MINHASH_BANDS)
 )
 _X2_SQL = f"""WITH {_TOKS_CTE},
-grams AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
-            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-          FROM toks WHERE len(ws) >= 3),
+{_SHINGLES_CTE},
+grams AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 hs AS (SELECT doc_id,
          CAST(concat('0x', substr(sha256(s), 1, 15)) AS BIGINT) AS h
        FROM grams),
@@ -1487,6 +1681,78 @@ FROM shard s
 LEFT JOIN corpus_index ci USING (text_hash)
 JOIN first_in_shard fs USING (text_hash)"""
 
+
+#: x37's twin: identical PII salting (pure integer/string algebra), the
+#: same three regex classes (RE2 and Java regex agree on these ASCII-only,
+#: lookaround-free patterns), len(regexp_extract_all) for the counts, and
+#: the same email -> id -> phone replacement nesting with the 'g' flag
+#: (DuckDB replaces first-match-only by default; Spark replaces all).
+_PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' id 987-65-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+_X37_SQL = f"""WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '{PII_ID}')) AS BIGINT) AS n_ids,
+  sha256(regexp_replace(regexp_replace(regexp_replace(t,
+    '{PII_EMAIL}', '<EMAIL>', 'g'),
+    '{PII_ID}', '<ID>', 'g'),
+    '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
+FROM aug"""
+
+#: x38's twin: same ceil-strided chunk count, 1-based inclusive list slices
+#: (clamped at the array end, like Spark's slice), and the portable sha60
+#: chunk-text hash.
+_X38_SQL = f"""WITH {_TOKS_CTE},
+base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM toks
+         WHERE len(ws) > 0),
+kk AS (SELECT doc_id, ws, n,
+         CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+              ELSE 1 + CAST((n - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})
+                            // {CHUNK_STRIDE} AS BIGINT)
+         END AS k
+       FROM base),
+c AS (SELECT doc_id, ws, n, unnest(range(0, k)) AS chunk_idx FROM kk)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS token_start,
+  CAST(LEAST({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_STRIDE}) AS BIGINT)
+    AS n_chunk_tokens,
+  CAST(concat('0x', substr(sha256(array_to_string(
+    ws[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+    ' ')), 1, 15)) AS BIGINT) AS chunk_hash
+FROM c"""
+
+#: x39's twin: x33's span/hash kernel over DISTINCT spans (list_distinct
+#: mirrors Spark's .distinct()), the same df<=50 cap, and the identical
+#: exact-rational containment over the capped universe.
+_X39_SQL = f"""WITH {_TOKS_CTE},
+spans AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, CAST(len(ws) // 8 AS BIGINT) + 1),
+              i -> CAST(concat('0x', substr(sha256(
+                     array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ')),
+                     1, 15)) AS BIGINT))) AS hs
+          FROM toks WHERE len(ws) >= 8),
+occ AS (SELECT doc_id, unnest(hs) AS span_hash FROM spans),
+keep AS (SELECT span_hash FROM (SELECT span_hash, COUNT(*) AS df
+                                FROM occ GROUP BY 1) WHERE df <= 50),
+sp AS (SELECT occ.* FROM occ JOIN keep USING (span_hash)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sp GROUP BY 1),
+shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+           FROM sp a JOIN sp b
+             ON a.span_hash = b.span_hash AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared_spans, sa.n AS n_spans_a,
+  CAST(n_shared_spans AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+WHERE CAST(n_shared_spans AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5"""
 
 #: x13 is seed-free (centroids by modulus, everything else cosine
 #: arithmetic), so unlike the xxhash64-based X ops it admits a full strict
@@ -2002,5 +2268,26 @@ SPECS = [
         "arriving-shard dedup against the corpus hash index (keep / dup)",
         x36_incremental_dedup,
         _X36_SQL,
+    ),
+    QuerySpec(
+        "x37_pii_redact",
+        "X",
+        "regex PII redaction (email/phone/id) with per-doc counts, map-only",
+        x37_pii_redact,
+        _X37_SQL,
+    ),
+    QuerySpec(
+        "x38_doc_chunk",
+        "X",
+        "overlapping 64-token windows at stride 48 per doc (RAG chunking)",
+        x38_doc_chunk,
+        _X38_SQL,
+    ),
+    QuerySpec(
+        "x39_dedup_containment",
+        "X",
+        "span-set containment pairs (doc A inside doc B), df-capped index",
+        x39_dedup_containment,
+        _X39_SQL,
     ),
 ]

@@ -44,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos, so set it unconditionally: the loader must work under ANY
         # caller's session, including the driver's vanilla one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The ntz vintage is cast to TimestampType below, which interprets
+        # the wall clock in the SESSION timezone — under a non-UTC caller
+        # session that would shift every epoch micro relative to DuckDB's
+        # epoch_us. Pin the session to UTC (the engine default, see
+        # session.py) so the conversion is timezone-independent.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         return normalize_event_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -187,6 +187,75 @@ def test_tokens_to_ids_roundtrips_the_token_stream(spark, sf_dir, specs):
         assert decoded == docs.loc[row["doc_id"]]
 
 
+def test_pii_redaction_counts_match_the_salting(spark, sf_dir, specs):
+    """x37: the fixture corpus is digit-free, so the salted PII is the ONLY
+    PII — counts must equal the salting rule exactly (one email iff
+    doc_id%3==0, one phone iff %5==0, one id iff %7==0), which pins both
+    the patterns and the non-overlap of the three regex classes."""
+    pdf = specs["x37_pii_redact"].build(spark, sf_dir).toPandas()
+    assert (pdf["n_emails"] == (pdf["doc_id"] % 3 == 0).astype(int)).all()
+    assert (pdf["n_phones"] == (pdf["doc_id"] % 5 == 0).astype(int)).all()
+    assert (pdf["n_ids"] == (pdf["doc_id"] % 7 == 0).astype(int)).all()
+
+
+def test_doc_chunks_tile_with_fixed_stride(spark, sf_dir, specs):
+    """x38: chunk indexes are dense 0..k-1 per doc, starts advance by
+    exactly the stride, every chunk is non-empty and bounded by the window,
+    and every chunk except the last is full — the geometry a RAG indexer
+    relies on."""
+    pdf = (
+        specs["x38_doc_chunk"]
+        .build(spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    assert ((pdf["n_chunk_tokens"] >= 1) & (pdf["n_chunk_tokens"] <= 64)).all()
+    assert (pdf["token_start"] == pdf["chunk_idx"] * 48).all()
+    for _, g in pdf.groupby("doc_id"):
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        assert (g["n_chunk_tokens"].iloc[:-1] == 64).all()
+
+
+def test_containment_is_total_for_exact_duplicates(spark, specs, tmp_path):
+    """x39: the driver invariant — an exact duplicate pair scores
+    containment 1.0 in BOTH directions. The fixtures carry no >= 8-token
+    exact dups, so build a tiny corpus (two dup pairs + distinct docs +
+    a half-quote) in a tmp dir; the builder only reads
+    ``<sf_dir>/documents.parquet``."""
+    import pandas as pd
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel "
+    other = "india juliett kilo lima mike november oscar papa "
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                base * 4,          # 0 and 1: exact duplicates (32 tokens)
+                base * 4,
+                other * 4,         # 2 and 3: second dup pair
+                other * 4,
+                base * 2 + other * 2,  # 4: half of 0, half of 2
+                "tiny text",       # 5: under one span, emits nothing
+            ],
+            "lang": ["en"] * 6,
+            "source": ["src0"] * 6,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    pdf = specs["x39_dedup_containment"].build(spark, str(tmp_path)).toPandas()
+    pairs = {
+        (r.doc_a, r.doc_b): r.containment for r in pdf.itertuples()
+    }
+    for a, b in [(0, 1), (1, 0), (2, 3), (3, 2)]:
+        assert pairs[(a, b)] == 1.0
+    # the half-quote contains half of each source doc, both directions 0.5
+    assert pairs[(4, 0)] == 0.5 and pairs[(4, 2)] == 0.5
+    assert (pdf["containment"] <= 1.0).all()
+    assert (pdf["n_shared_spans"] <= pdf["n_spans_a"]).all()
+    assert 5 not in set(pdf["doc_a"]) | set(pdf["doc_b"])
+
+
 def test_incremental_dedup_partitions_the_shard(spark, sf_dir, specs):
     """x36: every shard doc (doc_id % 10 == 9) is classified exactly once;
     'keep' docs are their own canonical; canonicals never point at a later
