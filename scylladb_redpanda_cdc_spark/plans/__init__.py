@@ -99,6 +99,7 @@ def registry() -> dict[str, QuerySpec]:
         "x37_pii_redact",
         "x38_doc_chunk",
         "x39_dedup_containment",
+        "a16_multi_table_topics",
         # events-load path changed this round: batch + streaming re-proof
         "w6_win_sessionize",
         "f6_fn_map",
@@ -142,7 +143,6 @@ def registry() -> dict[str, QuerySpec]:
         "x18_multimodal_decode",
         "x20_corpus_prep",
         "x21_dedup_cluster_cc",
-        "x30_canonical_select",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

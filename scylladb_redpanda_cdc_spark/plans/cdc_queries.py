@@ -325,6 +325,71 @@ def a15_snapshot_vs_live_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a16_multi_table_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: multi-table connector surface. ``scylla.table.names`` accepts a
+    comma-separated LIST (reference connector.properties:7 — the tutorial
+    configures one entry, ``quickstart_keyspace.orders``, but the key is
+    plural by contract): ONE connector streams N tables, each to its own
+    ``{scylla.name}.{keyspace}.{table}`` topic (README.md:215) with
+    independent per-topic offset authority. Modeled over the driver tables:
+    ``orders`` replays the golden changelog contract (sources.changelog)
+    and ``customer`` gets the same insert/update treatment; the per-topic
+    stats prove the N streams coexist without cross-contamination (disjoint
+    offset spaces, per-table op mixes, per-table key cardinalities).
+
+    Scale shape: one narrow scan per configured table — adding a table to
+    the list adds its scan and nothing else (no cross-table shuffle);
+    events are exploded map-side, UNION ALL is a no-shuffle concat, and
+    the only shuffle is the partial agg on the topic key (N topics rows).
+    """
+    ns, ks = "QuickstartConnectorNamespace", "quickstart_keyspace"
+    topic_of = lambda t: cdc.derive_topic_name(F.lit(ns), F.lit(ks), F.lit(t))
+    log_orders = synth_changelog(spark, sf_dir).select(
+        topic_of("orders").alias("topic"),
+        "op",
+        "offset",
+        F.concat_ws("|", "customer_id", "order_id").alias("key"),
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("customer_id")
+    )
+    ins = F.struct(
+        F.lit("c").alias("op"), (F.col("customer_id") * 2).alias("offset")
+    )
+    upd = F.when(
+        F.col("customer_id") % 10 == 0,
+        F.struct(
+            F.lit("u").alias("op"), (F.col("customer_id") * 2 + 1).alias("offset")
+        ),
+    )
+    log_customer = (
+        c.select("customer_id", F.explode(F.array(ins, upd)).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select(
+            topic_of("customer").alias("topic"),
+            F.col("e.op").alias("op"),
+            F.col("e.offset").alias("offset"),
+            F.col("customer_id").cast("string").alias("key"),
+        )
+    )
+    log = log_orders.unionByName(log_customer)
+    return log.groupBy("topic").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("op") == "c", 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserts"),
+        F.sum(F.when(F.col("op") == "u", 1).otherwise(0))
+        .cast("long")
+        .alias("n_updates"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0))
+        .cast("long")
+        .alias("n_deletes"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+        F.countDistinct("key").alias("n_keys"),
+    )
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -521,6 +586,35 @@ SPECS = [
             "FROM decoded GROUP BY 1",
             extended=True,
         ),
+    ),
+    QuerySpec(
+        "a16_multi_table_topics",
+        "A",
+        "multi-table scylla.table.names: per-derived-topic event/offset stats",
+        a16_multi_table_topics,
+        f"""WITH {CHANGELOG_SQL_CTE.strip()},
+log AS (
+  SELECT 'QuickstartConnectorNamespace.quickstart_keyspace.orders' AS topic,
+         op, "offset",
+         CAST(customer_id AS VARCHAR) || '|' || CAST(order_id AS VARCHAR) AS key
+  FROM changelog
+  UNION ALL
+  SELECT 'QuickstartConnectorNamespace.quickstart_keyspace.customer',
+         'c', c_custkey * 2, CAST(c_custkey AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'QuickstartConnectorNamespace.quickstart_keyspace.customer',
+         'u', c_custkey * 2 + 1, CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT topic, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+  CAST(SUM(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+  CAST(SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+  CAST(MIN("offset") AS BIGINT) AS min_offset,
+  CAST(MAX("offset") AS BIGINT) AS max_offset,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
+FROM log GROUP BY topic""",
     ),
     QuerySpec(
         "flagship_cdc_materialize",
