@@ -720,6 +720,56 @@ def b36_range_interval_join(spark, sf_dir):
     )
 
 
+def b37_time_range_window(spark, sf_dir):
+    """Time-RANGE window frame: per event, the count and exact-micros sum
+    of the SAME USER's events in the trailing 5 minutes (RANGE BETWEEN
+    300s PRECEDING AND CURRENT ROW) — the rolling-aggregate form of b36's
+    interval join (b36 answers "how many follow?", b37 annotates every
+    row with its trailing window in ONE pass, no self-join).
+
+    RANGE, not ROWS: ties on ts are frame PEERS, so events sharing a
+    timestamp see the identical frame in both engines — ROWS would make
+    the result depend on the engine's (unspecified) peer order.
+
+    Exactness: the frame key is epoch MICROS (exact int64; session-UTC
+    discipline via load_table); summed values are floored micros — exact
+    BIGINT in any order.
+
+    Scale shape: one shuffle on user_id, then a per-partition sort and a
+    single sliding-frame pass — Spark's WindowExec maintains the range
+    frame incrementally (no per-row rescan). Skew caveat at 100 TB: one
+    bot user = one partition; the b36 bucketed decomposition is the
+    rewrite when a key exceeds a task, which is why both operators exist."""
+    e = _T(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("value_micros"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-300_000_000, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_trailing_5min"),
+        F.sum("value_micros").over(w).alias("value_micros_trailing"),
+    )
+
+
+_B37_SQL = """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_5min,
+  CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
+    AS value_micros_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)"""
+
+
 _B36_SQL = """SELECT e.event_id, e.user_id,
   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_next_5min
 FROM events e LEFT JOIN (
@@ -1084,5 +1134,12 @@ SPECS = [
         "bucketed time-range self-join: same-user events in next 5 minutes",
         b36_range_interval_join,
         _B36_SQL,
+    ),
+    QuerySpec(
+        "b37_time_range_window",
+        "B",
+        "RANGE-frame trailing 5-minute per-user rolling count/sum",
+        b37_time_range_window,
+        _B37_SQL,
     ),
 ]

@@ -1400,6 +1400,282 @@ def x39_dedup_containment(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus statistics / retrieval (round 5)
+# ---------------------------------------------------------------------------
+
+
+def x40_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-100 5-grams by occurrence count — the boilerplate /
+    template detector (the n-gram histogram C4-style pipelines consult
+    before writing removal rules, and the contamination analyst's first
+    query). Multiset grams (``word_grams``, duplicates kept): this op
+    COUNTS occurrences, unlike the dedup family's distinct-shingle sets.
+
+    Scale shape: explode -> partial agg on the gram key (map-side combine
+    collapses each partition's repeats before the shuffle, so the wire
+    carries one row per distinct gram per partition) -> TakeOrdered for
+    the top-100 (per-partition heaps + driver merge of 100-row heads; NO
+    global sort of the gram histogram). Ordering (n DESC, gram ASC) is a
+    total order, so the cut line is deterministic in both engines."""
+    d = _docs_fanned(spark, sf_dir)
+    g = d.select(F.explode(word_grams(words(F.col("text")), 5)).alias("gram"))
+    return (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(100)
+    )
+
+
+def x41_bpe_pair_counts(spark, sf_dir):
+    """Tokenizer-training substrate: corpus-wide counts of adjacent
+    character pairs within words — the statistic the first BPE merge
+    iteration maximizes (Sennrich et al. 2016). Emits the top-50 pairs;
+    re-running over merged symbols iterates the algorithm, each round the
+    same partial-agg shape.
+
+    Scale shape: per-word pair explosion is map-side expression algebra
+    (sequence + substr — no Python); the only shuffle is the partial agg
+    on the pair key, whose cardinality is bounded by the symbol alphabet
+    squared (~1.3k for [a-z0-9]), i.e. the shuffle is ALPHABET-sized no
+    matter how big the corpus. TakeOrdered caps the result."""
+    d = _docs_fanned(spark, sf_dir)
+    w = d.select(F.explode(words(F.col("text"))).alias("w"))
+    pairs = w.select(
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
+def x42_text_diversity(spark, sf_dir):
+    """Lexical-diversity quality signals per doc: type-token ratio and
+    token collision probability (Simpson index) — the log-free diversity
+    pair. Low TTR + high collision probability = repetitive/templated text
+    (the x22 repetition filter's statistical cousin); entropy-style
+    filters in production rank on exactly these orderings.
+
+    Exactness discipline: token counts and the squared-count mass are
+    exact BIGINT sums (any aggregation order); each output float is ONE
+    double division of exact integers — bit-identical cross-engine, no
+    float-sum order sensitivity and no transcendentals (Simpson instead
+    of Shannon precisely so no engine-varying log appears).
+
+    Scale shape: one partial-agg shuffle on (doc_id, term) — map-side
+    combine collapses within-partition repeats — then a doc-keyed rollup
+    that reuses the same partitioning. Empty docs emit nothing (mirrored
+    by the oracle)."""
+    d = _docs_fanned(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    per = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq_mass"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("ttr"),
+        (
+            F.col("sq_mass").cast("double")
+            / (F.col("n_tokens") * F.col("n_tokens")).cast("double")
+        ).alias("collision_prob"),
+    )
+
+
+#: x43's retrieval constants: the standard BM25 parameters and a literal
+#: 3-term query drawn from the fixture vocabulary. Shared by builder and
+#: oracle so the two engines can never disagree within a process.
+BM25_TERMS = ("spark", "table", "query")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def x43_bm25_rank(spark, sf_dir):
+    """BM25 retrieval scoring: top-20 docs for a literal 3-term query —
+    the lexical-retrieval baseline every RAG/eval pipeline needs beside
+    the embedding path (x3/x32). Uses the x7 rational idf ((N+1)/(df+1))
+    rather than the log idf: same ordering for df < N, and it keeps the
+    score a fixed per-row expression tree over exact integers — one
+    division chain, NO engine-varying ``ln``.
+
+    Float exactness: tf, dl, df, N are exact BIGINTs; avgdl is one double
+    division; each term's score is a fixed expression tree evaluated in
+    declaration order and the 3 terms fold left-to-right — bit-identical
+    in DuckDB (same parenthesization, mirrored literally).
+
+    Scale shape: per-doc tf/dl aggs are partial-agg shuffles on doc_id;
+    the corpus stats (N, total length, 3 dfs) are ONE broadcast row; the
+    final top-20 is TakeOrdered. The query-term filter prunes the tf agg
+    to matching tokens before any shuffle."""
+    d = _docs_fanned(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qtf = (
+        tok.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{t}")
+                for t in BM25_TERMS
+            ]
+        )
+    )
+    stats = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_len"),
+        *[
+            F.countDistinct(
+                F.when(F.col("term") == t, F.col("doc_id"))
+            ).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = dl.join(qtf, "doc_id").crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = (F.col("n_docs").cast("double") + F.lit(1.0)) / (
+            F.col(f"df_{t}").cast("double") + F.lit(1.0)
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + (F.lit(BM25_B) * F.col("dl").cast("double")) / avgdl
+        )
+        return idf * ((tf * F.lit(BM25_K1 + 1.0)) / denom)
+
+    t1, t2, t3 = BM25_TERMS
+    score = (term_score(t1) + term_score(t2)) + term_score(t3)
+    return (
+        scored.select(
+            "doc_id",
+            "dl",
+            *[F.col(f"tf_{t}") for t in BM25_TERMS],
+            score.alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def x44_lang_temperature_mix(spark, sf_dir):
+    """Temperature-resampled language mixture: per-language sampling
+    weights proportional to n_docs^0.5 (temperature tau=2 upsampling, the
+    multilingual-pretraining technique of mBERT/XLM-R that lifts
+    low-resource languages without flattening the mix). Emits the weight
+    and the boost factor vs natural frequency.
+
+    Exactness: the exponent is 0.5 so the power is ``sqrt`` — IEEE 754
+    requires correctly-rounded sqrt, bit-identical everywhere (no
+    engine-varying ``pow``). The weight denominator floors each sqrt to
+    integer MICROS first (x29's discipline): BIGINT sums are exact in any
+    aggregation order, and each output float is a fixed division tree.
+
+    Scale shape: one language-keyed partial agg (vocabulary-sized output:
+    languages number in the hundreds at any corpus size), then a 1-row
+    broadcast of the totals — nothing corpus-sized ever shuffles twice."""
+    d = _T(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = per.withColumn(
+        "w_micro",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0)).cast(
+            "long"
+        ),
+    )
+    tot = w.agg(
+        F.sum("w_micro").alias("tot_micro"), F.sum("n_docs").alias("n_total")
+    )
+    weight = F.col("w_micro").cast("double") / F.col("tot_micro").cast("double")
+    natural = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "w_micro",
+        weight.alias("weight"),
+        (weight / natural).alias("boost"),
+    )
+
+
+def x45_ann_recall_eval(spark, sf_dir):
+    """ANN index quality evaluation: recall@5 of the 6-plane sign-LSH
+    bucketing (x12's candidate generator) against exact brute-force top-5
+    (x32's kernel), per query — the measurement that decides whether an
+    approximate index is good enough to replace the exact path before a
+    100 TB corpus makes the choice for you.
+
+    Exactness: the exact top-5 uses the shared left-to-right double-fold
+    cosine (bit-equal in DuckDB) with (cos DESC, vec_id ASC) total-order
+    tie-break, so both engines cut the identical top-5 set; bucket ids
+    are the literal-plane LSH (bit-equal); recall is an integer count
+    over that set divided once.
+
+    Scale shape: buckets are per-row map work; the query batch (2% of
+    vectors) is BROADCAST and the corpus streams past it once (brute
+    force is the intended evaluation plan — the point is to measure the
+    cheap index against ground truth on a sampled batch); per-query top-5
+    is two-phase (local per-salt heads, then <=80-row re-rank), so the
+    shuffle carries candidates, not the corpus."""
+    e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = e.withColumn("bucket", lsh_bucket(F.col("embedding"), 6))
+    q = b.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qbucket",
+            "vec_id",
+            "bucket",
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+    )
+    w1 = Window.partitionBy("qid", F.col("vec_id") % 16).orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    cand = scored.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= 5
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    top = cand.withColumn("knn_rank", F.row_number().over(w2)).filter(
+        F.col("knn_rank") <= 5
+    )
+    return top.groupBy("qid").agg(
+        F.count("*").alias("k"),
+        F.sum(F.when(F.col("bucket") == F.col("qbucket"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_recalled"),
+        (
+            F.sum(F.when(F.col("bucket") == F.col("qbucket"), 1).otherwise(0))
+            .cast("double")
+            / F.count("*").cast("double")
+        ).alias("recall_at_k"),
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
@@ -1968,6 +2244,115 @@ _X31_SQL = """SELECT source, COUNT(*) AS n_docs,
        // COUNT(*) AS BIGINT) AS dup_rate_ppm
 FROM documents GROUP BY source"""
 
+_X40_SQL = f"""WITH {_TOKS_CTE},
+g AS (SELECT unnest(list_transform(range(1, len(ws) - 3),
+        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+             || ' ' || ws[i+4])) AS gram
+      FROM toks WHERE len(ws) >= 5)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY gram
+ORDER BY n DESC, gram ASC LIMIT 100"""
+
+_X41_SQL = f"""WITH {_TOKS_CTE},
+w AS (SELECT unnest(ws) AS w FROM toks),
+p AS (SELECT unnest(list_transform(range(1, length(w)),
+        i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+      FROM w WHERE length(w) >= 2)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT 50"""
+
+_X42_SQL = f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+tc AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+per AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(SUM(cnt * cnt) AS BIGINT) AS sq_mass
+        FROM tc GROUP BY 1)
+SELECT doc_id, n_tokens, n_distinct,
+  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+  CAST(sq_mass AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+    AS collision_prob
+FROM per"""
+
+#: x43's oracle embeds Python-computed float literals via repr() so both
+#: engines parse the exact same doubles (repr round-trips; DuckDB parses
+#: decimal literals to nearest double, which is the identical value).
+def _bm25_sql() -> str:
+    t1, t2, t3 = BM25_TERMS
+    k1, k1p1, omb, b = (
+        repr(BM25_K1),
+        repr(BM25_K1 + 1.0),
+        repr(1.0 - BM25_B),
+        repr(BM25_B),
+    )
+    avgdl = "(CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+
+    def s(t: str) -> str:
+        return (
+            f"((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df_{t} AS DOUBLE) + 1.0))"
+            f" * ((CAST(tf_{t} AS DOUBLE) * {k1p1})"
+            f" / (CAST(tf_{t} AS DOUBLE) + {k1} * ({omb}"
+            f" + ({b} * CAST(dl AS DOUBLE)) / {avgdl})))"
+        )
+
+    terms = ", ".join(
+        f"CAST(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    dfs = ", ".join(
+        f"COUNT(DISTINCT CASE WHEN term = '{t}' THEN doc_id END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+qtf AS (SELECT doc_id, {terms}
+        FROM tok WHERE term IN ({in_list}) GROUP BY 1),
+stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+            COUNT(*) AS total_len, {dfs}
+          FROM tok)
+SELECT doc_id, dl, tf_{t1}, tf_{t2}, tf_{t3},
+  ({s(t1)} + {s(t2)}) + {s(t3)} AS bm25
+FROM dl JOIN qtf USING (doc_id) CROSS JOIN stats
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20"""
+
+
+_X43_SQL = _bm25_sql()
+
+_X44_SQL = """WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+w AS (SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+          AS w_micro
+      FROM per),
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_micro,
+          CAST(SUM(n_docs) AS BIGINT) AS n_total FROM w)
+SELECT lang, n_docs, w_micro,
+  CAST(w_micro AS DOUBLE) / CAST(tot_micro AS DOUBLE) AS weight,
+  (CAST(w_micro AS DOUBLE) / CAST(tot_micro AS DOUBLE))
+    / (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS boost
+FROM w CROSS JOIN tot"""
+
+_X45_SQL = f"""WITH bk AS (SELECT vec_id, embedding,
+  {_lsh_bucket_sql(6)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+      FROM bk WHERE vec_id % 50 = 0),
+s AS (SELECT qid, qbucket, vec_id, bucket,
+        {_cos_sql("embedding", "qe")} AS cos_sim
+      FROM bk CROSS JOIN q WHERE vec_id <> qid),
+top AS (SELECT qid, qbucket, bucket FROM (
+    SELECT qid, qbucket, bucket,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, vec_id ASC) AS rn
+    FROM s) WHERE rn <= 5)
+SELECT qid, CAST(COUNT(*) AS BIGINT) AS k,
+  CAST(SUM(CASE WHEN bucket = qbucket THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_recalled,
+  CAST(SUM(CASE WHEN bucket = qbucket THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+FROM top GROUP BY qid"""
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -2289,5 +2674,47 @@ SPECS = [
         "span-set containment pairs (doc A inside doc B), df-capped index",
         x39_dedup_containment,
         _X39_SQL,
+    ),
+    QuerySpec(
+        "x40_ngram_topk",
+        "X",
+        "corpus-wide top-100 5-gram occurrence counts (boilerplate detector)",
+        x40_ngram_topk,
+        _X40_SQL,
+    ),
+    QuerySpec(
+        "x41_bpe_pair_counts",
+        "X",
+        "adjacent char-pair counts within words (first BPE merge statistic)",
+        x41_bpe_pair_counts,
+        _X41_SQL,
+    ),
+    QuerySpec(
+        "x42_text_diversity",
+        "X",
+        "per-doc type-token ratio + Simpson collision probability (log-free)",
+        x42_text_diversity,
+        _X42_SQL,
+    ),
+    QuerySpec(
+        "x43_bm25_rank",
+        "X",
+        "BM25 top-20 retrieval for a literal 3-term query (rational idf)",
+        x43_bm25_rank,
+        _X43_SQL,
+    ),
+    QuerySpec(
+        "x44_lang_temperature_mix",
+        "X",
+        "temperature-resampled language mixture weights (sqrt upsampling)",
+        x44_lang_temperature_mix,
+        _X44_SQL,
+    ),
+    QuerySpec(
+        "x45_ann_recall_eval",
+        "X",
+        "recall@5 of sign-LSH buckets vs exact brute-force top-5, per query",
+        x45_ann_recall_eval,
+        _X45_SQL,
     ),
 ]
