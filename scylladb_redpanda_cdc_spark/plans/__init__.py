@@ -94,12 +94,20 @@ def registry() -> dict[str, QuerySpec]:
         "x34_vocab_coverage",
         "x35_tokens_to_ids",
         "x36_incremental_dedup",
-        # new operators added in round 4 go here (never graded)
+        # new operators added in rounds 4-5 go here (never graded)
         "b36_range_interval_join",
         "x37_pii_redact",
         "x38_doc_chunk",
         "x39_dedup_containment",
         "a16_multi_table_topics",
+        "x40_ngram_topk",
+        "x41_bpe_pair_counts",
+        "x42_text_diversity",
+        "x43_bm25_rank",
+        "x44_lang_temperature_mix",
+        "x45_ann_recall_eval",
+        "b37_time_range_window",
+        "a17_schema_evolution",
         # events-load path changed this round: batch + streaming re-proof
         "w6_win_sessionize",
         "f6_fn_map",
@@ -131,18 +139,13 @@ def registry() -> dict[str, QuerySpec]:
         "a10_delete_tombstone",
         "a11_offset_order",
         "a12_topic_name_derive",
-        "a13_source_metadata_project",
         "a14_envelope_encode",
         "a15_snapshot_vs_live_split",
-        # remaining slots: X headliners (bench set + round-3 additions)
-        "x1_dedup_exact",
+        # last slot: x2's oracle changed this round (distinct-shingle
+        # hashing) — re-prove it. The other r2/r3-proven X headliners
+        # (x1/x3/x7/x16/x18/x20/x21, unchanged) and a13 (trivial
+        # projection, proven r1) rotate out to fund the 8 new operators.
         "x2_dedup_fuzzy_minhash",
-        "x3_sim_cosine_topk",
-        "x7_text_tfidf",
-        "x16_text_token_count",
-        "x18_multimodal_decode",
-        "x20_corpus_prep",
-        "x21_dedup_cluster_cc",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

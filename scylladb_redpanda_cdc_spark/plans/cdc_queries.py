@@ -19,6 +19,7 @@ from scylladb_redpanda_cdc_spark.sources.cdc_fixture import (
     TOPIC,
     golden_raw_cte,
     golden_stream_df,
+    golden_values_sql,
 )
 from scylladb_redpanda_cdc_spark.sources.changelog import CHANGELOG_SQL_CTE, synth_changelog
 
@@ -390,6 +391,131 @@ def a16_multi_table_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A17: schema evolution. The connector embeds the record's OWN schema in
+# every frame (connect-standalone.properties:2-3 — schemas.enable=true), so
+# an ALTER TABLE ADD COLUMN mid-stream yields a topic carrying TWO schema
+# versions side by side; a consumer must decode both without reprocessing.
+# The v2 extension below models "ALTER TABLE orders ADD discount": three
+# post-ALTER events whose after-images carry a discount Cell and whose
+# embedded schema name is suffixed ".v2". Offsets continue past the capture.
+_V2_EVENTS: list[tuple[int, int, str, bool, int | None, str, int]] = [
+    # (customer_id, order_id, product, discount_touched, discount, op, offset)
+    (2, 1, "burrito", True, 50, "c", 100),
+    (2, 2, "salad", True, None, "c", 101),  # discount explicitly NULL
+    (1, 6, "spaghetti", False, None, "u", 102),  # v2 record, discount untouched
+]
+
+
+def _v2_records() -> list[dict]:
+    import json as _json
+
+    recs = []
+    for cust, order, product, touched, disc, op, off in _V2_EVENTS:
+        after = {
+            "customer_id": cust,
+            "order_id": order,
+            "product": {"value": product},
+            "discount": ({"value": disc} if touched else None),
+        }
+        recs.append(
+            {
+                "topic": TOPIC,
+                "key": _json.dumps(
+                    {
+                        "schema": {"name": f"{TOPIC}.Key"},
+                        "payload": {"customer_id": cust, "order_id": order},
+                    }
+                ),
+                "value": _json.dumps(
+                    {
+                        "schema": {"name": f"{TOPIC}.Envelope.v2"},
+                        "payload": {"op": op, "after": after},
+                    }
+                ),
+                "timestamp": 1_683_357_282_000 + off,
+                "partition": 0,
+                "offset": off,
+            }
+        )
+    return recs
+
+
+def a17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: decode a topic carrying TWO embedded-schema versions (pre/post
+    ``ALTER TABLE orders ADD discount``) in one pass. A static ``from_json``
+    can't dispatch per record, but the MERGED (widest) schema decodes both
+    vintages uniformly: v1 records simply lack the ``discount`` member, so
+    the Cell lands absent (untouched) — exactly the 3-state discipline A5
+    established — while v2 distinguishes explicit-NULL discounts from
+    untouched ones. The embedded schema name stays the version authority
+    (suffix dispatch), as a registry-less consumer would do it.
+
+    Scale shape: per-record expression decode, map-only; version dispatch
+    adds one string probe per record, not a second pass."""
+    from pyspark.sql.types import IntegerType as _I
+    from pyspark.sql.types import StringType as _S
+    from pyspark.sql.types import StructField as _F
+    from pyspark.sql.types import StructType as _T_
+
+    from scylladb_redpanda_cdc_spark.schemas import RECORD_SCHEMA
+
+    cell_i = _T_([_F("value", _I())])
+    cell_s = _T_([_F("value", _S())])
+    wide = _T_(
+        [
+            _F("schema", _T_([_F("name", _S())])),
+            _F(
+                "payload",
+                _T_(
+                    [
+                        _F("op", _S()),
+                        _F(
+                            "after",
+                            _T_(
+                                [
+                                    _F("customer_id", _I()),
+                                    _F("order_id", _I()),
+                                    _F("product", cell_s),
+                                    _F("discount", cell_i),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+    raw = golden_stream_df(spark).unionByName(
+        spark.createDataFrame(_v2_records(), RECORD_SCHEMA)
+    )
+    v = F.from_json(F.col("value"), wide)
+    after = v.getField("payload").getField("after")
+    return raw.select(
+        "offset",
+        F.when(v.getField("schema").getField("name").endswith(".v2"), 2)
+        .otherwise(1)
+        .alias("schema_version"),
+        after.getField("customer_id").alias("customer_id"),
+        after.getField("order_id").alias("order_id"),
+        v.getField("payload").getField("op").alias("op"),
+        cdc.cell_value(after, "product").alias("product"),
+        cdc.cell_value(after, "discount").alias("discount"),
+        cdc.cell_touched(after, "discount").alias("discount_touched"),
+    )
+
+
+def _v2_values_sql() -> str:
+    rows = []
+    for r in _v2_records():
+        key_lit = r["key"].replace("'", "''")
+        val_lit = r["value"].replace("'", "''")
+        rows.append(
+            f"('{r['topic']}', '{key_lit}', '{val_lit}', "
+            f"{r['timestamp']}, {r['partition']}, {r['offset']})"
+        )
+    return ",\n    ".join(rows)
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -615,6 +741,30 @@ SELECT topic, CAST(COUNT(*) AS BIGINT) AS n_events,
   CAST(MAX("offset") AS BIGINT) AS max_offset,
   CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
 FROM log GROUP BY topic""",
+    ),
+    QuerySpec(
+        "a17_schema_evolution",
+        "A",
+        "two embedded-schema versions decoded in one pass (ALTER ADD COLUMN)",
+        a17_schema_evolution,
+        'WITH raw(topic, "key", "value", "timestamp", "partition", "offset")'
+        " AS (\n  VALUES\n    "
+        f"{golden_values_sql()},\n    {_v2_values_sql()}\n)\n"
+        'SELECT "offset",\n'
+        "  CASE WHEN json_extract_string(\"value\", '$.schema.name')"
+        " LIKE '%.v2' THEN 2 ELSE 1 END AS schema_version,\n"
+        "  CAST(json_extract_string(\"value\", '$.payload.after.customer_id')"
+        " AS INTEGER) AS customer_id,\n"
+        "  CAST(json_extract_string(\"value\", '$.payload.after.order_id')"
+        " AS INTEGER) AS order_id,\n"
+        "  json_extract_string(\"value\", '$.payload.op') AS op,\n"
+        "  json_extract_string(\"value\", '$.payload.after.product.value')"
+        " AS product,\n"
+        "  CAST(json_extract_string(\"value\", '$.payload.after.discount.value')"
+        " AS INTEGER) AS discount,\n"
+        "  json_extract(\"value\", '$.payload.after.discount') IS NOT NULL"
+        " AS discount_touched\n"
+        "FROM raw",
     ),
     QuerySpec(
         "flagship_cdc_materialize",

@@ -269,3 +269,104 @@ def test_incremental_dedup_partitions_the_shard(spark, sf_dir, specs):
     assert (dupc["canonical_id"] % 10 != 9).all()
     dupb = pdf[pdf["status"] == "dup_in_batch"]
     assert (dupb["canonical_id"] < dupb["doc_id"]).all()
+
+
+def test_ngram_topk_shape_and_order(spark, sf_dir, specs):
+    """x40: every gram is exactly 5 tokens, counts are positive and the
+    result is the top of the histogram (non-increasing when sorted the
+    query's way, with the lexicographic tiebreak making the cut stable)."""
+    pdf = specs["x40_ngram_topk"].build(spark, sf_dir).toPandas()
+    assert len(pdf) <= 100
+    assert (pdf["gram"].str.split(" ").str.len() == 5).all()
+    assert (pdf["n"] >= 1).all()
+    ordered = pdf.sort_values(["n", "gram"], ascending=[False, True])
+    assert ordered["n"].is_monotonic_decreasing
+
+
+def test_bpe_pairs_are_two_chars(spark, sf_dir, specs):
+    """x41: every pair is exactly two symbols from the token alphabet."""
+    pdf = specs["x41_bpe_pair_counts"].build(spark, sf_dir).toPandas()
+    assert len(pdf) <= 50
+    assert (pdf["pair"].str.len() == 2).all()
+    assert pdf["pair"].str.fullmatch("[a-z0-9]{2}").all()
+    assert (pdf["n"] >= 1).all()
+
+
+def test_text_diversity_bounds_and_identities(spark, sf_dir, specs):
+    """x42: TTR and collision probability live in (0, 1]; TTR is exactly
+    n_distinct/n_tokens; collision is bounded below by the uniform case
+    1/n_distinct and above by 1."""
+    pdf = specs["x42_text_diversity"].build(spark, sf_dir).toPandas()
+    assert (pdf["n_tokens"] >= 1).all()
+    assert (pdf["n_distinct"] <= pdf["n_tokens"]).all()
+    assert (pdf["ttr"] == pdf["n_distinct"] / pdf["n_tokens"]).all()
+    assert (pdf["collision_prob"] > 0).all()
+    assert (pdf["collision_prob"] <= 1.0).all()
+    assert (
+        pdf["collision_prob"] >= 1.0 / pdf["n_distinct"] - 1e-12
+    ).all()
+
+
+def test_bm25_hits_contain_a_query_term(spark, sf_dir, specs):
+    """x43: every returned doc matched at least one query term, tf never
+    exceeds doc length, and scores are positive and ranked."""
+    pdf = specs["x43_bm25_rank"].build(spark, sf_dir).toPandas()
+    assert len(pdf) <= 20
+    tf_cols = [c for c in pdf.columns if c.startswith("tf_")]
+    assert (pdf[tf_cols].sum(axis=1) >= 1).all()
+    assert (pdf[tf_cols].sum(axis=1) <= pdf["dl"]).all()
+    assert (pdf["bm25"] > 0).all()
+    assert pdf.sort_values(["bm25", "doc_id"], ascending=[False, True])[
+        "bm25"
+    ].is_monotonic_decreasing
+
+
+def test_lang_mix_weights_normalize_and_boost_small(spark, sf_dir, specs):
+    """x44: weights sum to 1 (micro-flooring loses < 1e-9 mass per lang)
+    and the boost is monotone DECREASING in language size — the whole
+    point of temperature upsampling."""
+    pdf = specs["x44_lang_temperature_mix"].build(spark, sf_dir).toPandas()
+    assert abs(pdf["weight"].sum() - 1.0) < 1e-6
+    bysize = pdf.sort_values("n_docs")
+    assert bysize["boost"].is_monotonic_decreasing or (
+        bysize["n_docs"].nunique() < len(bysize)
+    )
+
+
+def test_ann_recall_is_a_valid_ratio(spark, sf_dir, specs):
+    """x45: one row per query (vec_id % 50 == 0), 0 <= recalled <= k <= 5,
+    and the ratio is exactly n_recalled/k."""
+    pdf = specs["x45_ann_recall_eval"].build(spark, sf_dir).toPandas()
+    assert (pdf["qid"] % 50 == 0).all()
+    assert pdf["qid"].is_unique
+    assert (pdf["k"] <= 5).all() and (pdf["k"] >= 1).all()
+    assert (pdf["n_recalled"] <= pdf["k"]).all()
+    assert (pdf["recall_at_k"] == pdf["n_recalled"] / pdf["k"]).all()
+
+
+def test_range_window_includes_self(spark, sf_dir, specs):
+    """b37: the frame always contains the current row, so the trailing
+    count is >= 1 everywhere and == 1 for a user's first event."""
+    pdf = specs["b37_time_range_window"].build(spark, sf_dir).toPandas()
+    assert (pdf["n_trailing_5min"] >= 1).all()
+    # ts-peers share the frame (RANGE semantics), so assert ==1 only for
+    # users whose earliest timestamp is unique
+    firsts = pdf.sort_values("ts_us").groupby("user_id").head(2)
+    for _, g in firsts.groupby("user_id"):
+        g = g.sort_values("ts_us")
+        if len(g) == 1 or g["ts_us"].iloc[0] != g["ts_us"].iloc[1]:
+            assert g["n_trailing_5min"].iloc[0] == 1
+
+
+def test_schema_evolution_versions_partition_the_cells(spark, sf_dir, specs):
+    """a17: v1 records can never touch the post-ALTER column; v2 records
+    always carry the Cell (touched), including the explicit-NULL case."""
+    pdf = specs["a17_schema_evolution"].build(spark, sf_dir).toPandas()
+    v1 = pdf[pdf["schema_version"] == 1]
+    v2 = pdf[pdf["schema_version"] == 2]
+    assert len(v1) == 7 and len(v2) == 3
+    assert (~v1["discount_touched"]).all()
+    explicit_null = v2[(v2["discount_touched"]) & (v2["discount"].isna())]
+    assert len(explicit_null) == 1
+    untouched_v2 = v2[~v2["discount_touched"]]
+    assert len(untouched_v2) == 1

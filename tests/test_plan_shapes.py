@@ -166,6 +166,9 @@ _INTENDED_NESTED_LOOP = {
     "x29_kmeans_refine",  # broadcast K-row centroid table per Lloyd pass
     "x32_knn_join",  # broadcast query batch; corpus streams past map-side
     "x34_vocab_coverage",  # broadcast 1-row total token count
+    "x43_bm25_rank",  # broadcast 1-row corpus stats (N, total_len, dfs)
+    "x44_lang_temperature_mix",  # broadcast 1-row weight/doc totals
+    "x45_ann_recall_eval",  # broadcast query batch (x32's evaluation twin)
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
