@@ -108,6 +108,7 @@ def registry() -> dict[str, QuerySpec]:
         "x45_ann_recall_eval",
         "b37_time_range_window",
         "a17_schema_evolution",
+        "s13_stream_schema_evolution",
         # events-load path changed this round: batch + streaming re-proof
         "w6_win_sessionize",
         "f6_fn_map",
@@ -138,13 +139,13 @@ def registry() -> dict[str, QuerySpec]:
         "a9_update_upsert",
         "a10_delete_tombstone",
         "a11_offset_order",
-        "a12_topic_name_derive",
         "a14_envelope_encode",
         "a15_snapshot_vs_live_split",
         # last slot: x2's oracle changed this round (distinct-shingle
         # hashing) — re-prove it. The other r2/r3-proven X headliners
-        # (x1/x3/x7/x16/x18/x20/x21, unchanged) and a13 (trivial
-        # projection, proven r1) rotate out to fund the 8 new operators.
+        # (x1/x3/x7/x16/x18/x20/x21, unchanged) and the two trivial
+        # r1-proven projections a12/a13 rotate out to fund the 9 new
+        # operators.
         "x2_dedup_fuzzy_minhash",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name

@@ -440,28 +440,25 @@ def _v2_records() -> list[dict]:
     return recs
 
 
-def a17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A17: decode a topic carrying TWO embedded-schema versions (pre/post
-    ``ALTER TABLE orders ADD discount``) in one pass. A static ``from_json``
-    can't dispatch per record, but the MERGED (widest) schema decodes both
-    vintages uniformly: v1 records simply lack the ``discount`` member, so
-    the Cell lands absent (untouched) — exactly the 3-state discipline A5
-    established — while v2 distinguishes explicit-NULL discounts from
-    untouched ones. The embedded schema name stays the version authority
-    (suffix dispatch), as a registry-less consumer would do it.
+def evolution_records() -> list[dict]:
+    """The mixed-version topic: golden v1 capture + post-ALTER v2 events,
+    in the Kafka record frame — shared by a17 (batch) and s13 (stream)."""
+    from scylladb_redpanda_cdc_spark.sources.cdc_fixture import golden_records
 
-    Scale shape: per-record expression decode, map-only; version dispatch
-    adds one string probe per record, not a second pass."""
+    return golden_records() + _v2_records()
+
+
+def _evolution_wide_schema():
+    """The MERGED (widest) value schema: v2's shape, which decodes both
+    vintages — v1 records simply lack ``discount`` and land Cell-absent."""
     from pyspark.sql.types import IntegerType as _I
     from pyspark.sql.types import StringType as _S
     from pyspark.sql.types import StructField as _F
     from pyspark.sql.types import StructType as _T_
 
-    from scylladb_redpanda_cdc_spark.schemas import RECORD_SCHEMA
-
     cell_i = _T_([_F("value", _I())])
     cell_s = _T_([_F("value", _S())])
-    wide = _T_(
+    return _T_(
         [
             _F("schema", _T_([_F("name", _S())])),
             _F(
@@ -485,10 +482,14 @@ def a17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
-    raw = golden_stream_df(spark).unionByName(
-        spark.createDataFrame(_v2_records(), RECORD_SCHEMA)
-    )
-    v = F.from_json(F.col("value"), wide)
+
+
+def evolution_decode(raw: DataFrame) -> DataFrame:
+    """Merged-widest-schema decode of a mixed-version record frame (batch
+    or streaming — pure per-record expressions, so the same DAG serves
+    both). The embedded schema name is the version authority (suffix
+    dispatch), as a registry-less consumer would do it."""
+    v = F.from_json(F.col("value"), _evolution_wide_schema())
     after = v.getField("payload").getField("after")
     return raw.select(
         "offset",
@@ -502,6 +503,25 @@ def a17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdc.cell_value(after, "discount").alias("discount"),
         cdc.cell_touched(after, "discount").alias("discount_touched"),
     )
+
+
+def a17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: decode a topic carrying TWO embedded-schema versions (pre/post
+    ``ALTER TABLE orders ADD discount``) in one pass. A static ``from_json``
+    can't dispatch per record, but the MERGED (widest) schema decodes both
+    vintages uniformly: v1 records simply lack the ``discount`` member, so
+    the Cell lands absent (untouched) — exactly the 3-state discipline A5
+    established — while v2 distinguishes explicit-NULL discounts from
+    untouched ones.
+
+    Scale shape: per-record expression decode, map-only; version dispatch
+    adds one string probe per record, not a second pass."""
+    from scylladb_redpanda_cdc_spark.schemas import RECORD_SCHEMA
+
+    raw = golden_stream_df(spark).unionByName(
+        spark.createDataFrame(_v2_records(), RECORD_SCHEMA)
+    )
+    return evolution_decode(raw)
 
 
 def _v2_values_sql() -> str:
@@ -532,6 +552,30 @@ def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+
+#: a17/s13 shared oracle: DuckDB replays the identical mixed-version JSON
+#: (golden v1 VALUES + v2 VALUES) through json_extract with LIKE-suffix
+#: version dispatch.
+EVOLUTION_SQL = (
+    'WITH raw(topic, "key", "value", "timestamp", "partition", "offset")'
+    " AS (\n  VALUES\n    "
+    f"{golden_values_sql()},\n    {_v2_values_sql()}\n)\n"
+    'SELECT "offset",\n'
+    "  CASE WHEN json_extract_string(\"value\", '$.schema.name')"
+    " LIKE '%.v2' THEN 2 ELSE 1 END AS schema_version,\n"
+    "  CAST(json_extract_string(\"value\", '$.payload.after.customer_id')"
+    " AS INTEGER) AS customer_id,\n"
+    "  CAST(json_extract_string(\"value\", '$.payload.after.order_id')"
+    " AS INTEGER) AS order_id,\n"
+    "  json_extract_string(\"value\", '$.payload.op') AS op,\n"
+    "  json_extract_string(\"value\", '$.payload.after.product.value')"
+    " AS product,\n"
+    "  CAST(json_extract_string(\"value\", '$.payload.after.discount.value')"
+    " AS INTEGER) AS discount,\n"
+    "  json_extract(\"value\", '$.payload.after.discount') IS NOT NULL"
+    " AS discount_touched\n"
+    "FROM raw"
+)
 
 SPECS = [
     QuerySpec(
@@ -747,24 +791,7 @@ FROM log GROUP BY topic""",
         "A",
         "two embedded-schema versions decoded in one pass (ALTER ADD COLUMN)",
         a17_schema_evolution,
-        'WITH raw(topic, "key", "value", "timestamp", "partition", "offset")'
-        " AS (\n  VALUES\n    "
-        f"{golden_values_sql()},\n    {_v2_values_sql()}\n)\n"
-        'SELECT "offset",\n'
-        "  CASE WHEN json_extract_string(\"value\", '$.schema.name')"
-        " LIKE '%.v2' THEN 2 ELSE 1 END AS schema_version,\n"
-        "  CAST(json_extract_string(\"value\", '$.payload.after.customer_id')"
-        " AS INTEGER) AS customer_id,\n"
-        "  CAST(json_extract_string(\"value\", '$.payload.after.order_id')"
-        " AS INTEGER) AS order_id,\n"
-        "  json_extract_string(\"value\", '$.payload.op') AS op,\n"
-        "  json_extract_string(\"value\", '$.payload.after.product.value')"
-        " AS product,\n"
-        "  CAST(json_extract_string(\"value\", '$.payload.after.discount.value')"
-        " AS INTEGER) AS discount,\n"
-        "  json_extract(\"value\", '$.payload.after.discount') IS NOT NULL"
-        " AS discount_touched\n"
-        "FROM raw",
+        EVOLUTION_SQL,
     ),
     QuerySpec(
         "flagship_cdc_materialize",

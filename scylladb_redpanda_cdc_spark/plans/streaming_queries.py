@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from scylladb_redpanda_cdc_spark.plans import QuerySpec
+from scylladb_redpanda_cdc_spark.plans.cdc_queries import EVOLUTION_SQL
 from scylladb_redpanda_cdc_spark.sources.changelog import CHANGELOG_SQL_CTE
 from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
 from scylladb_redpanda_cdc_spark.streaming.core import (
@@ -280,6 +281,40 @@ def s12_watermark_late_drop_observed(spark, sf_dir):
     )
 
 
+_evo_src_dirs: dict[str, str] = {}
+
+
+def s13_stream_schema_evolution(spark, sf_dir):
+    """S13: a17's mixed-version topic decoded mid-STREAM. An ALTER TABLE
+    lands while the connector is live, so one continuous query sees v1 and
+    v2 frames interleaved and must decode both WITHOUT a restart — the
+    merged-widest-schema decode (cdc_queries.evolution_decode) is pure
+    per-record expressions, so the exact batch DAG drops into the
+    micro-batch unchanged; this spec proves that transfer on the streaming
+    DDL path (file-stream twin of the Kafka source, S1's discipline).
+
+    Scale shape: map-only decode inside each micro-batch — no state store,
+    no shuffle; the version probe is one string test per record."""
+    import json as _json
+    import os as _os
+
+    from scylladb_redpanda_cdc_spark.plans.cdc_queries import (
+        evolution_decode,
+        evolution_records,
+    )
+    from scylladb_redpanda_cdc_spark.schemas import RECORD_SCHEMA
+    from scylladb_redpanda_cdc_spark.streaming.core import staged_dir_valid
+
+    if not staged_dir_valid(_evo_src_dirs.get("evo")):
+        stage = tmpdir("evo_src")
+        with open(_os.path.join(stage, "records.jsonl"), "w") as f:
+            for r in evolution_records():
+                f.write(_json.dumps(r) + "\n")
+        _evo_src_dirs["evo"] = stage
+    raw = spark.readStream.schema(RECORD_SCHEMA).json(_evo_src_dirs["evo"])
+    return run_to_table(evolution_decode(raw))
+
+
 def s11_stateful_running_state(spark, sf_dir):
     """S11: arbitrary per-key streaming state (applyInPandasWithState) —
     running per-user counters. Single availableNow batch => one final
@@ -436,5 +471,14 @@ GROUP BY 1""",
         " AS n_errors,\n"
         "  epoch_ms(MAX(ts)) AS last_ts_ms\n"
         "FROM events GROUP BY user_id",
+    ),
+    QuerySpec(
+        "s13_stream_schema_evolution",
+        "S",
+        "mixed embedded-schema versions decoded mid-stream (no restart)",
+        s13_stream_schema_evolution,
+        # identical semantics to a17 — the map-only batch DAG transfers
+        # unchanged into the micro-batch, so the oracle is shared verbatim
+        EVOLUTION_SQL,
     ),
 ]

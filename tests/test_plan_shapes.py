@@ -217,6 +217,26 @@ def test_no_accidental_nested_loop_or_python_anywhere(spark, sf_dir, specs):
     assert not violations, violations
 
 
+def test_ngram_topk_is_take_ordered(spark, sf_dir, specs):
+    """x40: the top-100 must be TakeOrderedAndProject over a partial+final
+    aggregate — a global Sort of the gram histogram would shuffle the whole
+    vocabulary through one ordering at 100 TB."""
+    plan = plan_of(spark, sf_dir, specs, "x40_ngram_topk", mode="extended")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_range_window_single_user_shuffle(spark, sf_dir, specs):
+    """b37: exactly one hash exchange (user_id) feeding a RangeFrame window
+    — no global (SinglePartition) window, no second shuffle."""
+    import re
+
+    plan = plan_of(spark, sf_dir, specs, "b37_time_range_window", mode="simple")
+    assert "RangeFrame" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_bucketed_join_is_exchange_free(spark, sf_dir, specs):
     """b32: both sides bucketed by the join key -> the SortMergeJoin itself
     needs no shuffle; the ONLY Exchange in the plan is the final rollup."""
