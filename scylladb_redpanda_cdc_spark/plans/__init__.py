@@ -109,6 +109,8 @@ def registry() -> dict[str, QuerySpec]:
         "b37_time_range_window",
         "a17_schema_evolution",
         "s13_stream_schema_evolution",
+        "u6_grouped_map_applyinpandas",
+        "x46_dedup_est_quality",
         # events-load path changed this round: batch + streaming re-proof
         "w6_win_sessionize",
         "f6_fn_map",
@@ -131,11 +133,9 @@ def registry() -> dict[str, QuerySpec]:
         "a1_cdc_source_scan",
         "a2_envelope_decode",
         "a3_key_decode",
-        "a4_op_classify",
         "a5_cell_flatten",
         "a6_latest_state_materialize",
         "a7_pk_point_filter",
-        "a8_insert_append",
         "a9_update_upsert",
         "a10_delete_tombstone",
         "a11_offset_order",
@@ -143,8 +143,9 @@ def registry() -> dict[str, QuerySpec]:
         "a15_snapshot_vs_live_split",
         # last slot: x2's oracle changed this round (distinct-shingle
         # hashing) — re-prove it. The other r2/r3-proven X headliners
-        # (x1/x3/x7/x16/x18/x20/x21, unchanged) and the two trivial
-        # r1-proven projections a12/a13 rotate out to fund the 9 new
+        # (x1/x3/x7/x16/x18/x20/x21, unchanged) and four trivial r1-proven
+        # A specs (a4/a8/a12/a13 — CASE/union/concat projections over the
+        # unchanged golden fixture) rotate out to fund the 11 new
         # operators.
         "x2_dedup_fuzzy_minhash",
     ]

@@ -1676,6 +1676,111 @@ def x45_ann_recall_eval(spark, sf_dir):
     )
 
 
+def x46_dedup_est_quality(spark, sf_dir):
+    """MinHash-ESTIMATE quality evaluation: for every x2 candidate pair,
+    the banding estimate (n_shared_bands/16 — the collision probability of
+    a MinHash equals the Jaccard) against the EXACT shingle-set Jaccard —
+    x45's measurement applied to the text-dedup path. The error column is
+    what calibrates the >= 4-band candidate threshold before a 100 TB run
+    commits to it.
+
+    Exactness: the exact side compares hashed shingle SETS (the same
+    ``hash60`` values both engines already recompute bit-for-bit, so
+    rare within-doc hash collisions collapse identically); both ratios
+    are single divisions of exact BIGINTs, and the error is one
+    subtraction of two deterministic doubles.
+
+    Scale shape: the estimate side is exactly x2 (equi-join on (band,
+    sig), never all-pairs). The exact side is EVALUATION-scoped: shingle
+    occurrences are pruned to candidate-pair docs first (broadcast
+    semi-join — the candidate doc list is pairs-sized, tiny by
+    construction), so the shingle self-join's fan-out is bounded by the
+    candidate set, not the corpus; a deployment additionally samples
+    candidate pairs before the exact pass."""
+    d = _docs_fanned(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
+    ).select("doc_id", hash60(F.col("s")).alias("h"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_remix(F.col("h"), b)).alias(f"sig_{b}")
+            for b in range(16)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")
+                    )
+                    for b in range(16)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    pairs = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= 4)
+    )
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    occ = sh.join(F.broadcast(cand_docs), "doc_id")
+    sizes = occ.groupBy("doc_id").agg(F.count("*").alias("n"))
+    oa, ob = occ.alias("oa"), occ.alias("ob")
+    shared = (
+        oa.join(
+            ob,
+            (F.col("oa.h") == F.col("ob.h"))
+            & (F.col("oa.doc_id") < F.col("ob.doc_id")),
+        )
+        .groupBy(
+            F.col("oa.doc_id").alias("doc_a"),
+            F.col("ob.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ns = F.coalesce(F.col("n_shared"), F.lit(0).cast("long"))
+    est = F.col("n_shared_bands").cast("double") / F.lit(16.0)
+    exact = ns.cast("double") / (
+        F.col("n_a") + F.col("n_b") - ns
+    ).cast("double")
+    return (
+        pairs.join(shared, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            ns.alias("n_shared"),
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
@@ -2353,6 +2458,47 @@ SELECT qid, CAST(COUNT(*) AS BIGINT) AS k,
     / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
 FROM top GROUP BY qid"""
 
+_X46_SQL = f"""WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+grams AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hs AS (SELECT doc_id,
+         CAST(concat('0x', substr(sha256(s), 1, 15)) AS BIGINT) AS h
+       FROM grams),
+bands(band, a, c) AS (VALUES
+  {_X2_BANDS_VALUES}),
+sigs AS (SELECT doc_id, band,
+           MIN(((h % {MINHASH_P}) * a + c) % {MINHASH_P}) AS sig
+         FROM hs CROSS JOIN bands GROUP BY doc_id, band),
+pairs AS (SELECT doc_a, doc_b, n_shared_bands FROM (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM sigs x JOIN sigs y
+      ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+    GROUP BY 1, 2)
+  WHERE n_shared_bands >= 4),
+cd AS (SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b AS doc_id FROM pairs)),
+occ AS (SELECT hs.* FROM hs JOIN cd USING (doc_id)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM occ GROUP BY 1),
+shr AS (SELECT oa.doc_id AS doc_a, ob.doc_id AS doc_b,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM occ oa JOIN occ ob
+          ON oa.h = ob.h AND oa.doc_id < ob.doc_id
+        GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+  CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+  CAST(p.n_shared_bands AS DOUBLE) / 16.0 AS est_jaccard,
+  CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+    / CAST(sa.n + sb.n - COALESCE(s.n_shared, 0) AS DOUBLE) AS exact_jaccard,
+  ABS(CAST(p.n_shared_bands AS DOUBLE) / 16.0
+      - CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+        / CAST(sa.n + sb.n - COALESCE(s.n_shared, 0) AS DOUBLE)) AS abs_err
+FROM pairs p
+LEFT JOIN shr s ON p.doc_a = s.doc_a AND p.doc_b = s.doc_b
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id"""
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -2716,5 +2862,12 @@ SPECS = [
         "recall@5 of sign-LSH buckets vs exact brute-force top-5, per query",
         x45_ann_recall_eval,
         _X45_SQL,
+    ),
+    QuerySpec(
+        "x46_dedup_est_quality",
+        "X",
+        "MinHash band estimate vs exact Jaccard per candidate pair (error)",
+        x46_dedup_est_quality,
+        _X46_SQL,
     ),
 ]

@@ -107,6 +107,40 @@ def u4_udtf_mapinpandas(spark, sf_dir):
     return p.mapInPandas(_explode_words, _U4_SCHEMA)
 
 
+# -- U6: applyInPandas grouped-map (whole group in, whole group out) ----------
+
+_U6_SCHEMA = "user_id long, event_id long, ts_us long, seq long, gap_us long"
+
+
+def _sequence_user_events(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user sessional sequencing in pandas: event rank and gap to the
+    previous event. Integer-only outputs, so numpy vs SQL float summation
+    order can never diverge."""
+    pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    pdf["seq"] = range(1, len(pdf) + 1)
+    pdf["gap_us"] = pdf["ts_us"].diff().fillna(0).astype("int64")
+    return pdf
+
+
+def u6_grouped_map_applyinpandas(spark, sf_dir):
+    """U6: ``applyInPandas`` grouped-map — the whole-group-in /
+    whole-group-out API (U3 aggregates a group to one row; U6 transforms
+    every row WITH full-group context, the shape per-entity featurization
+    and sessionization UDFs take in practice).
+
+    Scale shape: one shuffle on the grouping key, then Arrow-batched
+    per-group pandas; each group must fit one worker's memory — the
+    documented constraint of the API (a bot user at 100 TB calls for the
+    b36-style bucketing rewrite instead). Deterministic: the in-group sort
+    is (ts_us, event_id) — a total order — and outputs are exact ints."""
+    e = _T(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return e.groupBy("user_id").applyInPandas(
+        _sequence_user_events, _U6_SCHEMA
+    )
+
+
 # -- U5: SQL-registered UDF used from spark.sql ------------------------------
 
 
@@ -166,5 +200,17 @@ SPECS = [
         "SELECT o_orderkey, CASE WHEN o_totalprice > 300000 THEN 'big'\n"
         "  WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS price_band\n"
         "FROM orders",
+    ),
+    QuerySpec(
+        "u6_grouped_map_applyinpandas",
+        "U",
+        "applyInPandas grouped-map: per-user event seq + gap (exact ints)",
+        u6_grouped_map_applyinpandas,
+        "SELECT user_id, event_id, epoch_us(ts) AS ts_us,\n"
+        "  ROW_NUMBER() OVER w AS seq,\n"
+        "  CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0)"
+        " AS BIGINT) AS gap_us\n"
+        "FROM events\n"
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)",
     ),
 ]

@@ -370,3 +370,16 @@ def test_schema_evolution_versions_partition_the_cells(spark, sf_dir, specs):
     assert len(explicit_null) == 1
     untouched_v2 = v2[~v2["discount_touched"]]
     assert len(untouched_v2) == 1
+
+
+def test_minhash_estimate_error_is_consistent(spark, sf_dir, specs):
+    """x46: the estimate is n_shared_bands/16 (so >= 0.25 at the >= 4-band
+    candidate threshold), exact Jaccard is a valid ratio, and abs_err is
+    literally |est - exact|."""
+    pdf = specs["x46_dedup_est_quality"].build(spark, sf_dir).toPandas()
+    assert (pdf["n_shared_bands"] >= 4).all()
+    assert (pdf["est_jaccard"] == pdf["n_shared_bands"] / 16.0).all()
+    assert ((pdf["exact_jaccard"] >= 0) & (pdf["exact_jaccard"] <= 1)).all()
+    assert (
+        pdf["abs_err"] == (pdf["est_jaccard"] - pdf["exact_jaccard"]).abs()
+    ).all()

@@ -179,6 +179,7 @@ _INTENDED_PYTHON = {
     "u3_udaf_pandas",
     "u4_udtf_mapinpandas",
     "u5_udf_sql_register",
+    "u6_grouped_map_applyinpandas",  # FlatMapGroupsInPandas grouped-map
     "x18_multimodal_decode",
 }
 
