@@ -111,6 +111,7 @@ def registry() -> dict[str, QuerySpec]:
         "s13_stream_schema_evolution",
         "u6_grouped_map_applyinpandas",
         "x46_dedup_est_quality",
+        "x47_contamination_score",
         # events-load path changed this round: batch + streaming re-proof
         "w6_win_sessionize",
         "f6_fn_map",
@@ -138,7 +139,6 @@ def registry() -> dict[str, QuerySpec]:
         "a7_pk_point_filter",
         "a9_update_upsert",
         "a10_delete_tombstone",
-        "a11_offset_order",
         "a14_envelope_encode",
         "a15_snapshot_vs_live_split",
         # last slot: x2's oracle changed this round (distinct-shingle

@@ -1781,6 +1781,43 @@ def x46_dedup_est_quality(spark, sf_dir):
     )
 
 
+def x47_contamination_score(spark, sf_dir):
+    """Graded contamination: x26 FLAGS corpus docs sharing any eval 4-gram;
+    x47 grades each corpus doc by the FRACTION of its distinct 4-gram
+    shingles found anywhere in the eval set — the number a pipeline
+    thresholds ("drop if > 10% overlapped") instead of dropping every doc
+    with a single shared idiom. Exact rational: two BIGINT counts over the
+    distinct-shingle universe, one division.
+
+    Scale shape: identical to x26 — the eval set's distinct shingles are
+    BROADCAST (benchmarks are MBs, corpora are TBs); the corpus streams
+    through one explode + broadcast join + per-doc partial agg, never
+    shuffling corpus-sized data (the agg key is doc_id, whose partial agg
+    collapses map-side to one row per doc)."""
+    d = _docs_fanned(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(word_shingles(words(F.col("text")), 4)).alias("s"),
+    )
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    nc = F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        nc.alias("n_contaminated"),
+        (nc.cast("double") / F.col("n_shingles").cast("double")).alias(
+            "contamination_frac"
+        ),
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
@@ -2499,6 +2536,26 @@ LEFT JOIN shr s ON p.doc_a = s.doc_a AND p.doc_b = s.doc_b
 JOIN sizes sa ON p.doc_a = sa.doc_id
 JOIN sizes sb ON p.doc_b = sb.doc_id"""
 
+_X47_SQL = """WITH toks AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws
+  FROM documents),
+sh4 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 2),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+          AS shingles
+        FROM toks WHERE len(ws) >= 4),
+g AS (SELECT doc_id, unnest(shingles) AS s FROM sh4),
+ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+          FROM corpus GROUP BY 1),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+         FROM corpus JOIN ev USING (s) GROUP BY 1)
+SELECT sz.doc_id, sz.n_shingles,
+  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+    / CAST(sz.n_shingles AS DOUBLE) AS contamination_frac
+FROM sizes sz LEFT JOIN hits h USING (doc_id)"""
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -2869,5 +2926,12 @@ SPECS = [
         "MinHash band estimate vs exact Jaccard per candidate pair (error)",
         x46_dedup_est_quality,
         _X46_SQL,
+    ),
+    QuerySpec(
+        "x47_contamination_score",
+        "X",
+        "graded eval-overlap fraction per corpus doc (x26 flags; x47 grades)",
+        x47_contamination_score,
+        _X47_SQL,
     ),
 ]

@@ -383,3 +383,20 @@ def test_minhash_estimate_error_is_consistent(spark, sf_dir, specs):
     assert (
         pdf["abs_err"] == (pdf["est_jaccard"] - pdf["exact_jaccard"]).abs()
     ).all()
+
+
+def test_contamination_score_agrees_with_flags(spark, sf_dir, specs):
+    """x47: fractions are valid ratios over corpus docs only, and every
+    doc x26 flags has n_contaminated >= 1 in x47 (the graded form can
+    never contradict the flag form)."""
+    pdf = specs["x47_contamination_score"].build(spark, sf_dir).toPandas()
+    assert (pdf["doc_id"] % 97 != 0).all()
+    assert (pdf["n_contaminated"] <= pdf["n_shingles"]).all()
+    assert (
+        (pdf["contamination_frac"] >= 0) & (pdf["contamination_frac"] <= 1)
+    ).all()
+    flagged = set(
+        specs["x26_decontaminate"].build(spark, sf_dir).toPandas()["doc_id"]
+    )
+    scored_pos = set(pdf[pdf["n_contaminated"] >= 1]["doc_id"])
+    assert flagged == scored_pos
