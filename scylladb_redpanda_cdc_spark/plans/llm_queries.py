@@ -1696,7 +1696,14 @@ def x46_dedup_est_quality(spark, sf_dir):
     semi-join — the candidate doc list is pairs-sized, tiny by
     construction), so the shingle self-join's fan-out is bounded by the
     candidate set, not the corpus; a deployment additionally samples
-    candidate pairs before the exact pass."""
+    candidate pairs before the exact pass. The two evaluation-sized
+    intermediates (candidate pairs; pruned occurrences) are eagerly
+    localCheckpoint-ed — each is referenced by several downstream
+    branches, and without materialization Catalyst re-derives the whole
+    signature pipeline per reference (measured: 22 corpus scans in the
+    naive plan, 2 after — one for signatures, one for the pruned exact
+    side). x21's discipline; a cluster deployment uses a reliable
+    checkpoint dir."""
     d = _docs_fanned(spark, sf_dir)
     sh = d.select(
         "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
@@ -1733,13 +1740,16 @@ def x46_dedup_est_quality(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_shared_bands"))
         .filter(F.col("n_shared_bands") >= 4)
+        .localCheckpoint(eager=True)
     )
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    occ = sh.join(F.broadcast(cand_docs), "doc_id")
+    occ = sh.join(F.broadcast(cand_docs), "doc_id").localCheckpoint(
+        eager=True
+    )
     sizes = occ.groupBy("doc_id").agg(F.count("*").alias("n"))
     oa, ob = occ.alias("oa"), occ.alias("ob")
     shared = (
