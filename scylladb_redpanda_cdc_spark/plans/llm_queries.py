@@ -1356,7 +1356,12 @@ def x39_dedup_containment(spark, sf_dir):
     denominator uses the same capped universe, mirrored by the oracle, so
     the ratio is an exact rational both engines agree on). Span hashes are
     uniform 60-bit: the partial aggs and the equi-join have no skew key by
-    construction."""
+    construction. The df-capped posting list is eagerly localCheckpoint-ed
+    before fan-out: it feeds THREE branches (sizes + both self-join
+    sides), and without materialization Catalyst re-derives the
+    tokenize+span+hash pipeline per branch (6 corpus scans measured; 2
+    after — the materialize-the-inverted-index-before-fan-out shape x11
+    and x46 use)."""
     d = _docs_fanned(spark, sf_dir)
     t = d.select("doc_id", words(F.col("text")).alias("ws"))
     occ = (
@@ -1370,7 +1375,7 @@ def x39_dedup_containment(spark, sf_dir):
         .filter(F.col("df") <= 50)
         .select("span_hash")
     )
-    sp = occ.join(keep, "span_hash")
+    sp = occ.join(keep, "span_hash").localCheckpoint(eager=True)
     sizes = sp.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sp.alias("a"), sp.alias("b")
     shared = (

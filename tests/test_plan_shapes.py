@@ -185,7 +185,11 @@ _INTENDED_PYTHON = {
 
 #: Builds that EXECUTE work (streams run to completion; x21 iterates) —
 #: their physical shape is covered by their own tests/oracles instead.
-_EXEC_ON_BUILD = {"x21_dedup_cluster_cc", "x46_dedup_est_quality"}
+_EXEC_ON_BUILD = {
+    "x21_dedup_cluster_cc",
+    "x39_dedup_containment",
+    "x46_dedup_est_quality",
+}
 
 
 def test_no_accidental_nested_loop_or_python_anywhere(spark, sf_dir, specs):
