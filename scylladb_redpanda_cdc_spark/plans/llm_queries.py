@@ -316,9 +316,20 @@ def x13_sim_ivf_probe(spark, sf_dir):
     full pass; probing touches ~2/n_centroids of the data. Seed-free (unlike
     the xxhash64 X ops), so it carries a full strict oracle: DuckDB
     recomputes assignment, probe choice, and the probed exact search; tests
-    additionally assert the result ⊆ brute force."""
+    additionally assert the result ⊆ brute force.
+
+    The centroid table and query vector are materialized from ONE shared
+    pre-pass (eager localCheckpoint): ``vec_id % 25`` is not a pushable
+    parquet predicate, so each of their four broadcast-side references
+    otherwise re-reads the full embeddings table — 5 scans in the naive
+    plan, 2 after (pre-pass + assignment), which is the honest IVF cost
+    model: index structures are materialized once, only the assignment
+    streams the corpus."""
     e = _T(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") % 25 == 0).select(
+    pre = e.filter(
+        (F.col("vec_id") % 25 == 0) | (F.col("vec_id") == 0)
+    ).localCheckpoint(eager=True)
+    cent = pre.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
     # assign every vector to its nearest centroid; norms precomputed once
@@ -341,7 +352,7 @@ def x13_sim_ivf_probe(spark, sf_dir):
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
     assigned = ac.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     # the query's 2 nearest centroids
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    q = pre.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     probes = (
         cent.crossJoin(F.broadcast(q))
         .select("cid", cosine(F.col("cemb"), F.col("qe")).alias("q_cos"))
@@ -395,17 +406,26 @@ def x6_text_tokenize_ngram(spark, sf_dir):
 def x7_text_tfidf(spark, sf_dir):
     """tf-idf with a rational idf ((N+1)/(df+1), no transcendental) so every
     value is an exact deterministic double — pure DataFrame algebra:
-    two aggregations + two joins, all keyed on term/doc (no skew: terms are
-    zipfian but the heavy hitters are stopword-scale, still fine per-key)."""
+    aggregations + two joins, all keyed on term/doc (no skew: terms are
+    zipfian but the heavy hitters are stopword-scale, still fine per-key).
+
+    Single-corpus-pass shape: doclen and df are WINDOW aggregates over tc
+    (doclen = sum of the doc's term counts over partition-by-doc; df =
+    rows over partition-by-term) instead of separate re-aggregations
+    joined back. Catalyst can't ReuseExchange the naive three-branch form
+    (column pruning makes each branch's scan subtree differ), so the
+    tok-per-branch form really tokenized the corpus 3x; the window form
+    tokenizes ONCE and pays two tc-sized (vocabulary x doc, far below
+    token count) shuffles with no joins at all."""
     d = _T(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     tc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doclen"))
-    dfreq = tc.groupBy("term").agg(F.count("*").alias("df"))
+    w_doc = Window.partitionBy("doc_id")
+    w_term = Window.partitionBy("term")
     n_docs = d.agg(F.count("*").alias("n_docs"))
     return (
-        tc.join(dl, "doc_id")
-        .join(dfreq, "term")
+        tc.withColumn("doclen", F.sum("cnt").over(w_doc))
+        .withColumn("df", F.count("*").over(w_term))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -186,6 +186,7 @@ _INTENDED_PYTHON = {
 #: Builds that EXECUTE work (streams run to completion; x21 iterates) —
 #: their physical shape is covered by their own tests/oracles instead.
 _EXEC_ON_BUILD = {
+    "x13_sim_ivf_probe",
     "x21_dedup_cluster_cc",
     "x39_dedup_containment",
     "x46_dedup_est_quality",
