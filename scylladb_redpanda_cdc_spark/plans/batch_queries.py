@@ -198,7 +198,10 @@ def b13_join_theta_range(spark, sf_dir):
         F.col("s_acctbal").alias("bal"),
     )
     per_bucket = cb.groupBy("bkt").agg(F.count("*").alias("n_cust"))
-    spine = cb.select("bkt").union(sb.select("bkt")).distinct()
+    # spine = distinct buckets of BOTH sides; the customer-side set is
+    # exactly per_bucket's keys, so reuse that aggregate instead of a
+    # third scan of the customer projection
+    spine = per_bucket.select("bkt").union(sb.select("bkt")).distinct()
     # Suffix sum over the bucket spine: a global-order window, but the frame
     # is dim-sized by construction (domain/width buckets), never data-sized.
     wdesc = Window.orderBy(F.col("bkt").desc()).rowsBetween(
