@@ -1894,6 +1894,297 @@ def x20_corpus_prep(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Model-driven curation / mixture planning (round 5)
+# ---------------------------------------------------------------------------
+
+#: x48's literal model: integer weights over integer ppm features, so the
+#: margin is one BIGINT dot product — the "apply a trained linear quality
+#: classifier at corpus scale" shape (fastText-style filtering a la GPT-3 /
+#: CCNet, with the training done offline and only the apply distributed).
+#: Shared by builder and oracle so the two can never disagree.
+X48_W_BIAS = -465_000_000
+X48_W_LEN = 1_500_000  # per capped word (cap 200)
+X48_W_STOP = 900  # per stopword-ratio ppm
+X48_W_TTR = 700  # per type-token-ratio ppm
+X48_TAU = 0
+
+
+def x48_quality_classifier(spark, sf_dir):
+    """Linear quality-classifier APPLY: a fastText/CCNet-style filter whose
+    weights were fit offline, applied to every doc as one integer dot
+    product over deterministic features — capped length, stopword-ratio
+    ppm, type-token-ratio ppm. x15 hand-scores with float arithmetic; x48
+    is the model-apply shape: features and margin are exact BIGINTs (ppm
+    via integer division, identical truncation in both engines), and the
+    keep decision is ``margin >= 0`` — bit-free of float divergence.
+
+    Scale shape: map-only expression algebra over the token array — zero
+    shuffles, whole-stage codegen, embarrassingly parallel; the model
+    rides in the instruction stream (literal weights), not in a join."""
+    d = _docs_fanned(spark, sf_dir)
+    t = d.select("doc_id", words(F.col("text")).alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    n_words = F.size("ws").cast("long")
+    n_stop = F.size(F.filter(F.col("ws"), lambda w: w.isin(*STOPWORDS))).cast(
+        "long"
+    )
+    n_distinct = F.size(F.array_distinct("ws")).cast("long")
+    feat = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.least(n_words, F.lit(200).cast("long")).alias("f_len"),
+        (n_stop * F.lit(1_000_000)).alias("_stop_num"),
+        (n_distinct * F.lit(1_000_000)).alias("_ttr_num"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "f_len",
+        F.expr("_stop_num DIV n_words").alias("f_stop_ppm"),
+        F.expr("_ttr_num DIV n_words").alias("f_ttr_ppm"),
+    )
+    margin = (
+        F.lit(X48_W_BIAS).cast("long")
+        + F.lit(X48_W_LEN) * F.col("f_len")
+        + F.lit(X48_W_STOP) * F.col("f_stop_ppm")
+        + F.lit(X48_W_TTR) * F.col("f_ttr_ppm")
+    )
+    return feat.select(
+        "doc_id",
+        "f_len",
+        "f_stop_ppm",
+        "f_ttr_ppm",
+        margin.alias("margin_micro"),
+        (margin >= X48_TAU).alias("keep"),
+    )
+
+
+#: x49's literal budget policy: total training-token budget and the
+#: per-source epoch cap (2.0 epochs in ppm-of-epoch units — small sources
+#: are upsampled but never memorization-looped). Sized so the fixture
+#: exercises BOTH regimes (capped and budget-limited) across SFs.
+X49_BUDGET_TOKENS = 60_000
+X49_MAX_EPOCHS_PPM = 2_000_000
+
+
+def x49_token_budget_mix(spark, sf_dir):
+    """Token-budget epoch allocation per source — the mixture-planning step
+    that turns "we can afford B training tokens" into per-source repeat
+    factors (a la the Llama/Gopher data recipes: uniform budget share per
+    source, capped at 4 epochs so small sources are upsampled but never
+    memorization-looped). Emits per source: doc/token counts, the epoch
+    factor in exact ppm, and the allocated token count.
+
+    Exactness: every number is a BIGINT (token counts, integer-division
+    ppm, integer-division allocation) — both engines truncate nonnegative
+    integer division identically; no floats anywhere.
+
+    Scale shape: one source-keyed partial agg (output is sources-sized,
+    i.e. tiny), then a 1-row broadcast of the source count — the corpus
+    streams once, nothing corpus-sized shuffles twice."""
+    d = _docs_fanned(spark, sf_dir)
+    t = d.select("source", words(F.col("text")).alias("ws"))
+    per = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("ws").cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(F.count("*").alias("n_sources"))
+    alloc = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            f"least(CAST({X49_MAX_EPOCHS_PPM} AS BIGINT),"
+            f" (CAST({X49_BUDGET_TOKENS} AS BIGINT) DIV n_sources)"
+            " * 1000000 DIV n_tokens)"
+        ).alias("epochs_ppm"),
+    )
+    return alloc.withColumn(
+        "allocated_tokens", F.expr("n_tokens * epochs_ppm DIV 1000000")
+    )
+
+
+#: x50's SemDeDup similarity threshold (the paper prunes at ~0.95 on real
+#: embeddings; the synthetic fixture's vectors are near-orthogonal, so the
+#: demonstration threshold matches x12's near-dup bar).
+X50_TAU = 0.25
+
+
+def x50_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering —
+    assign every embedding to its nearest coarse centroid, then WITHIN each
+    cluster remove any vector whose cosine to a lower-id cluster-mate
+    exceeds tau. Emits every vector with its cluster, the max cosine to a
+    lower-id cluster-mate (the removal evidence), and the keep/remove bit.
+
+    The point at 100 TB: the O(n²) semantic-pair search collapses to
+    per-cluster blocks — the self-join is an EQUI-join on the cluster id
+    (never all-pairs), and cluster sizes are bounded by the centroid count
+    (k scales with corpus size in a real deployment; x29 is the honest
+    centroid build, x13's every-25th rule is the deterministic stand-in
+    shared here so the oracle can recompute assignment exactly).
+
+    Exactness: assignment uses the shared bit-exact cosine fold with
+    (cos DESC, cid ASC) tie-break; the removal bit compares a
+    deterministic double to a literal — both engines see identical bits."""
+    e = _T(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cent_n = cent.withColumn("_nb", l2_norm(F.col("cemb")))
+    ac = (
+        e.withColumn("_na", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent_n))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            (
+                dot_d(F.col("embedding"), F.col("cemb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("c_cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        ac.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    prior = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_prior_cos"))
+    )
+    out = assigned.select("vec_id", "cid").join(prior, "vec_id", "left")
+    return out.select(
+        "vec_id",
+        "cid",
+        "max_prior_cos",
+        F.coalesce(F.col("max_prior_cos") >= X50_TAU, F.lit(False)).alias(
+            "is_removed"
+        ),
+    )
+
+
+def x51_dsir_proxy(spark, sf_dir):
+    """DSIR-style importance weighting (Xie et al. 2023), exact-arithmetic
+    proxy: score every corpus doc by how much its unigram distribution
+    looks like a TARGET domain (here: the 'src1' crawl as the in-domain
+    seed) versus the corpus at large. Per token, the evidence is
+    ``target_ppm - corpus_ppm`` (hashed-unigram log-ratio's exact-integer
+    stand-in); a doc's raw score is the BIGINT sum of that delta over its
+    token occurrences, and the importance weight is ONE double division by
+    its token count. Positive = in-domain-like, negative = out-of-domain.
+
+    Scale shape: both frequency tables are VOCABULARY-sized aggs (the
+    zipf-hot token keys collapse map-side) and are BROADCAST to the
+    exploded token stream — x28's discipline; the corpus-sized flow is one
+    explode + broadcast join + per-doc partial agg, never a corpus-sized
+    shuffle on a skewed key."""
+    d = _docs_fanned(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "source", F.explode(words(F.col("text"))).alias("tok")
+    )
+    t_tot = toks.filter(F.col("source") == "src1").agg(
+        F.count("*").alias("t_n")
+    )
+    c_tot = toks.agg(F.count("*").alias("c_n"))
+    t_freq = (
+        toks.filter(F.col("source") == "src1")
+        .groupBy("tok")
+        .agg(F.count("*").alias("t_cnt"))
+        .crossJoin(F.broadcast(t_tot))
+        .select("tok", F.expr("t_cnt * 1000000 DIV t_n").alias("t_ppm"))
+    )
+    c_freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c_cnt"))
+        .crossJoin(F.broadcast(c_tot))
+        .select("tok", F.expr("c_cnt * 1000000 DIV c_n").alias("c_ppm"))
+    )
+    freq = c_freq.join(t_freq, "tok", "left").select(
+        "tok",
+        (
+            F.coalesce(F.col("t_ppm"), F.lit(0).cast("long")) - F.col("c_ppm")
+        ).alias("delta_ppm"),
+    )
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("delta_ppm").alias("sum_delta_ppm"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "sum_delta_ppm",
+        (
+            F.col("sum_delta_ppm").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("importance"),
+    )
+
+
+def x52_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace word
+    — the tokenizer-evaluation statistic multilingual teams watch (a
+    tokenizer with fertility 2× on one language doubles that language's
+    effective sequence length and halves its context). Uses x16's two
+    tokenizations corpus-wide, rolled up per language.
+
+    Exactness: both token counts are BIGINT sums (any aggregation order);
+    fertility is ONE double division per language row.
+
+    Scale shape: per-doc counting is map-only expression work; the only
+    shuffle is the language-keyed partial agg whose output is
+    languages-sized — constant in corpus size."""
+    d = _docs_fanned(spark, sf_dir)
+    n_ws = F.size(
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")
+        )
+    ).cast("long")
+    n_bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+        )
+    ).cast("long")
+    per_doc = d.select(
+        "lang", n_ws.alias("n_words"), n_bpe.alias("n_bpe")
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe").alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        (
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2591,6 +2882,90 @@ SELECT sz.doc_id, sz.n_shingles,
     / CAST(sz.n_shingles AS DOUBLE) AS contamination_frac
 FROM sizes sz LEFT JOIN hits h USING (doc_id)"""
 
+_X48_SQL = f"""WITH {_TOKS_CTE},
+f AS (
+  SELECT doc_id,
+    LEAST(CAST(len(ws) AS BIGINT), 200) AS f_len,
+    CAST(len(list_filter(ws, w -> w IN
+      ('the','a','and','of','to','in','is','on'))) AS BIGINT) * 1000000
+      // CAST(len(ws) AS BIGINT) AS f_stop_ppm,
+    CAST(len(list_distinct(ws)) AS BIGINT) * 1000000
+      // CAST(len(ws) AS BIGINT) AS f_ttr_ppm
+  FROM toks WHERE len(ws) > 0
+)
+SELECT doc_id, f_len, f_stop_ppm, f_ttr_ppm,
+  {X48_W_BIAS} + {X48_W_LEN} * f_len + {X48_W_STOP} * f_stop_ppm
+    + {X48_W_TTR} * f_ttr_ppm AS margin_micro,
+  ({X48_W_BIAS} + {X48_W_LEN} * f_len + {X48_W_STOP} * f_stop_ppm
+    + {X48_W_TTR} * f_ttr_ppm) >= {X48_TAU} AS keep
+FROM f"""
+
+_X49_SQL = """WITH toks AS (SELECT source,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws
+  FROM documents),
+per AS (SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(ws)) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM per)
+SELECT source, n_docs, n_tokens,
+  LEAST(CAST({cap} AS BIGINT),
+        (CAST({budget} AS BIGINT) // n_sources) * 1000000 // n_tokens)
+    AS epochs_ppm,
+  n_tokens * LEAST(CAST({cap} AS BIGINT),
+        (CAST({budget} AS BIGINT) // n_sources) * 1000000 // n_tokens)
+    // 1000000 AS allocated_tokens
+FROM per CROSS JOIN tot""".format(
+    cap=X49_MAX_EPOCHS_PPM, budget=X49_BUDGET_TOKENS
+)
+
+_X50_SQL = f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+              FROM embeddings WHERE vec_id % 25 = 0),
+ac AS (SELECT e.vec_id, e.embedding, c.cid,
+              {_cos_sql('e.embedding', 'c.cemb')} AS c_cos
+       FROM embeddings e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, embedding, cid FROM (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY c_cos DESC, cid ASC) AS rn
+  FROM ac) WHERE rn = 1),
+prior AS (SELECT a.vec_id,
+                 MAX({_cos_sql('a.embedding', 'b.embedding')}) AS max_prior_cos
+          FROM assigned a JOIN assigned b
+            ON a.cid = b.cid AND b.vec_id < a.vec_id
+          GROUP BY 1)
+SELECT a.vec_id, a.cid, p.max_prior_cos,
+  COALESCE(p.max_prior_cos >= {X50_TAU}, FALSE) AS is_removed
+FROM assigned a LEFT JOIN prior p USING (vec_id)"""
+
+_X51_SQL = """WITH toks AS (SELECT doc_id, source,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS ws
+  FROM documents),
+tok AS (SELECT doc_id, source, unnest(ws) AS tok FROM toks),
+t_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_n FROM tok WHERE source = 'src1'),
+c_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_n FROM tok),
+t_freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) * 1000000 // t_n AS t_ppm
+           FROM tok, t_tot WHERE source = 'src1' GROUP BY tok, t_n),
+c_freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) * 1000000 // c_n AS c_ppm
+           FROM tok, c_tot GROUP BY tok, c_n),
+freq AS (SELECT c.tok, COALESCE(t.t_ppm, 0) - c.c_ppm AS delta_ppm
+         FROM c_freq c LEFT JOIN t_freq t USING (tok))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(delta_ppm) AS BIGINT) AS sum_delta_ppm,
+  CAST(SUM(delta_ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS importance
+FROM tok JOIN freq USING (tok) GROUP BY doc_id"""
+
+_X52_SQL = """WITH per AS (SELECT lang,
+  CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+       AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+       AS BIGINT) AS n_bpe
+ FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_words) AS BIGINT) AS n_words,
+  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility
+FROM per GROUP BY lang"""
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -2968,5 +3343,40 @@ SPECS = [
         "graded eval-overlap fraction per corpus doc (x26 flags; x47 grades)",
         x47_contamination_score,
         _X47_SQL,
+    ),
+    QuerySpec(
+        "x48_quality_classifier",
+        "X",
+        "linear quality-classifier apply: exact-integer margin, map-only",
+        x48_quality_classifier,
+        _X48_SQL,
+    ),
+    QuerySpec(
+        "x49_token_budget_mix",
+        "X",
+        "token-budget epoch allocation per source (capped repeats, exact ppm)",
+        x49_token_budget_mix,
+        _X49_SQL,
+    ),
+    QuerySpec(
+        "x50_semdedup",
+        "X",
+        "SemDeDup: cluster-blocked semantic dedup, keep-lowest-id per pair",
+        x50_semdedup,
+        _X50_SQL,
+    ),
+    QuerySpec(
+        "x51_dsir_proxy",
+        "X",
+        "DSIR-style in-domain importance weight (exact ppm frequency delta)",
+        x51_dsir_proxy,
+        _X51_SQL,
+    ),
+    QuerySpec(
+        "x52_tokenizer_fertility",
+        "X",
+        "BPE-ish tokens per word per language (tokenizer fertility eval)",
+        x52_tokenizer_fertility,
+        _X52_SQL,
     ),
 ]
