@@ -536,6 +536,51 @@ def _v2_values_sql() -> str:
     return ",\n    ".join(rows)
 
 
+#: A18's literal replay points over the extended 8-event log (offsets 0-7):
+#: as-of 5 predates the (1,6) pasta->spaghetti update AND the delete, as-of 7
+#: is the full log — together they pin both directions of time travel.
+A18_AS_OF_OFFSETS = (5, 7)
+
+
+def a18_point_in_time_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: point-in-time state replay (time travel) — materialize the table
+    AS OF each requested offset by compacting only the change-log prefix
+    ``offset <= as_of``. The append-only CDC log makes every historical
+    state reconstructible (the property the reference's topic replay is FOR
+    — README.md:24,212: re-consuming the topic rebuilds the table; A18
+    rebuilds it at a chosen point instead of the head). At as-of 5 key
+    (1,6) still reads 'pasta' (rpk_topic_consume.json:44); at as-of 7 the
+    update and the tombstone have both landed.
+
+    Scale shape: the as-of points ride as one literal explode (map-side
+    fan-out x |points|); the compaction window shuffles each (as_of, key)
+    group once — same single-shuffle shape as A6, multiplied only by the
+    number of replay points, never re-scanning the log per point. At
+    100 TB the ``offset <= as_of`` predicate prunes log segments/partitions
+    before the shuffle (CDC logs are offset-ordered on disk)."""
+    from pyspark.sql import Window
+
+    decoded = _decoded_df(spark, extended=True)
+    ev = decoded.select(
+        "offset",
+        "op",
+        F.col("key_customer_id").alias("customer_id"),
+        F.col("key_order_id").alias("order_id"),
+        F.col("after_product").alias("product"),
+        F.explode(
+            F.array(*[F.lit(o).cast("long") for o in A18_AS_OF_OFFSETS])
+        ).alias("as_of_offset"),
+    ).filter(F.col("offset") <= F.col("as_of_offset"))
+    w = Window.partitionBy("as_of_offset", "customer_id", "order_id").orderBy(
+        F.col("offset").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("as_of_offset", "customer_id", "order_id", "product", "offset")
+    )
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -792,6 +837,25 @@ FROM log GROUP BY topic""",
         "two embedded-schema versions decoded in one pass (ALTER ADD COLUMN)",
         a17_schema_evolution,
         EVOLUTION_SQL,
+    ),
+    QuerySpec(
+        "a18_point_in_time_replay",
+        "A",
+        "time travel: materialize state AS OF each literal offset prefix",
+        a18_point_in_time_replay,
+        _g(
+            f"""SELECT as_of_offset, customer_id, order_id, product, "offset" FROM (
+  SELECT a.as_of_offset, key_customer_id AS customer_id,
+         key_order_id AS order_id, after_product AS product, op, "offset",
+         ROW_NUMBER() OVER (PARTITION BY a.as_of_offset, key_customer_id,
+                            key_order_id ORDER BY "offset" DESC) AS rn
+  FROM decoded
+  CROSS JOIN (SELECT CAST(unnest([{", ".join(map(str, A18_AS_OF_OFFSETS))}])
+                          AS BIGINT) AS as_of_offset) a
+  WHERE "offset" <= a.as_of_offset
+) WHERE rn = 1 AND op <> 'd'""",
+            extended=True,
+        ),
     ),
     QuerySpec(
         "flagship_cdc_materialize",

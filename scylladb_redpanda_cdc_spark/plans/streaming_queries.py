@@ -29,7 +29,9 @@ from scylladb_redpanda_cdc_spark.streaming.core import (
 )
 from scylladb_redpanda_cdc_spark.streaming.ops import (
     foreachbatch_upsert,
+    incremental_dedup_stream,
     stage_changelog_stream,
+    stage_documents_stream,
     stage_late_events_stream,
     user_running_state,
 )
@@ -315,6 +317,18 @@ def s13_stream_schema_evolution(spark, sf_dir):
     return run_to_table(evolution_decode(raw))
 
 
+def s14_stream_incremental_dedup(spark, sf_dir):
+    """S14: x36's incremental exact dedup as a LIVE ingest stream — two
+    ordered micro-batches of arriving documents (even doc_ids, then odd),
+    each classified keep / dup_in_batch / dup_of_corpus against the
+    standing hash index, which is updated per batch (the foreachBatch
+    state-evolution pattern S10 uses for upserts, applied to the
+    LLM-pipeline dedup decision). The batch split is deterministic
+    (doc_id parity + mtime-pinned file order), so the DuckDB oracle can
+    name each doc's batch and recompute every verdict exactly."""
+    return incremental_dedup_stream(stage_documents_stream(spark, sf_dir))
+
+
 def s11_stateful_running_state(spark, sf_dir):
     """S11: arbitrary per-key streaming state (applyInPandasWithState) —
     running per-user counters. Single availableNow batch => one final
@@ -471,6 +485,25 @@ GROUP BY 1""",
         " AS n_errors,\n"
         "  epoch_ms(MAX(ts)) AS last_ts_ms\n"
         "FROM events GROUP BY user_id",
+    ),
+    QuerySpec(
+        "s14_stream_incremental_dedup",
+        "S",
+        "per-batch exact-dedup verdicts against a standing hash index",
+        s14_stream_incremental_dedup,
+        """WITH aug AS (
+  SELECT doc_id, text, doc_id % 2 AS b FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 1 FROM documents WHERE doc_id % 10 IN (0, 5)
+),
+h AS (SELECT doc_id, b, sha256(lower(trim(text))) AS text_hash FROM aug),
+fb AS (SELECT text_hash, b, MIN(doc_id) AS first_id FROM h GROUP BY 1, 2),
+fa AS (SELECT text_hash, MIN(b) AS first_b FROM h GROUP BY 1)
+SELECT doc_id, text_hash,
+  CASE WHEN b > first_b THEN 'dup_of_corpus'
+       WHEN doc_id > first_id THEN 'dup_in_batch'
+       ELSE 'keep' END AS verdict
+FROM h JOIN fa USING (text_hash) JOIN fb USING (text_hash, b)""",
     ),
     QuerySpec(
         "s13_stream_schema_evolution",
