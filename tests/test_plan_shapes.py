@@ -169,6 +169,8 @@ _INTENDED_NESTED_LOOP = {
     "x43_bm25_rank",  # broadcast 1-row corpus stats (N, total_len, dfs)
     "x44_lang_temperature_mix",  # broadcast 1-row weight/doc totals
     "x45_ann_recall_eval",  # broadcast query batch (x32's evaluation twin)
+    "x49_token_budget_mix",  # broadcast 1-row source count
+    "x51_dsir_proxy",  # broadcast 1-row target/corpus token totals
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
