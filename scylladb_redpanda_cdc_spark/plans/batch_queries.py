@@ -764,6 +764,76 @@ def b37_time_range_window(spark, sf_dir):
     )
 
 
+def b38_funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel per user: first `view`, then the first
+    `click` AT OR AFTER that view, then the first `purchase` at or after
+    that click — the product-analytics staple (Amplitude/Mixpanel funnels)
+    that naive per-type mins get WRONG (a purchase before the first view
+    must not count as conversion).
+
+    Exactness: stage times are epoch-micros MINs (exact int64); the stage
+    number is integer arithmetic on null flags.
+
+    Scale shape: three user-keyed partial aggs, each over a narrower
+    event-type slice (the type filter pushes into the scan), then
+    users-sized joins on the same user_id key — AQE co-partitions the
+    follow-up joins with the agg output, so after the first shuffle the
+    funnel refinement is co-located; nothing corpus-sized moves twice and
+    there is no per-user quadratic step (the window-sort alternative puts
+    a bot user's whole history in one task; this shape partial-aggs it)."""
+    e = _T(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("funnel_stage"),
+        )
+    )
+
+
+_B38_SQL = """WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, MIN(us) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(us) AS t_click FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND us >= t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(us) AS t_purchase FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND us >= t_click GROUP BY e.user_id)
+SELECT v.user_id, t_view, t_click, t_purchase,
+  CAST(1 + CAST(t_click IS NOT NULL AS INT)
+         + CAST(t_purchase IS NOT NULL AS INT) AS INT) AS funnel_stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+
+
 _B37_SQL = """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
   CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_5min,
   CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
@@ -1144,5 +1214,12 @@ SPECS = [
         "RANGE-frame trailing 5-minute per-user rolling count/sum",
         b37_time_range_window,
         _B37_SQL,
+    ),
+    QuerySpec(
+        "b38_funnel_conversion",
+        "B",
+        "ordered view→click→purchase funnel per user (first-touch, exact)",
+        b38_funnel_conversion,
+        _B38_SQL,
     ),
 ]

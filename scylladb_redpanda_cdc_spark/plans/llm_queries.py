@@ -2189,6 +2189,230 @@ def x52_tokenizer_fertility(spark, sf_dir):
     )
 
 
+def x53_embed_quantize(spark, sf_dir):
+    """Int8 scalar quantization + integer-dot retrieval — the
+    embedding-compression step a 100 TB vector corpus runs FIRST (float32
+    -> int8 cuts the index 4x and turns the scoring kernel into integer
+    SIMD; FAISS's SQ8, Milvus/pgvector's scalar quantizer). Per vector:
+    symmetric per-vector scale (127 / max|x_i|), truncated codes, then
+    exact top-20 by INT8 DOT with vec_id 0's codes.
+
+    Exactness: maxabs is a max-fold of exactly-promoted float32 (order
+    insensitive); codes are ``floor(x * 127.0 / maxabs)`` — one double
+    multiply + divide + floor, identical IEEE ops in both engines; the
+    query dot is pure BIGINT arithmetic, and the top-k orders by
+    (qdot DESC, vec_id ASC) — a total order, no float ties.
+
+    Scale shape: quantization is map-only (zero shuffles); the query's
+    codes are a 1-row broadcast; top-k is TakeOrdered (no global sort).
+    The codes ride along as a CSV string so the oracle pins every code,
+    not just the ranking."""
+    e = _T(spark, sf_dir, "embeddings")
+    qe = e.withColumn(
+        "maxabs",
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        ),
+    ).withColumn(
+        "codes",
+        F.when(
+            F.col("maxabs") == 0.0,
+            F.transform(F.col("embedding"), lambda x: F.lit(0)),
+        ).otherwise(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * 127.0 / F.col("maxabs")
+                ).cast("int"),
+            )
+        ),
+    )
+    q = qe.filter(F.col("vec_id") == 0).select(F.col("codes").alias("qcodes"))
+    return (
+        qe.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "maxabs",
+            F.array_join(
+                F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+            ).alias("codes_str"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("qcodes"),
+                    lambda x, y: x.cast("long") * y.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+        .orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+def x55_source_drift(spark, sf_dir):
+    """Per-source unigram-distribution drift vs the whole corpus: exact L1
+    distance in ppm — the corpus-monitoring statistic that catches a crawl
+    source going off-distribution between snapshots (mixture dashboards
+    threshold on it before a source is admitted to a training run).
+
+    L1 over the FULL vocabulary without fanning the vocabulary out per
+    source: for tokens the source lacks, the summand is just c_ppm, so
+    ``L1 = sum_present |s_ppm - c_ppm| + (total_c_ppm - sum_present
+    c_ppm)`` — the absent-token mass folds into one corpus-constant
+    correction (1-row broadcast) instead of a sources x vocab outer join.
+
+    Exactness: every term is integer ppm (BIGINT // — identical
+    truncation both engines); sums are order-insensitive BIGINT adds.
+
+    Scale shape: x51's discipline — both frequency tables are
+    VOCABULARY-sized aggs whose zipf-hot keys collapse map-side; the
+    corpus-sized flow is one explode + two partial aggs; the per-(source,
+    tok) table joins the broadcast corpus table, and the final outputs are
+    sources-sized."""
+    d = _docs_fanned(spark, sf_dir)
+    toks = d.select("source", F.explode(words(F.col("text"))).alias("tok"))
+    c_tot = toks.agg(F.count("*").alias("c_n"))
+    c_freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c_cnt"))
+        .crossJoin(F.broadcast(c_tot))
+        .select("tok", F.expr("c_cnt * 1000000 DIV c_n").alias("c_ppm"))
+    )
+    c_all = c_freq.agg(F.sum("c_ppm").alias("c_ppm_total"))
+    s_tot = toks.groupBy("source").agg(F.count("*").alias("s_n"))
+    s_freq = (
+        toks.groupBy("source", "tok")
+        .agg(F.count("*").alias("s_cnt"))
+        .join(F.broadcast(s_tot), "source")
+        .select(
+            "source", "tok", F.expr("s_cnt * 1000000 DIV s_n").alias("s_ppm")
+        )
+    )
+    present = (
+        s_freq.join(F.broadcast(c_freq), "tok")
+        .groupBy("source")
+        .agg(
+            F.sum(F.abs(F.col("s_ppm") - F.col("c_ppm"))).alias("l1_present"),
+            F.sum("c_ppm").alias("c_present"),
+        )
+    )
+    return (
+        present.crossJoin(F.broadcast(c_all))
+        .join(s_tot, "source")
+        .select(
+            "source",
+            F.col("s_n").alias("n_tokens"),
+            (
+                F.col("l1_present")
+                + F.col("c_ppm_total")
+                - F.col("c_present")
+            ).alias("l1_drift_ppm"),
+        )
+    )
+
+
+#: x54's product-quantization geometry: 64-dim vectors cut into M
+#: subvectors of SUB dims; the per-subspace codebooks come from the
+#: deterministic every-25th stand-in rule shared with x13/x50 (x29 is the
+#: honest centroid build).
+X54_M = 8
+X54_SUB = 8
+
+
+def x54_pq_ann(spark, sf_dir):
+    """Product quantization + asymmetric-distance (ADC) retrieval — the
+    codebook half of IVF-PQ (Jegou et al. 2011), THE standard way a 100 TB
+    vector corpus fits an index in memory: each 64-dim float32 vector
+    becomes 8 one-byte codes (32x compression), and query scoring is 8
+    table lookups + adds instead of 64 multiplies. Emits every vector's
+    codes plus its ADC distance to vec_id 0, top-20 nearest.
+
+    Exactness: sub-distances are L2^2 folds over exactly-promoted float32
+    (same left-to-right double fold as the cosine kernel — bit-identical
+    in DuckDB); code assignment is argmin by (dist ASC, cid ASC) via a
+    lexicographic struct-MIN (partial-agg-able, no window on the corpus);
+    the ADC sum folds the 8 per-subspace lookups in m-order (sorted
+    fold), so both engines add in the same sequence.
+
+    Scale shape: the codebook (centroids x M slices) and the query's
+    M-row distance table are BROADCAST; the corpus explodes x8 map-side,
+    streams past the broadcast codebook, and partial-aggs the argmin —
+    shuffles carry 1 row per (vec, subspace) then 1 row per vec. Nothing
+    is ever all-pairs; top-k is TakeOrdered."""
+    e = _T(spark, sf_dir, "embeddings")
+    ms = F.explode(F.array(*[F.lit(i) for i in range(X54_M)])).alias("m")
+    sub = F.expr(f"slice(embedding, m * {X54_SUB} + 1, {X54_SUB})")
+    cent = (
+        e.filter(F.col("vec_id") % 25 == 0)
+        .select(F.col("vec_id").alias("cid"), "embedding", ms)
+        .select("cid", "m", sub.alias("csub"))
+    )
+    l2sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    corpus = e.select("vec_id", "embedding", ms).select(
+        "vec_id", "m", sub.alias("vsub")
+    )
+    codes = (
+        corpus.join(F.broadcast(cent), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                l2sq(F.col("vsub"), F.col("csub")).alias("dist"),
+                F.col("cid").alias("cid"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("code"))
+    )
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select("embedding", ms)
+        .select("m", sub.alias("qsub"))
+    )
+    dtab = (
+        q.join(cent, "m")
+        .select("m", "cid", l2sq(F.col("qsub"), F.col("csub")).alias("qd"))
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dtab), (codes.m == dtab.m) & (codes.code == dtab.cid))
+        .select("vec_id", codes.m.alias("m"), "code", "qd")
+        .groupBy("vec_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("m", "code"))).alias("_mc"),
+            F.sort_array(F.collect_list(F.struct("m", "qd"))).alias("_md"),
+        )
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform(F.col("_mc"), lambda s: s.code.cast("string")), ","
+            ).alias("codes_str"),
+            F.aggregate(
+                F.transform(F.col("_md"), lambda s: s.qd),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2971,6 +3195,87 @@ SELECT lang, COUNT(*) AS n_docs,
   CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility
 FROM per GROUP BY lang"""
 
+_X53_SQL = """WITH qz AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                   'max') AS maxabs,
+    embedding
+  FROM embeddings),
+c AS (
+  SELECT vec_id, maxabs,
+    CASE WHEN maxabs = 0
+         THEN list_transform(embedding, x -> 0)
+         ELSE list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / maxabs) AS INT)) END
+      AS codes
+  FROM qz),
+qv AS (SELECT codes AS qcodes FROM c WHERE vec_id = 0)
+SELECT c.vec_id, c.maxabs, array_to_string(c.codes, ',') AS codes_str,
+  CAST(list_aggregate(list_transform(list_zip(c.codes, qv.qcodes),
+    p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)), 'sum') AS BIGINT)
+    AS qdot
+FROM c, qv WHERE c.vec_id <> 0
+ORDER BY qdot DESC, c.vec_id ASC LIMIT 20"""
+
+_X54_SQL = f"""WITH ms AS (SELECT unnest(range(0, {X54_M})) AS m),
+cent AS (
+  SELECT vec_id AS cid, m,
+         embedding[m * {X54_SUB} + 1 : m * {X54_SUB} + {X54_SUB}] AS csub
+  FROM embeddings, ms WHERE vec_id % 25 = 0),
+corpus AS (
+  SELECT vec_id, m,
+         embedding[m * {X54_SUB} + 1 : m * {X54_SUB} + {X54_SUB}] AS vsub
+  FROM embeddings, ms),
+dists AS (
+  SELECT vec_id, corpus.m AS m, cid,
+    list_aggregate(list_transform(list_zip(vsub, csub),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+  FROM corpus JOIN cent ON corpus.m = cent.m),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                         ORDER BY dist ASC, cid ASC) AS rn
+    FROM dists) r WHERE rn = 1),
+dtab AS (SELECT m, cid, dist AS qd FROM dists WHERE vec_id = 0),
+per AS (
+  SELECT c.vec_id,
+    list(c.code ORDER BY c.m) AS mc,
+    list(d.qd ORDER BY c.m) AS md
+  FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.cid
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id)
+SELECT vec_id, array_to_string(mc, ',') AS codes_str,
+  list_aggregate(md, 'sum') AS adc_dist
+FROM per
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 20"""
+
+_X55_SQL = """WITH t AS (
+  SELECT source,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '')) AS tok
+  FROM documents),
+c_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_n FROM t),
+c_freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) * 1000000 // c_n AS c_ppm
+           FROM t, c_tot GROUP BY tok, c_n),
+c_all AS (SELECT CAST(SUM(c_ppm) AS BIGINT) AS c_ppm_total FROM c_freq),
+s_tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS s_n FROM t
+          GROUP BY source),
+s_freq AS (SELECT t.source, tok,
+             CAST(COUNT(*) AS BIGINT) * 1000000 // s_n AS s_ppm
+           FROM t JOIN s_tot ON t.source = s_tot.source
+           GROUP BY t.source, tok, s_n),
+present AS (SELECT source,
+              CAST(SUM(abs(s_ppm - c_ppm)) AS BIGINT) AS l1_present,
+              CAST(SUM(c_ppm) AS BIGINT) AS c_present
+            FROM s_freq JOIN c_freq USING (tok) GROUP BY source)
+SELECT p.source, s_tot.s_n AS n_tokens,
+  l1_present + c_all.c_ppm_total - c_present AS l1_drift_ppm
+FROM present p
+JOIN s_tot ON p.source = s_tot.source
+CROSS JOIN c_all"""
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -3383,5 +3688,26 @@ SPECS = [
         "BPE-ish tokens per word per language (tokenizer fertility eval)",
         x52_tokenizer_fertility,
         _X52_SQL,
+    ),
+    QuerySpec(
+        "x53_embed_quantize",
+        "X",
+        "int8 scalar quantization + exact integer-dot top-20 retrieval",
+        x53_embed_quantize,
+        _X53_SQL,
+    ),
+    QuerySpec(
+        "x54_pq_ann",
+        "X",
+        "product quantization codes + ADC top-20 (IVF-PQ codebook half)",
+        x54_pq_ann,
+        _X54_SQL,
+    ),
+    QuerySpec(
+        "x55_source_drift",
+        "X",
+        "per-source unigram L1 drift vs corpus in exact ppm (monitoring)",
+        x55_source_drift,
+        _X55_SQL,
     ),
 ]

@@ -29,6 +29,7 @@ from scylladb_redpanda_cdc_spark.streaming.core import (
 )
 from scylladb_redpanda_cdc_spark.streaming.ops import (
     foreachbatch_upsert,
+    heavy_hitters_stream,
     incremental_dedup_stream,
     stage_changelog_stream,
     stage_documents_stream,
@@ -329,6 +330,16 @@ def s14_stream_incremental_dedup(spark, sf_dir):
     return incremental_dedup_stream(stage_documents_stream(spark, sf_dir))
 
 
+def s15_stream_heavy_hitters(spark, sf_dir):
+    """S15: corpus-wide top-20 token counts maintained incrementally as
+    document shards arrive — the streaming heavy-hitter monitor. Counts
+    are associative, so the standing vocabulary-sized table merged per
+    micro-batch equals the exact global aggregation; the oracle recomputes
+    it over the full staged stream (base corpus + the deterministic
+    re-crawl shard)."""
+    return heavy_hitters_stream(stage_documents_stream(spark, sf_dir))
+
+
 def s11_stateful_running_state(spark, sf_dir):
     """S11: arbitrary per-key streaming state (applyInPandasWithState) —
     running per-user counters. Single availableNow batch => one final
@@ -513,5 +524,22 @@ FROM h JOIN fa USING (text_hash) JOIN fb USING (text_hash, b)""",
         # identical semantics to a17 — the map-only batch DAG transfers
         # unchanged into the micro-batch, so the oracle is shared verbatim
         EVOLUTION_SQL,
+    ),
+    QuerySpec(
+        "s15_stream_heavy_hitters",
+        "S",
+        "streaming top-20 token counts via per-batch state merge (exact)",
+        s15_stream_heavy_hitters,
+        """WITH aug AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id % 10 IN (0, 5)
+),
+t AS (SELECT unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS tok
+      FROM aug)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY tok
+ORDER BY n DESC, tok ASC LIMIT 20""",
     ),
 ]

@@ -393,6 +393,65 @@ def incremental_dedup_stream(docs: DataFrame) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def heavy_hitters_stream(docs: DataFrame) -> DataFrame:
+    """S15: streaming heavy hitters — the corpus-wide top-20 token counts
+    maintained INCREMENTALLY as document shards arrive (the trending-terms
+    / hot-key monitor every ingest pipeline runs beside dedup). Each
+    micro-batch partial-aggs its own token counts (batch-local shuffle,
+    output vocabulary-sized), then merges them into the standing count
+    table by key — counts are associative, so the final state equals the
+    exact global aggregation regardless of batching.
+
+    Scale shape: the standing state is VOCABULARY-sized (zipf-bounded),
+    never corpus-sized; per batch the corpus-sized work is one explode +
+    partial agg whose map-side combine collapses the zipf-hot keys before
+    the shuffle. The merge is state ∪ batch → sum, both vocabulary-sized.
+    (Under adversarial vocabularies a deployment swaps the exact table for
+    a space-saving/CMS sketch; the fixture's closed vocabulary makes the
+    exact table the honest, oracle-checkable plan.)
+
+    Emits top-20 by (n DESC, tok ASC) — a total order, exact BIGINTs."""
+    from pyspark.sql import functions as F
+
+    from scylladb_redpanda_cdc_spark.operators.llm import words
+
+    spark = docs.sparkSession
+    state_base = tmpdir("hh_state")
+    current: dict[str, str | None] = {"path": None}
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.select(F.explode(words(F.col("text"))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("n"))
+        )
+        if current["path"] is not None:
+            state = spark.read.parquet(current["path"])
+            counts = (
+                state.unionByName(counts)
+                .groupBy("tok")
+                .agg(F.sum("n").alias("n"))
+            )
+        new_path = os.path.join(state_base, f"v{batch_id}")
+        counts.coalesce(8).write.mode("overwrite").parquet(new_path)
+        current["path"] = new_path
+
+    with scoped_shuffle(spark):
+        q = (
+            docs.writeStream.foreachBatch(update)
+            .option("checkpointLocation", tmpdir("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = spark.read.parquet(current["path"])
+    return (
+        final.select("tok", F.col("n").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
 def user_running_state(events: DataFrame) -> DataFrame:
     """S11: arbitrary stateful per-key operator via applyInPandasWithState
     (PySpark's stateful primitive; flatMapGroupsWithState is JVM-only).

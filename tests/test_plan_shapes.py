@@ -171,6 +171,8 @@ _INTENDED_NESTED_LOOP = {
     "x45_ann_recall_eval",  # broadcast query batch (x32's evaluation twin)
     "x49_token_budget_mix",  # broadcast 1-row source count
     "x51_dsir_proxy",  # broadcast 1-row target/corpus token totals
+    "x53_embed_quantize",  # broadcast 1-row quantized query codes
+    "x55_source_drift",  # broadcast 1-row corpus token/ppm totals
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
