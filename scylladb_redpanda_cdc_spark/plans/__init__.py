@@ -113,9 +113,9 @@ def registry() -> dict[str, QuerySpec]:
         "x46_dedup_est_quality",
         "x47_contamination_score",
         # events-load path changed this round: batch + streaming re-proof
+        # (f6/f7 read only event_id/props — ts never enters their plan, so
+        # their r3 proofs stand and their slots fund new operators)
         "w6_win_sessionize",
-        "f6_fn_map",
-        "f7_fn_json",
         "b14_join_asof",
         "s1_stream_ingest_kafka",
         "s2_checkpointed_offsets",
@@ -131,21 +131,22 @@ def registry() -> dict[str, QuerySpec]:
         "s11_stateful_running_state",
         # CDC surface spot re-proof (the A group reads the STATIC golden
         # capture, untouched by the round-4 events fixture change, so its
-        # r1 proofs stand; keep the flagship + the decode/materialize
-        # core, rotate the other r1-proven A projections out to fund the
-        # seven operators added late in round 5, below)
+        # r1 proofs stand; keep the flagship — the end-to-end composition
+        # — and fund the twelve operators added in round 5, below)
         "flagship_cdc_materialize",
-        "a1_cdc_source_scan",
-        "a2_envelope_decode",
-        "a6_latest_state_materialize",
-        # added late in round 5, never graded
+        # added in round 5, never graded
         "a18_point_in_time_replay",
         "s14_stream_incremental_dedup",
+        "s15_stream_heavy_hitters",
         "x48_quality_classifier",
         "x49_token_budget_mix",
         "x50_semdedup",
         "x51_dsir_proxy",
         "x52_tokenizer_fertility",
+        "x53_embed_quantize",
+        "x54_pq_ann",
+        "x55_source_drift",
+        "b38_funnel_conversion",
         # last slot: x2's oracle changed this round (distinct-shingle
         # hashing) — re-prove it. The other r2/r3-proven X headliners
         # (x1/x3/x7/x16/x18/x20/x21, unchanged) and the trivial r1-proven
