@@ -820,6 +820,69 @@ def b38_funnel_conversion(spark, sf_dir):
     )
 
 
+def b39_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the other product-analytics staple beside
+    b38's funnel: users grouped by the DAY of their first event (their
+    cohort), then for every later active day the count and rate of the
+    cohort still active at that day offset.
+
+    Exactness: days are epoch-day int64s via the same floor-division
+    idiom as b36 (exact at any timestamp range); retention is integer
+    ppm (identical truncation both engines).
+
+    Scale shape: (1) first-touch = user-keyed partial agg; (2) active
+    (user, day) pairs = partial-agg DISTINCT (map-side combine collapses
+    a user's same-day events before the shuffle — at 100 TB that is the
+    difference between shuffling every event and every user-day);
+    (3) the user-keyed join rides the same key as (1); (4) the final
+    cohort-keyed agg is days x offsets-sized — tiny. The per-event flow
+    is one shuffle + one co-keyed join, no window over a user's history."""
+    D = 86_400_000_000  # one day in micros
+    e = _T(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            f"(unix_micros(ts) - pmod(unix_micros(ts), {D})) DIV {D}"
+        ).alias("day"),
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort_sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("n_cohort")
+    )
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .select("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .join(cohort_sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "n_cohort",
+            F.expr("n_active * 1000000 DIV n_cohort").alias("retention_ppm"),
+        )
+    )
+
+
+_B39_SQL = """WITH e AS (
+  SELECT user_id,
+    (epoch_us(ts)
+     - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+    // 86400000000 AS day
+  FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+cs AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM f
+       GROUP BY cohort_day),
+act AS (SELECT DISTINCT user_id, day FROM e),
+m AS (SELECT cohort_day, day - cohort_day AS day_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM act JOIN f USING (user_id) GROUP BY 1, 2)
+SELECT cohort_day, day_offset, n_active, n_cohort,
+       n_active * 1000000 // n_cohort AS retention_ppm
+FROM m JOIN cs USING (cohort_day)"""
+
+
 _B38_SQL = """WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
 v AS (SELECT user_id, MIN(us) AS t_view FROM e
@@ -1221,5 +1284,12 @@ SPECS = [
         "ordered view→click→purchase funnel per user (first-touch, exact)",
         b38_funnel_conversion,
         _B38_SQL,
+    ),
+    QuerySpec(
+        "b39_cohort_retention",
+        "B",
+        "first-touch day cohorts x active-day offsets, exact ppm retention",
+        b39_cohort_retention,
+        _B39_SQL,
     ),
 ]

@@ -581,6 +581,77 @@ def a18_point_in_time_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a19's planted delivery faults: offsets lost / redelivered by the
+#: simulated consumer, chosen coprime so the two fault sets barely overlap
+#: and every partition sees both kinds.
+A19_LOSS_MOD, A19_LOSS_RESIDUE = 97, 13
+A19_DUP_MOD, A19_DUP_RESIDUE = 101, 7
+A19_PARTITIONS = 8
+
+
+def a19_log_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: consumer-side log reconciliation — audit a DELIVERED change log
+    against the authoritative one and report, per topic partition, exactly
+    how many records were lost and how many redelivered. The reference's
+    at-least-once contract (offset authority, README.md:212) makes this
+    the audit every downstream consumer runs after an incident; the
+    delivered log here is the synthesized changelog with deterministic
+    planted faults (drop ``offset % 97 == 13``, redeliver ``offset % 101
+    == 7``) so the expected counts are nonzero and oracle-recomputable.
+
+    Scale shape: the reconciliation is an OFFSET-KEYED join, never a
+    collect — delivered is partial-agged to (partition, offset, n) first
+    (map-side combine absorbs redelivery storms), the authoritative side
+    joins on the same key (co-partitioned, one shuffle each), and the
+    verdict agg is partitions-sized. At 100 TB of log this is two scans +
+    two co-keyed shuffles."""
+    log = synth_changelog(spark, sf_dir).select(
+        F.pmod(F.col("customer_id"), F.lit(A19_PARTITIONS))
+        .cast("int")
+        .alias("partition"),
+        "offset",
+    )
+    delivered = log.filter(
+        F.pmod(F.col("offset"), F.lit(A19_LOSS_MOD)) != A19_LOSS_RESIDUE
+    ).unionAll(
+        log.filter(
+            F.pmod(F.col("offset"), F.lit(A19_DUP_MOD)) == A19_DUP_RESIDUE
+        )
+    )
+    dcnt = delivered.groupBy("partition", "offset").agg(
+        F.count("*").alias("n_del")
+    )
+    audit = log.join(dcnt, ["partition", "offset"], "left")
+    return audit.groupBy("partition").agg(
+        F.count("*").alias("n_expected"),
+        F.sum(F.coalesce(F.col("n_del"), F.lit(0))).alias("n_delivered"),
+        F.sum(F.col("n_del").isNull().cast("long")).alias("n_missing"),
+        F.sum(
+            F.greatest(F.coalesce(F.col("n_del"), F.lit(0)) - 1, F.lit(0))
+        ).alias("n_redelivered"),
+    )
+
+
+_A19_SQL = f"""WITH {CHANGELOG_SQL_CTE.strip()},
+log AS (SELECT CAST(customer_id % {A19_PARTITIONS} AS INT) AS "partition",
+               "offset"
+        FROM changelog),
+delivered AS (
+  SELECT * FROM log WHERE "offset" % {A19_LOSS_MOD} <> {A19_LOSS_RESIDUE}
+  UNION ALL
+  SELECT * FROM log WHERE "offset" % {A19_DUP_MOD} = {A19_DUP_RESIDUE}),
+dcnt AS (SELECT "partition", "offset", CAST(COUNT(*) AS BIGINT) AS n_del
+         FROM delivered GROUP BY 1, 2)
+SELECT log."partition",
+  CAST(COUNT(*) AS BIGINT) AS n_expected,
+  CAST(SUM(COALESCE(n_del, 0)) AS BIGINT) AS n_delivered,
+  CAST(SUM(CAST(n_del IS NULL AS INT)) AS BIGINT) AS n_missing,
+  CAST(SUM(GREATEST(COALESCE(n_del, 0) - 1, 0)) AS BIGINT) AS n_redelivered
+FROM log LEFT JOIN dcnt
+  ON log."partition" = dcnt."partition" AND log."offset" = dcnt."offset"
+GROUP BY log."partition\""""
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -856,6 +927,13 @@ FROM log GROUP BY topic""",
 ) WHERE rn = 1 AND op <> 'd'""",
             extended=True,
         ),
+    ),
+    QuerySpec(
+        "a19_log_integrity_audit",
+        "A",
+        "consumer-vs-authority reconciliation: lost/redelivered per partition",
+        a19_log_integrity_audit,
+        _A19_SQL,
     ),
     QuerySpec(
         "flagship_cdc_materialize",
