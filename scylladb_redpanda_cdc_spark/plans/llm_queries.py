@@ -2413,6 +2413,171 @@ def x54_pq_ann(spark, sf_dir):
     )
 
 
+def x56_mixture_sample(spark, sf_dir):
+    """Materialize x49's token-budget allocation into an actual training
+    draw: every doc is emitted ``floor(epochs)`` times plus one more copy
+    with probability ``epochs mod 1`` — decided by a DETERMINISTIC
+    per-doc hash coin (``hash60('mix:'||doc_id) mod 1e6 < frac_ppm``), so
+    the sampled corpus is reproducible across runs/engines and
+    upsampling never depends on a runtime RNG. This is the step that
+    turns a mixture PLAN into the epoch-expanded corpus a trainer reads.
+
+    Exactness: the allocation is x49's integer-ppm arithmetic verbatim;
+    the coin compares two BIGINTs; copies come from an integer sequence.
+
+    Scale shape: the allocation is a sources-sized broadcast; the draw is
+    map-only (hash + compare + bounded explode — the epoch cap bounds the
+    fan-out at 3 copies); no corpus-sized shuffle at all."""
+    d = _docs_fanned(spark, sf_dir)
+    t = d.select("doc_id", "source", words(F.col("text")).alias("ws"))
+    per = t.groupBy("source").agg(
+        F.sum(F.size("ws").cast("long")).alias("n_tokens")
+    )
+    tot = per.agg(F.count("*").alias("n_sources"))
+    alloc = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            f"least(CAST({X49_MAX_EPOCHS_PPM} AS BIGINT),"
+            f" (CAST({X49_BUDGET_TOKENS} AS BIGINT) DIV n_sources)"
+            " * 1000000 DIV n_tokens)"
+        ).alias("epochs_ppm"),
+    )
+    draw = (
+        t.select("doc_id", "source")
+        .join(F.broadcast(alloc), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "epochs_ppm DIV 1000000"
+                " + CAST(pmod(CAST(conv(substring(sha2("
+                "concat('mix:', CAST(doc_id AS STRING)), 256), 1, 15),"
+                " 16, 10) AS BIGINT), 1000000)"
+                " < epochs_ppm % 1000000 AS BIGINT)"
+            ).alias("n_copies"),
+        )
+    )
+    return (
+        draw.filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("n_copies") - F.lit(1)
+                )
+            ).alias("copy_idx"),
+        )
+    )
+
+
+def x57_curation_report(spark, sf_dir):
+    """Curation-funnel accounting: doc and token counts surviving each
+    successive pipeline stage — raw → quality gate (x48's integer-margin
+    classifier) → repetition gate (x22's bigram rule) → exact dedup
+    (lowest-id canonical among survivors). The dashboard a data team
+    reads before committing a 100 TB run: where did the corpus go?
+
+    Stage semantics are CUMULATIVE (each stage filters the previous
+    stage's survivors — dedup runs on the filtered corpus, the order real
+    pipelines use because filtering first shrinks the dedup shuffle).
+
+    Exactness: flags are the exact integer gates of x48/x22; counts and
+    token sums are BIGINTs.
+
+    Scale shape: flags are map-only expression algebra computed in ONE
+    projection; stages 0-2 aggregate to a single row in one pass
+    (conditional aggs); only the dedup stage shuffles, and only the
+    (q AND r) survivor subset, keyed by content hash with map-side
+    partial agg."""
+    d = _docs_fanned(spark, sf_dir)
+    ws = words(F.col("text"))
+    n_words = F.size(ws).cast("long")
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast("long")
+    n_distinct = F.size(F.array_distinct(ws)).cast("long")
+    grams = word_grams(ws, 2)
+    t_g = F.size(grams).cast("long")
+    d_g = F.size(F.array_distinct(grams)).cast("long")
+    raw = d.select(
+        "doc_id",
+        F.sha2(F.lower(F.trim("text")), 256).alias("text_hash"),
+        n_words.alias("n_tok"),
+        (n_stop * F.lit(1_000_000)).alias("_stop_num"),
+        (n_distinct * F.lit(1_000_000)).alias("_ttr_num"),
+        t_g.alias("_tg"),
+        d_g.alias("_dg"),
+    )
+    margin = F.expr(
+        f"CAST({X48_W_BIAS} AS BIGINT)"
+        f" + {X48_W_LEN} * least(n_tok, CAST(200 AS BIGINT))"
+        f" + {X48_W_STOP} * (_stop_num DIV n_tok)"
+        f" + {X48_W_TTR} * (_ttr_num DIV n_tok)"
+    )
+    q = (F.col("n_tok") > 0) & (margin >= X48_TAU)
+    r = F.when(F.col("_tg") == 0, F.lit(True)).otherwise(
+        (F.lit(5) * (F.col("_tg") - F.col("_dg"))) <= F.col("_tg")
+    )
+    flags = raw.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "text_hash",
+        "n_tok",
+        q.alias("q"),
+        (q & r).alias("qr"),
+    ).unionByName(
+        raw.filter(F.col("n_tok") == 0).select(
+            "doc_id",
+            "text_hash",
+            "n_tok",
+            F.lit(False).alias("q"),
+            F.lit(False).alias("qr"),
+        )
+    )
+    head = (
+        flags.agg(
+            F.count("*").alias("n0"),
+            F.sum("n_tok").alias("t0"),
+            F.sum(F.col("q").cast("long")).alias("n1"),
+            F.sum(F.when(F.col("q"), F.col("n_tok")).otherwise(0)).alias("t1"),
+            F.sum(F.col("qr").cast("long")).alias("n2"),
+            F.sum(F.when(F.col("qr"), F.col("n_tok")).otherwise(0)).alias(
+                "t2"
+            ),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("00_raw").alias("stage"),
+                        F.col("n0").alias("n_docs"),
+                        F.col("t0").alias("n_tokens"),
+                    ),
+                    F.struct(
+                        F.lit("01_quality").alias("stage"),
+                        F.col("n1").alias("n_docs"),
+                        F.col("t1").alias("n_tokens"),
+                    ),
+                    F.struct(
+                        F.lit("02_repetition").alias("stage"),
+                        F.col("n2").alias("n_docs"),
+                        F.col("t2").alias("n_tokens"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.stage", "s.n_docs", "s.n_tokens")
+    )
+    survivors = flags.filter(F.col("qr"))
+    canon = survivors.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_tok").alias("n_tok")
+    )
+    tail = canon.agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    ).select(
+        F.lit("03_exact_dedup").alias("stage"), "n_docs", "n_tokens"
+    )
+    return head.unionByName(tail)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3251,6 +3416,70 @@ SELECT vec_id, array_to_string(mc, ',') AS codes_str,
 FROM per
 ORDER BY adc_dist ASC, vec_id ASC LIMIT 20"""
 
+_X56_SQL = f"""WITH t AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                w -> w <> '') AS ws
+  FROM documents),
+per AS (SELECT source, CAST(SUM(len(ws)) AS BIGINT) AS n_tokens FROM t
+        GROUP BY source),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM per),
+alloc AS (SELECT source,
+    LEAST(CAST({X49_MAX_EPOCHS_PPM} AS BIGINT),
+          (CAST({X49_BUDGET_TOKENS} AS BIGINT) // n_sources)
+          * 1000000 // n_tokens) AS epochs_ppm
+  FROM per, tot),
+draw AS (SELECT doc_id, t.source AS source,
+    epochs_ppm // 1000000
+    + CAST(CAST(concat('0x', substr(sha256('mix:' ||
+        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        < epochs_ppm % 1000000 AS BIGINT) AS n_copies
+  FROM t JOIN alloc ON t.source = alloc.source)
+SELECT doc_id, source, unnest(range(0, n_copies)) AS copy_idx
+FROM draw WHERE n_copies > 0"""
+
+_X57_SQL = f"""WITH t AS (
+  SELECT doc_id, sha256(lower(trim(text))) AS text_hash,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                w -> w <> '') AS ws
+  FROM documents),
+f AS (SELECT doc_id, text_hash,
+    CAST(len(ws) AS BIGINT) AS n_tok,
+    CAST(len(list_filter(ws, w -> w IN
+      ('the','a','and','of','to','in','is','on'))) AS BIGINT) * 1000000
+      AS stop_num,
+    CAST(len(list_distinct(ws)) AS BIGINT) * 1000000 AS ttr_num,
+    CASE WHEN len(ws) >= 2 THEN CAST(len(ws) - 1 AS BIGINT)
+         ELSE 0 END AS tg,
+    CASE WHEN len(ws) >= 2 THEN CAST(len(list_distinct(
+           list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+           AS BIGINT)
+         ELSE 0 END AS dg
+  FROM t),
+fl AS (
+  SELECT doc_id, text_hash, n_tok,
+    (CAST({X48_W_BIAS} AS BIGINT)
+     + {X48_W_LEN} * LEAST(n_tok, CAST(200 AS BIGINT))
+     + {X48_W_STOP} * (stop_num // n_tok)
+     + {X48_W_TTR} * (ttr_num // n_tok) >= {X48_TAU}) AS q,
+    (CASE WHEN tg = 0 THEN TRUE ELSE 5 * (tg - dg) <= tg END) AS r
+  FROM f WHERE n_tok > 0
+  UNION ALL
+  SELECT doc_id, text_hash, n_tok, FALSE, FALSE FROM f WHERE n_tok = 0),
+canon AS (SELECT text_hash, MIN(doc_id) AS doc_id, MIN(n_tok) AS n_tok
+          FROM fl WHERE q AND r GROUP BY text_hash)
+SELECT '00_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM fl
+UNION ALL
+SELECT '01_quality', CAST(SUM(CAST(q AS INT)) AS BIGINT),
+       CAST(SUM(CASE WHEN q THEN n_tok ELSE 0 END) AS BIGINT) FROM fl
+UNION ALL
+SELECT '02_repetition', CAST(SUM(CAST(q AND r AS INT)) AS BIGINT),
+       CAST(SUM(CASE WHEN q AND r THEN n_tok ELSE 0 END) AS BIGINT) FROM fl
+UNION ALL
+SELECT '03_exact_dedup', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_tok) AS BIGINT) FROM canon"""
+
 _X55_SQL = """WITH t AS (
   SELECT source,
     unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -3709,5 +3938,19 @@ SPECS = [
         "per-source unigram L1 drift vs corpus in exact ppm (monitoring)",
         x55_source_drift,
         _X55_SQL,
+    ),
+    QuerySpec(
+        "x56_mixture_sample",
+        "X",
+        "materialized epoch draw: repeats + deterministic hash-coin sample",
+        x56_mixture_sample,
+        _X56_SQL,
+    ),
+    QuerySpec(
+        "x57_curation_report",
+        "X",
+        "stage-survival accounting: raw -> quality -> repetition -> dedup",
+        x57_curation_report,
+        _X57_SQL,
     ),
 ]

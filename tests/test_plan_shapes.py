@@ -173,6 +173,7 @@ _INTENDED_NESTED_LOOP = {
     "x51_dsir_proxy",  # broadcast 1-row target/corpus token totals
     "x53_embed_quantize",  # broadcast 1-row quantized query codes
     "x55_source_drift",  # broadcast 1-row corpus token/ppm totals
+    "x56_mixture_sample",  # broadcast 1-row source count (x49's allocation)
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
