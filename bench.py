@@ -55,7 +55,7 @@ def _session(cpus: str) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", "24g")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -82,6 +82,13 @@ def main() -> None:
     # noisy window) — a single spike must not masquerade as a regression.
     timings: dict[str, float] = {}
     for qid in HEADLINE:
+        # Full GC between queries: a heavy predecessor (x2's exploded
+        # shingle arrays) otherwise leaves the shared local JVM's old gen
+        # full, and the successor pays its collection pauses — measured as
+        # a 5x "regression" on x3 that vanishes in isolation. On a real
+        # cluster each query runs in its own executors; this is the local
+        # stand-in for that isolation.
+        spark._jvm.System.gc()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
