@@ -101,6 +101,91 @@ def fake_decode_batches(
         )
 
 
+#: Output schema of the resize stage (mapInPandas contract).
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "out_width int, out_height int, scale_ppm bigint"
+)
+
+#: Resize target box (the ViT-style 224x224 fit).
+RESIZE_TARGET = 224
+
+#: Output schema of the feature-extract stage: 8 byte-range histogram
+#: counts over the REAL blob bytes + the total (mapInPandas contract).
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, "
+    + ", ".join(f"f{i} bigint" for i in range(8))
+)
+
+
+def fake_resize_batches(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """Deterministic resize double: aspect-preserving fit into the
+    ``RESIZE_TARGET`` box with EXACT integer-ppm arithmetic (what a real
+    resize computes before touching pixels — the pixel pass is the codec
+    stub's job; the geometry is the plumbing a plan must get right).
+
+    Expected input columns: ``doc_id, width, height``. Derivations:
+      - ``scale_ppm``  = min(T*1e6 // w, T*1e6 // h)   (never upscale past
+        the box; floor keeps it SQL-recomputable)
+      - ``out_w/out_h`` = max(1, dim * scale_ppm // 1e6)
+    """
+    import pandas as pd
+
+    t = RESIZE_TARGET * 1_000_000
+    for pdf in batches:
+        w = pdf["width"].astype("int64")
+        h = pdf["height"].astype("int64")
+        scale = pd.concat([t // w, t // h], axis=1).min(axis=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+                "out_width": (w * scale // 1_000_000).clip(lower=1).astype(
+                    "int32"
+                ),
+                "out_height": (h * scale // 1_000_000).clip(lower=1).astype(
+                    "int32"
+                ),
+                "scale_ppm": scale.astype("int64"),
+            }
+        )
+
+
+def feature_extract_batches(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """Feature-extract plumbing over REAL blob bytes: an 8-bucket byte
+    histogram (buckets of 32 code points) per blob — the deterministic,
+    SQL-recomputable stand-in for an image/audio feature extractor, with
+    the exact production shape (blob in, fixed-length numeric vector out,
+    vectorized numpy inside the Arrow batch).
+
+    Expected input columns: ``doc_id, blob``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        hists = np.stack(
+            [
+                np.bincount(
+                    np.frombuffer(b, dtype=np.uint8) >> 5, minlength=8
+                )[:8]
+                for b in pdf["blob"]
+            ]
+        ).astype("int64")
+        out = {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": pdf["blob"].map(len).astype("int64"),
+        }
+        for i in range(8):
+            out[f"f{i}"] = hists[:, i]
+        yield pd.DataFrame(out)
+
+
 def frame_sample_indices(n_frames: Column, max_frames: int = 4) -> Column:
     """Evenly spaced frame indices (video sampling plumbing): ``k`` =
     min(max_frames, n_frames) indices ``floor(i * n / k)`` for i in 0..k-1.

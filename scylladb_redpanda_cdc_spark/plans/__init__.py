@@ -160,6 +160,8 @@ def registry() -> dict[str, QuerySpec]:
         "a19_log_integrity_audit",
         "x56_mixture_sample",
         "x57_curation_report",
+        "x58_media_resize",
+        "x59_media_features",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

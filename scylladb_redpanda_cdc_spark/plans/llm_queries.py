@@ -2578,6 +2578,53 @@ def x57_curation_report(spark, sf_dir):
     return head.unionByName(tail)
 
 
+def x58_media_resize(spark, sf_dir):
+    """Resize plumbing (the multimodal mandate's third verb, beside x18
+    decode and x19 frame-sample): aspect-preserving fit of each media
+    item into the ViT-style 224x224 box, computed as exact integer-ppm
+    geometry inside an Arrow-batched ``mapInPandas`` stage — the shape a
+    real resize runs in (pixels are the codec stub's job; the geometry is
+    what the PLAN must get right, and it is strictly oracle-checked).
+
+    Scale shape: metadata-only input (the blob never enters this stage —
+    late materialization), one Python worker per partition, columnar
+    Arrow transfer, bounded one-row-per-item output."""
+    from scylladb_redpanda_cdc_spark.operators.multimodal import (
+        RESIZE_SCHEMA,
+        fake_resize_batches,
+    )
+
+    d = _docs_fanned(spark, sf_dir)
+    assembled = d.select(
+        "doc_id",
+        (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+    )
+    return assembled.mapInPandas(fake_resize_batches, RESIZE_SCHEMA)
+
+
+def x59_media_features(spark, sf_dir):
+    """Feature-extract plumbing (the multimodal mandate's fourth verb):
+    per-blob fixed-length numeric features — an 8-bucket byte histogram
+    over the REAL blob bytes, vectorized numpy inside the Arrow batch.
+    The deterministic stand-in for an image/audio feature extractor with
+    the exact production dataflow: blob in, dense vector out, verified by
+    a strict character-class oracle (the fixture blobs are ASCII so byte
+    and code-point histograms agree; a real extractor swaps the numpy
+    kernel, not the plan).
+
+    Scale shape: narrow map over the blob column (no shuffle), Arrow
+    batches amortize the Python boundary, output is 10 ints per item."""
+    from scylladb_redpanda_cdc_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        feature_extract_batches,
+    )
+
+    d = _docs_fanned(spark, sf_dir)
+    assembled = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return assembled.mapInPandas(feature_extract_batches, FEATURE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3416,6 +3463,38 @@ SELECT vec_id, array_to_string(mc, ',') AS codes_str,
 FROM per
 ORDER BY adc_dist ASC, vec_id ASC LIMIT 20"""
 
+_X58_SQL = """WITH g AS (
+  SELECT doc_id,
+    CAST(n_chars % 640 + 1 AS INT) AS width,
+    CAST(n_chars % 480 + 1 AS INT) AS height
+  FROM documents)
+SELECT doc_id, width, height,
+  CAST(GREATEST(1, CAST(width AS BIGINT)
+    * LEAST(224000000 // width, 224000000 // height) // 1000000) AS INT)
+    AS out_width,
+  CAST(GREATEST(1, CAST(height AS BIGINT)
+    * LEAST(224000000 // width, 224000000 // height) // 1000000) AS INT)
+    AS out_height,
+  CAST(LEAST(224000000 // width, 224000000 // height) AS BIGINT)
+    AS scale_ppm
+FROM g"""
+
+_X59_SQL = """WITH b AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+    list_transform(range(1, length(text) + 1),
+                   i -> ord(substring(text, i, 1)) // 32) AS bk
+  FROM documents)
+SELECT doc_id, n_bytes,
+  CAST(len(list_filter(bk, x -> x = 0)) AS BIGINT) AS f0,
+  CAST(len(list_filter(bk, x -> x = 1)) AS BIGINT) AS f1,
+  CAST(len(list_filter(bk, x -> x = 2)) AS BIGINT) AS f2,
+  CAST(len(list_filter(bk, x -> x = 3)) AS BIGINT) AS f3,
+  CAST(len(list_filter(bk, x -> x = 4)) AS BIGINT) AS f4,
+  CAST(len(list_filter(bk, x -> x = 5)) AS BIGINT) AS f5,
+  CAST(len(list_filter(bk, x -> x = 6)) AS BIGINT) AS f6,
+  CAST(len(list_filter(bk, x -> x = 7)) AS BIGINT) AS f7
+FROM b"""
+
 _X56_SQL = f"""WITH t AS (
   SELECT doc_id, source,
     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -3952,5 +4031,19 @@ SPECS = [
         "stage-survival accounting: raw -> quality -> repetition -> dedup",
         x57_curation_report,
         _X57_SQL,
+    ),
+    QuerySpec(
+        "x58_media_resize",
+        "X",
+        "aspect-preserving 224-box resize geometry via mapInPandas (exact)",
+        x58_media_resize,
+        _X58_SQL,
+    ),
+    QuerySpec(
+        "x59_media_features",
+        "X",
+        "per-blob 8-bucket byte histogram features via mapInPandas (exact)",
+        x59_media_features,
+        _X59_SQL,
     ),
 ]

@@ -186,6 +186,8 @@ _INTENDED_PYTHON = {
     "u5_udf_sql_register",
     "u6_grouped_map_applyinpandas",  # FlatMapGroupsInPandas grouped-map
     "x18_multimodal_decode",
+    "x58_media_resize",  # mapInPandas resize-geometry stage
+    "x59_media_features",  # mapInPandas byte-histogram feature stage
 }
 
 #: Builds that EXECUTE work (streams run to completion; x21 iterates) —
