@@ -400,3 +400,152 @@ def test_contamination_score_agrees_with_flags(spark, sf_dir, specs):
     )
     scored_pos = set(pdf[pdf["n_contaminated"] >= 1]["doc_id"])
     assert flagged == scored_pos
+
+
+# --- round-5 additions: analytics, quantized ANN, curation, multimodal ---
+
+
+def test_funnel_stage_times_are_ordered(spark, sf_dir, specs):
+    """b38: stage timestamps are monotone where present, the stage number
+    equals 1 + the non-null later stages, and a click/purchase never
+    appears without the earlier stage."""
+    pdf = specs["b38_funnel_conversion"].build(spark, sf_dir).toPandas()
+    assert pdf["t_view"].notna().all()
+    c = pdf["t_click"].notna()
+    p = pdf["t_purchase"].notna()
+    assert (~p | c).all()  # purchase implies click
+    assert (pdf.loc[c, "t_click"] >= pdf.loc[c, "t_view"]).all()
+    assert (pdf.loc[p, "t_purchase"] >= pdf.loc[p, "t_click"]).all()
+    assert (
+        pdf["funnel_stage"] == 1 + c.astype(int) + p.astype(int)
+    ).all()
+
+
+def test_cohort_retention_day_zero_is_everyone(spark, sf_dir, specs):
+    """b39: every cohort has a day_offset-0 row where the whole cohort is
+    active (their first-touch day), offsets are non-negative, and no cell
+    exceeds its cohort."""
+    pdf = specs["b39_cohort_retention"].build(spark, sf_dir).toPandas()
+    assert (pdf["day_offset"] >= 0).all()
+    assert (pdf["n_active"] <= pdf["n_cohort"]).all()
+    assert (pdf["retention_ppm"] <= 1_000_000).all()
+    d0 = pdf[pdf["day_offset"] == 0]
+    assert len(d0) == pdf["cohort_day"].nunique()
+    assert (d0["n_active"] == d0["n_cohort"]).all()
+
+
+def test_log_audit_accounting_balances(spark, sf_dir, specs):
+    """a19: delivered = expected - missing + redelivered per partition,
+    and both planted fault classes are actually observed."""
+    pdf = specs["a19_log_integrity_audit"].build(spark, sf_dir).toPandas()
+    assert (
+        pdf["n_delivered"]
+        == pdf["n_expected"] - pdf["n_missing"] + pdf["n_redelivered"]
+    ).all()
+    assert pdf["n_missing"].sum() > 0
+    assert pdf["n_redelivered"].sum() > 0
+
+
+def test_stream_heavy_hitters_is_sorted_topk(spark, sf_dir, specs):
+    """s15: exactly 20 rows, strictly ordered by (n desc, tok asc), all
+    counts positive."""
+    pdf = specs["s15_stream_heavy_hitters"].build(spark, sf_dir).toPandas()
+    assert len(pdf) == 20
+    assert (pdf["n"] > 0).all()
+    ordered = pdf.sort_values(
+        ["n", "tok"], ascending=[False, True]
+    ).reset_index(drop=True)
+    assert (ordered["tok"] == pdf.reset_index(drop=True)["tok"]).all()
+
+
+def test_quantize_codes_are_int8_range(spark, sf_dir, specs):
+    """x53: every emitted code fits int8's symmetric range and the top-20
+    is ordered by (qdot desc, vec_id asc)."""
+    pdf = specs["x53_embed_quantize"].build(spark, sf_dir).toPandas()
+    assert len(pdf) == 20
+    for cs in pdf["codes_str"]:
+        codes = [int(c) for c in cs.split(",")]
+        assert len(codes) == 64
+        assert all(-127 <= c <= 127 for c in codes)
+    qd = pdf["qdot"].tolist()
+    assert qd == sorted(qd, reverse=True) or (
+        pdf.sort_values(["qdot", "vec_id"], ascending=[False, True])[
+            "vec_id"
+        ].tolist()
+        == pdf["vec_id"].tolist()
+    )
+
+
+def test_pq_codes_are_centroid_ids(spark, sf_dir, specs):
+    """x54: every PQ code names an actual codebook centroid (vec_id % 25
+    == 0), distances are non-negative and ascending."""
+    pdf = specs["x54_pq_ann"].build(spark, sf_dir).toPandas()
+    assert len(pdf) == 20
+    for cs in pdf["codes_str"]:
+        codes = [int(c) for c in cs.split(",")]
+        assert len(codes) == 8
+        assert all(c % 25 == 0 for c in codes)
+    assert (pdf["adc_dist"] >= 0).all()
+    d = pdf["adc_dist"].tolist()
+    assert d == sorted(d)
+
+
+def test_source_drift_is_a_bounded_l1(spark, sf_dir, specs):
+    """x55: L1 distance between two (truncated-ppm) distributions lies in
+    [0, 2e6] and every source appears exactly once."""
+    pdf = specs["x55_source_drift"].build(spark, sf_dir).toPandas()
+    assert pdf["source"].is_unique
+    assert (pdf["l1_drift_ppm"] >= 0).all()
+    assert (pdf["l1_drift_ppm"] <= 2_000_000).all()
+
+
+def test_mixture_sample_copies_are_dense_and_capped(spark, sf_dir, specs):
+    """x56: per-doc copy indices are exactly 0..n-1 and the epoch cap
+    bounds n at 3 (2 full epochs + 1 fractional coin)."""
+    pdf = specs["x56_mixture_sample"].build(spark, sf_dir).toPandas()
+    for doc_id, g in pdf.groupby("doc_id"):
+        idx = sorted(g["copy_idx"])
+        assert idx == list(range(len(idx)))
+        assert len(idx) <= 3
+    # docs of one source share the allocation -> same copy count +-1 (coin)
+    per_doc = pdf.groupby(["source", "doc_id"]).size()
+    spread = per_doc.groupby("source").agg(["min", "max"])
+    assert ((spread["max"] - spread["min"]) <= 1).all()
+
+
+def test_curation_report_is_monotone(spark, sf_dir, specs):
+    """x57: stage doc/token counts never increase along the pipeline."""
+    pdf = (
+        specs["x57_curation_report"]
+        .build(spark, sf_dir)
+        .toPandas()
+        .sort_values("stage")
+        .reset_index(drop=True)
+    )
+    assert pdf["stage"].tolist() == [
+        "00_raw",
+        "01_quality",
+        "02_repetition",
+        "03_exact_dedup",
+    ]
+    assert pdf["n_docs"].is_monotonic_decreasing
+    assert pdf["n_tokens"].is_monotonic_decreasing
+
+
+def test_resize_fits_the_target_box(spark, sf_dir, specs):
+    """x58: output dims are positive, fit the 224 box, and preserve the
+    scale relation out_dim == dim * scale_ppm // 1e6 (clipped to >= 1)."""
+    pdf = specs["x58_media_resize"].build(spark, sf_dir).toPandas()
+    assert (pdf["out_width"] >= 1).all() and (pdf["out_height"] >= 1).all()
+    assert (pdf["out_width"] <= 224).all() and (pdf["out_height"] <= 224).all()
+    expect_w = (
+        (pdf["width"].astype("int64") * pdf["scale_ppm"]) // 1_000_000
+    ).clip(lower=1)
+    assert (pdf["out_width"] == expect_w).all()
+
+
+def test_media_features_partition_the_bytes(spark, sf_dir, specs):
+    """x59: the 8 histogram buckets partition the blob exactly."""
+    pdf = specs["x59_media_features"].build(spark, sf_dir).toPandas()
+    total = sum(pdf[f"f{i}"] for i in range(8))
+    assert (total == pdf["n_bytes"]).all()
