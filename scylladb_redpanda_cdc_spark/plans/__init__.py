@@ -162,6 +162,8 @@ def registry() -> dict[str, QuerySpec]:
         "x57_curation_report",
         "x58_media_resize",
         "x59_media_features",
+        "x60_snapshot_diff",
+        "x61_boilerplate_strip",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -2625,6 +2625,109 @@ def x59_media_features(spark, sf_dir):
     return assembled.mapInPandas(feature_extract_batches, FEATURE_SCHEMA)
 
 
+def x60_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff — the version-to-version accounting a recrawl
+    produces: per source, how many docs were ADDED, REMOVED, CHANGED
+    (same id, different content hash), or UNCHANGED between snapshot v1
+    (the fixture) and v2 (a deterministic simulated recrawl: drop
+    ``id%13==3``, edit ``id%11==5``, add fresh ids for ``id%7==2``).
+    Drives incremental-processing decisions: only added+changed docs
+    re-enter the dedup/scoring pipeline.
+
+    Scale shape: the diff is ONE full-outer join on doc_id (both sides
+    hash-partition the same key once) over hash-only projections — text
+    never crosses the shuffle, just (id, source, 32-byte hash); the
+    verdict agg is sources-sized with map-side combine."""
+    d = _T(spark, sf_dir, "documents")
+    v1 = d.select(
+        "doc_id",
+        F.col("source").alias("s1"),
+        F.sha2("text", 256).alias("h1"),
+    )
+    kept = d.filter((F.col("doc_id") % 13) != 3).select(
+        "doc_id",
+        F.col("source").alias("s2"),
+        F.sha2(
+            F.when(
+                (F.col("doc_id") % 11) == 5, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("h2"),
+    )
+    added = d.filter((F.col("doc_id") % 7) == 2).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.col("source").alias("s2"),
+        F.sha2("text", 256).alias("h2"),
+    )
+    v2 = kept.unionByName(added)
+    j = v1.join(v2, "doc_id", "full")
+    status = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(F.coalesce("s1", "s2").alias("source"), status.alias("st"))
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("st") == "added").cast("long")).alias("n_added"),
+            F.sum((F.col("st") == "removed").cast("long")).alias("n_removed"),
+            F.sum((F.col("st") == "changed").cast("long")).alias("n_changed"),
+            F.sum((F.col("st") == "unchanged").cast("long")).alias(
+                "n_unchanged"
+            ),
+        )
+    )
+
+
+def x61_boilerplate_strip(spark, sf_dir):
+    """Boilerplate REMOVAL — the transform x40's detector feeds (C4/
+    RefinedWeb-style template stripping): every token covered by an
+    occurrence of a corpus-wide top-100 5-gram is cut; emits per doc the
+    token counts before/after. Counts (not reconstructed text) keep the
+    oracle exact while pinning the whole removal geometry.
+
+    Scale shape: two corpus passes by necessity (pass 1 builds the
+    100-row boilerplate list — a global artifact; pass 2 strips), with
+    the list BROADCAST; coverage resolution is explode(5 positions per
+    hit) -> distinct (doc, pos) partial agg — overlapping hits collapse
+    map-side, and nothing doc-sized shuffles beyond the hit positions."""
+    d = _docs_fanned(spark, sf_dir)
+    toks = d.select("doc_id", words(F.col("text")).alias("ws"))
+    top = (
+        toks.select(F.explode(word_grams(F.col("ws"), 5)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(100)
+    )
+    grams = toks.select(
+        "doc_id", F.posexplode(word_grams(F.col("ws"), 5)).alias("pos", "gram")
+    )
+    covered = (
+        grams.join(F.broadcast(top.select("gram")), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 4)).alias(
+                "cov"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_removed"))
+    )
+    base = toks.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        (
+            F.col("n_tokens") - F.coalesce("n_removed", F.lit(0))
+        ).cast("long").alias("n_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3463,6 +3566,50 @@ SELECT vec_id, array_to_string(mc, ',') AS codes_str,
 FROM per
 ORDER BY adc_dist ASC, vec_id ASC LIMIT 20"""
 
+_X60_SQL = """WITH v1 AS (
+  SELECT doc_id, source AS s1, sha256(text) AS h1 FROM documents),
+v2 AS (
+  SELECT doc_id, source AS s2,
+    sha256(CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END) AS h2
+  FROM documents WHERE doc_id % 13 <> 3
+  UNION ALL
+  SELECT doc_id + 2000000, source, sha256(text)
+  FROM documents WHERE doc_id % 7 = 2),
+j AS (SELECT COALESCE(s1, s2) AS source,
+        CASE WHEN h1 IS NULL THEN 'added'
+             WHEN h2 IS NULL THEN 'removed'
+             WHEN h1 <> h2 THEN 'changed'
+             ELSE 'unchanged' END AS st
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+SELECT source,
+  CAST(SUM(CAST(st = 'added' AS INT)) AS BIGINT) AS n_added,
+  CAST(SUM(CAST(st = 'removed' AS INT)) AS BIGINT) AS n_removed,
+  CAST(SUM(CAST(st = 'changed' AS INT)) AS BIGINT) AS n_changed,
+  CAST(SUM(CAST(st = 'unchanged' AS INT)) AS BIGINT) AS n_unchanged
+FROM j GROUP BY source"""
+
+_X61_SQL = f"""WITH {_TOKS_CTE},
+g AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM toks),
+grams AS (SELECT doc_id,
+    unnest(list_transform(range(1, len(ws) - 3),
+      i -> {{'pos': i - 1,
+            'gram': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                    || ws[i+3] || ' ' || ws[i+4]}})) AS gp
+  FROM toks WHERE len(ws) >= 5),
+occ AS (SELECT doc_id, gp.pos AS pos, gp.gram AS gram FROM grams),
+top AS (SELECT gram FROM (
+          SELECT gram, COUNT(*) AS n FROM occ GROUP BY gram
+          ORDER BY n DESC, gram ASC LIMIT 100) t),
+cov AS (SELECT DISTINCT doc_id, cv FROM (
+          SELECT doc_id, unnest(range(pos, pos + 5)) AS cv
+          FROM occ JOIN top USING (gram)) c),
+rem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM cov
+        GROUP BY doc_id)
+SELECT g.doc_id, g.n_tokens,
+  COALESCE(n_removed, 0) AS n_removed,
+  g.n_tokens - COALESCE(n_removed, 0) AS n_kept
+FROM g LEFT JOIN rem USING (doc_id)"""
+
 _X58_SQL = """WITH g AS (
   SELECT doc_id,
     CAST(n_chars % 640 + 1 AS INT) AS width,
@@ -4045,5 +4192,19 @@ SPECS = [
         "per-blob 8-bucket byte histogram features via mapInPandas (exact)",
         x59_media_features,
         _X59_SQL,
+    ),
+    QuerySpec(
+        "x60_snapshot_diff",
+        "X",
+        "v1-vs-v2 corpus diff per source: added/removed/changed/unchanged",
+        x60_snapshot_diff,
+        _X60_SQL,
+    ),
+    QuerySpec(
+        "x61_boilerplate_strip",
+        "X",
+        "strip tokens covered by corpus top-100 5-grams (x40's transform)",
+        x61_boilerplate_strip,
+        _X61_SQL,
     ),
 ]
