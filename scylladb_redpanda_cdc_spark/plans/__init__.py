@@ -164,6 +164,9 @@ def registry() -> dict[str, QuerySpec]:
         "x59_media_features",
         "x60_snapshot_diff",
         "x61_boilerplate_strip",
+        "x62_hard_negatives",
+        "x63_class_prototypes",
+        "b40_rfm_segmentation",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

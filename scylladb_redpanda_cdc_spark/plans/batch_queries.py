@@ -865,6 +865,72 @@ def b39_cohort_retention(spark, sf_dir):
     )
 
 
+def b40_rfm_segmentation(spark, sf_dir):
+    """RFM segmentation — the marketing-analytics classic: per user,
+    Recency (last event time), Frequency (event count), Monetary (exact
+    micros value sum), each cut into quartiles; segment code = R*100 +
+    F*10 + M.
+
+    Quartiles use NTILE over a TOTAL order (metric, then user_id) so the
+    cut lines are deterministic in both engines; quartile 4 = most
+    recent / most frequent / highest value.
+
+    Scale shape: the corpus-sized work is one user-keyed partial agg; the
+    three NTILE windows then run over the USERS-sized aggregate (already
+    corpus-shrunk). At extreme user counts the documented rewrite is
+    approx-percentile cutoffs + a map-only bucket join — exact NTILE is
+    the honest plan while the user table fits a sort."""
+    e = _T(spark, sf_dir, "events")
+    per = (
+        e.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("us").alias("last_us"),
+            F.count("*").alias("freq"),
+            F.sum("vm").alias("monetary_micros"),
+        )
+    )
+    w_r = Window.orderBy(F.col("last_us").asc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("freq").asc(), F.col("user_id").asc())
+    w_m = Window.orderBy(
+        F.col("monetary_micros").asc(), F.col("user_id").asc()
+    )
+    return per.select(
+        "user_id",
+        "last_us",
+        "freq",
+        "monetary_micros",
+        F.ntile(4).over(w_r).alias("r_q"),
+        F.ntile(4).over(w_f).alias("f_q"),
+        F.ntile(4).over(w_m).alias("m_q"),
+    ).withColumn(
+        "rfm_code",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int"),
+    )
+
+
+_B40_SQL = """WITH per AS (
+  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS monetary_micros
+  FROM events GROUP BY user_id)
+SELECT user_id, last_us, freq, monetary_micros,
+  CAST(NTILE(4) OVER (ORDER BY last_us ASC, user_id ASC) AS INT) AS r_q,
+  CAST(NTILE(4) OVER (ORDER BY freq ASC, user_id ASC) AS INT) AS f_q,
+  CAST(NTILE(4) OVER (ORDER BY monetary_micros ASC, user_id ASC) AS INT)
+    AS m_q,
+  CAST(NTILE(4) OVER (ORDER BY last_us ASC, user_id ASC) * 100
+     + NTILE(4) OVER (ORDER BY freq ASC, user_id ASC) * 10
+     + NTILE(4) OVER (ORDER BY monetary_micros ASC, user_id ASC) AS INT)
+    AS rfm_code
+FROM per"""
+
+
 _B39_SQL = """WITH e AS (
   SELECT user_id,
     (epoch_us(ts)
@@ -1291,5 +1357,12 @@ SPECS = [
         "first-touch day cohorts x active-day offsets, exact ppm retention",
         b39_cohort_retention,
         _B39_SQL,
+    ),
+    QuerySpec(
+        "b40_rfm_segmentation",
+        "B",
+        "recency/frequency/monetary quartile segments per user (NTILE)",
+        b40_rfm_segmentation,
+        _B40_SQL,
     ),
 ]

@@ -2728,6 +2728,117 @@ def x61_boilerplate_strip(spark, sf_dir):
     )
 
 
+def x62_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most-similar vectors with a DIFFERENT class label —
+    the negatives that actually move an embedding model (random negatives
+    are trivially far; hard ones define the margin). First use of the
+    fixture's ``label`` column.
+
+    Scale shape: x32's discipline — query batch broadcast, corpus streams
+    past map-side (the |corpus|x|Q| scoring is inherent to mining, all
+    narrow), label filter prunes before ranking, two-phase top-k so the
+    shuffle carries candidates (<=80/query), never the corpus."""
+    e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+    )
+    w1 = Window.partitionBy("qid", F.col("vec_id") % 16).orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    cand = scored.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= 5
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w2))
+        .filter(F.col("neg_rank") <= 5)
+        .select("qid", "vec_id", "neg_label", "cos_sim", "neg_rank")
+    )
+
+
+def x63_class_prototypes(spark, sf_dir):
+    """Per-class prototype (mean) embeddings — the nearest-class-mean
+    classifier / centroid-init step. Float sums are order-dependent, so
+    the prototype is computed in EXACT integer micros: each component is
+    floored to micros (one deterministic rounding per element), summed as
+    BIGINT (any order), and the mean is ONE double division at the end —
+    bit-identical across engines and executor schedules.
+
+    Scale shape: posexplode to (label, dim) then partial agg — the
+    shuffle carries labels x dims rows (640 here), not vectors; map-side
+    combine collapses each partition's class mass first."""
+    e = _T(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return (
+        e.select(
+            "label",
+            "dim",
+            F.floor(F.col("x").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("xm"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.count("*").alias("n"), F.sum("xm").alias("sum_micros"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            "sum_micros",
+            (
+                F.col("sum_micros").cast("double") / F.col("n").cast("double")
+            ).alias("mean_micro"),
+        )
+    )
+
+
+_X62_SQL = """WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT qid, vec_id, e.label AS neg_label,
+    list_aggregate(list_transform(list_zip(e.embedding, qe),
+      p -> CAST(p[1] * p[2] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(e.embedding,
+        x -> CAST(x * x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+        x -> CAST(x * x AS DOUBLE)), 'sum'))) AS cos_sim
+  FROM embeddings e, q WHERE e.label <> qlabel)
+SELECT qid, vec_id, neg_label, cos_sim, neg_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+    ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS neg_rank
+  FROM scored) r
+WHERE neg_rank <= 5"""
+
+_X63_SQL = """WITH x AS (
+  SELECT label,
+    unnest(list_transform(range(1, len(embedding) + 1),
+      i -> {'dim': i - 1, 'x': embedding[i]})) AS p
+  FROM embeddings)
+SELECT label, CAST(p.dim AS INT) AS dim,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(FLOOR(CAST(p.x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+    AS sum_micros,
+  CAST(SUM(CAST(FLOOR(CAST(p.x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS mean_micro
+FROM x GROUP BY label, p.dim"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4206,5 +4317,19 @@ SPECS = [
         "strip tokens covered by corpus top-100 5-grams (x40's transform)",
         x61_boilerplate_strip,
         _X61_SQL,
+    ),
+    QuerySpec(
+        "x62_hard_negatives",
+        "X",
+        "top-5 different-label neighbors per query (contrastive negatives)",
+        x62_hard_negatives,
+        _X62_SQL,
+    ),
+    QuerySpec(
+        "x63_class_prototypes",
+        "X",
+        "per-class mean embedding in exact integer micros (centroid init)",
+        x63_class_prototypes,
+        _X63_SQL,
     ),
 ]

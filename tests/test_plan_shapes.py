@@ -174,6 +174,7 @@ _INTENDED_NESTED_LOOP = {
     "x53_embed_quantize",  # broadcast 1-row quantized query codes
     "x55_source_drift",  # broadcast 1-row corpus token/ppm totals
     "x56_mixture_sample",  # broadcast 1-row source count (x49's allocation)
+    "x62_hard_negatives",  # broadcast query batch (x32's mining twin)
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
