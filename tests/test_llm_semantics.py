@@ -549,3 +549,75 @@ def test_media_features_partition_the_bytes(spark, sf_dir, specs):
     pdf = specs["x59_media_features"].build(spark, sf_dir).toPandas()
     total = sum(pdf[f"f{i}"] for i in range(8))
     assert (total == pdf["n_bytes"]).all()
+
+
+def test_snapshot_diff_respects_the_planted_rules(spark, sf_dir, specs):
+    """x60: totals match the deterministic v2 construction — every
+    id%7==2 doc is an add, every id%13==3 doc a removal, and changed docs
+    are the id%11==5 survivors."""
+    pdf = specs["x60_snapshot_diff"].build(spark, sf_dir).toPandas()
+    import duckdb
+
+    import os
+    con = duckdb.connect()
+    doc = f"{sf_dir}/documents.parquet"
+    n_add, n_rem, n_chg = con.sql(
+        f"""SELECT
+          SUM(CAST(doc_id % 7 = 2 AS INT)),
+          SUM(CAST(doc_id % 13 = 3 AS INT)),
+          SUM(CAST(doc_id % 13 <> 3 AND doc_id % 11 = 5 AS INT))
+        FROM read_parquet('{doc}')"""
+    ).fetchone()
+    assert pdf["n_added"].sum() == n_add
+    assert pdf["n_removed"].sum() == n_rem
+    assert pdf["n_changed"].sum() == n_chg
+
+
+def test_boilerplate_strip_is_bounded(spark, sf_dir, specs):
+    """x61: removed counts stay within [0, n_tokens], kept+removed=total,
+    and at least one doc loses tokens (the top-100 list is non-empty)."""
+    pdf = specs["x61_boilerplate_strip"].build(spark, sf_dir).toPandas()
+    assert (pdf["n_removed"] >= 0).all()
+    assert (pdf["n_removed"] <= pdf["n_tokens"]).all()
+    assert (pdf["n_kept"] + pdf["n_removed"] == pdf["n_tokens"]).all()
+    assert pdf["n_removed"].sum() > 0
+
+
+def test_hard_negatives_never_share_the_query_label(spark, sf_dir, specs):
+    """x62: a mined negative's label differs from its query's label, and
+    each query has exactly 5 ranked negatives."""
+    pdf = specs["x62_hard_negatives"].build(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    for _, row in pdf.iterrows():
+        assert row["neg_label"] == labels[row["vec_id"]]
+        assert row["neg_label"] != labels[row["qid"]]
+    per_q = pdf.groupby("qid")["neg_rank"].agg(["count", "min", "max"])
+    assert (per_q["count"] == 5).all()
+    assert (per_q["min"] == 1).all() and (per_q["max"] == 5).all()
+
+
+def test_class_prototypes_cover_every_label_and_dim(spark, sf_dir, specs):
+    """x63: exactly labels x 64 rows, counts match class sizes, and the
+    mean is the exact quotient of the pinned integer sum."""
+    pdf = specs["x63_class_prototypes"].build(spark, sf_dir).toPandas()
+    assert set(pdf["dim"]) == set(range(64))
+    n_labels = pdf["label"].nunique()
+    assert len(pdf) == n_labels * 64
+    assert (
+        pdf["mean_micro"] == pdf["sum_micros"] / pdf["n"]
+    ).all()
+
+
+def test_rfm_quartiles_are_balanced(spark, sf_dir, specs):
+    """b40: every quartile column uses values 1-4 with near-equal sizes
+    (NTILE guarantee) and the code composes the three digits."""
+    pdf = specs["b40_rfm_segmentation"].build(spark, sf_dir).toPandas()
+    for c in ("r_q", "f_q", "m_q"):
+        counts = pdf[c].value_counts()
+        assert set(counts.index) == {1, 2, 3, 4}
+        assert counts.max() - counts.min() <= 1
+    assert (
+        pdf["rfm_code"]
+        == pdf["r_q"] * 100 + pdf["f_q"] * 10 + pdf["m_q"]
+    ).all()
