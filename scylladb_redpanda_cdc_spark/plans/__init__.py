@@ -167,6 +167,7 @@ def registry() -> dict[str, QuerySpec]:
         "x62_hard_negatives",
         "x63_class_prototypes",
         "b40_rfm_segmentation",
+        "b41_approx_quantile",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in
