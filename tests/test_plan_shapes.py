@@ -273,3 +273,69 @@ def test_flagship_shuffle_count(spark, sf_dir, specs):
     # count unique node entries "(n) Exchange" only.
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges == 2, f"expected 2 shuffles, saw {n_exchanges}:\n{plan}"
+
+
+def test_funnel_has_no_window_and_pushes_type_filters(spark, sf_dir, specs):
+    """b38: the funnel must be partial aggs + co-keyed joins (no per-user
+    window sort — a bot user would serialize one task), with the
+    event_type filters pushed into the parquet scan."""
+    plan = plan_of(spark, sf_dir, specs, "b38_funnel_conversion")
+    assert "Window" not in plan, plan
+    assert "PushedFilters" in plan
+    assert "view" in plan  # the literal reached the scan
+
+
+def test_cohort_retention_is_agg_join_agg(spark, sf_dir, specs):
+    """b39: no window, no nested loop — user-keyed partial aggs and a
+    co-keyed join only."""
+    plan = plan_of(spark, sf_dir, specs, "b39_cohort_retention")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_codebook_is_broadcast(spark, sf_dir, specs):
+    """x54: the codebook and the query distance table must broadcast —
+    shuffling the exploded corpus by centroid id would move 8x the corpus
+    at 100 TB."""
+    plan = plan_of(spark, sf_dir, specs, "x54_pq_ann")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quantize_is_map_only_takeordered(spark, sf_dir, specs):
+    """x53: quantization + integer-dot scoring must ride the scan (the
+    only join is the 1-row broadcast query) and top-k must be TakeOrdered,
+    not a global sort."""
+    plan = plan_of(spark, sf_dir, specs, "x53_embed_quantize")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_boilerplate_list_is_broadcast(spark, sf_dir, specs):
+    """x61: the 100-row boilerplate list must be the broadcast side of the
+    strip join — shuffling the corpus' exploded grams against a 100-row
+    table would be the worst move at scale."""
+    plan = plan_of(spark, sf_dir, specs, "x61_boilerplate_strip")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rfm_windows_run_after_the_user_agg(spark, sf_dir, specs):
+    """b40: exactly one corpus-sized shuffle (the user agg); the NTILE
+    windows run over the users-sized aggregate."""
+    plan = plan_of(spark, sf_dir, specs, "b40_rfm_segmentation", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_snapshot_diff_joins_on_the_id_key(spark, sf_dir, specs):
+    """x60: the version diff must be a keyed join (sort-merge or hash on
+    doc_id), never a nested loop, and the text column must be projected
+    away before the join (only the sha2 output crosses) — visible as no
+    'text' reference in any Project above the scan."""
+    plan = plan_of(spark, sf_dir, specs, "x60_snapshot_diff", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    # every Project line that mentions text must be wrapping it in sha2
+    for line in plan.splitlines():
+        if "Project" in line and "text" in line:
+            assert "sha2" in line, line
