@@ -168,6 +168,8 @@ def registry() -> dict[str, QuerySpec]:
         "x63_class_prototypes",
         "b40_rfm_segmentation",
         "b41_approx_quantile",
+        "s16_stream_quality_filter",
+        "u7_python_udtf",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

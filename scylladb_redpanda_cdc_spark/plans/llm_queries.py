@@ -1926,7 +1926,13 @@ def x48_quality_classifier(spark, sf_dir):
     Scale shape: map-only expression algebra over the token array — zero
     shuffles, whole-stage codegen, embarrassingly parallel; the model
     rides in the instruction stream (literal weights), not in a join."""
-    d = _docs_fanned(spark, sf_dir)
+    return quality_classify(_docs_fanned(spark, sf_dir))
+
+
+def quality_classify(d):
+    """The x48 kernel on any docs-shaped DataFrame (doc_id, text) —
+    shared verbatim by the batch spec and s16's streaming apply, so the
+    two can never drift."""
     t = d.select("doc_id", words(F.col("text")).alias("ws")).filter(
         F.size("ws") > 0
     )

@@ -340,6 +340,25 @@ def s15_stream_heavy_hitters(spark, sf_dir):
     return heavy_hitters_stream(stage_documents_stream(spark, sf_dir))
 
 
+def s16_stream_quality_filter(spark, sf_dir):
+    """S16: the x48 quality classifier applied INSIDE the ingest stream —
+    the filter-at-the-door shape (score and gate documents as they
+    arrive, before they ever land in the corpus store). The kernel is
+    shared VERBATIM with the batch spec (`llm_queries.quality_classify`),
+    so batch and stream scoring can never drift; being stateless map-only
+    algebra it transfers into the micro-batch unchanged, no state store.
+
+    Scale shape: zero shuffles per batch — the classifier rides the
+    ingest scan; at 100 TB/day this is the cheapest possible placement
+    (score once on arrival vs rescanning the lake later)."""
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import quality_classify
+
+    docs = stage_documents_stream(spark, sf_dir)
+    out = tmpdir("qf_out")
+    run_to_parquet(quality_classify(docs), out, tmpdir("qf_ckpt"))
+    return spark.read.parquet(out)
+
+
 def s11_stateful_running_state(spark, sf_dir):
     """S11: arbitrary per-key streaming state (applyInPandasWithState) —
     running per-user counters. Single availableNow batch => one final
@@ -389,6 +408,41 @@ ranked AS (
 )
 SELECT customer_id, order_id, totalprice, orderstatus
 FROM ranked WHERE rn = 1 AND op <> 'd'"""
+
+def _s16_sql() -> str:
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import (
+        X48_TAU,
+        X48_W_BIAS,
+        X48_W_LEN,
+        X48_W_STOP,
+        X48_W_TTR,
+    )
+
+    return f"""WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 IN (0, 5)),
+toks AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')
+    AS ws FROM aug),
+f AS (SELECT doc_id,
+    LEAST(CAST(len(ws) AS BIGINT), 200) AS f_len,
+    CAST(len(list_filter(ws, w -> w IN
+      ('the','a','and','of','to','in','is','on'))) AS BIGINT) * 1000000
+      // CAST(len(ws) AS BIGINT) AS f_stop_ppm,
+    CAST(len(list_distinct(ws)) AS BIGINT) * 1000000
+      // CAST(len(ws) AS BIGINT) AS f_ttr_ppm
+  FROM toks WHERE len(ws) > 0)
+SELECT doc_id, f_len, f_stop_ppm, f_ttr_ppm,
+  {X48_W_BIAS} + {X48_W_LEN} * f_len + {X48_W_STOP} * f_stop_ppm
+    + {X48_W_TTR} * f_ttr_ppm AS margin_micro,
+  ({X48_W_BIAS} + {X48_W_LEN} * f_len + {X48_W_STOP} * f_stop_ppm
+    + {X48_W_TTR} * f_ttr_ppm) >= {X48_TAU} AS keep
+FROM f"""
+
+
+_S16_SQL = _s16_sql()
+
 
 SPECS = [
     QuerySpec(
@@ -524,6 +578,13 @@ FROM h JOIN fa USING (text_hash) JOIN fb USING (text_hash, b)""",
         # identical semantics to a17 — the map-only batch DAG transfers
         # unchanged into the micro-batch, so the oracle is shared verbatim
         EVOLUTION_SQL,
+    ),
+    QuerySpec(
+        "s16_stream_quality_filter",
+        "S",
+        "x48 classifier applied in-stream (map-only, kernel shared verbatim)",
+        s16_stream_quality_filter,
+        _S16_SQL,
     ),
     QuerySpec(
         "s15_stream_heavy_hitters",

@@ -107,6 +107,37 @@ def u4_udtf_mapinpandas(spark, sf_dir):
     return p.mapInPandas(_explode_words, _U4_SCHEMA)
 
 
+# -- U7: declared Python UDTF (Spark 4 table-function surface) ---------------
+
+
+def u7_python_udtf(spark, sf_dir):
+    """The DECLARED Python-UDTF surface (u4 proves the mapInPandas shape;
+    u7 is Spark 4's first-class table function): a class-based UDTF
+    registered and invoked through a LATERAL join in SQL — one input row
+    yields one output row per word, with its position. `split(' ')`
+    mirrors the oracle's `string_split` exactly (no regex, no empty-drop).
+
+    Scale note: per-row Python generators are the slow path (same budget
+    as U1) — the point is API surface parity; the vectorized rewrite IS
+    u4. Partition-local, no shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, idx int")
+    class SplitWords:
+        def eval(self, name: str):
+            for i, w in enumerate(name.split(" ")):
+                yield (w, i)
+
+    spark.udtf.register("u7_split_words", SplitWords)
+    _T(spark, sf_dir, "part").select("p_partkey", "p_name").createOrReplaceTempView(
+        "u7_part"
+    )
+    return spark.sql(
+        "SELECT p_partkey, t.word, t.idx "
+        "FROM u7_part, LATERAL u7_split_words(p_name) t"
+    )
+
+
 # -- U6: applyInPandas grouped-map (whole group in, whole group out) ----------
 
 _U6_SCHEMA = "user_id long, event_id long, ts_us long, seq long, gap_us long"
@@ -200,6 +231,18 @@ SPECS = [
         "SELECT o_orderkey, CASE WHEN o_totalprice > 300000 THEN 'big'\n"
         "  WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS price_band\n"
         "FROM orders",
+    ),
+    QuerySpec(
+        "u7_python_udtf",
+        "U",
+        "declared Python UDTF in a LATERAL join (Spark 4 table function)",
+        u7_python_udtf,
+        "SELECT p_partkey, gp.word AS word, CAST(gp.idx AS INT) AS idx\n"
+        "FROM (SELECT p_partkey,\n"
+        "  unnest(list_transform(range(1, len(ws) + 1),\n"
+        "    i -> {'idx': i - 1, 'word': ws[i]})) AS gp\n"
+        "  FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws"
+        " FROM part) w) t",
     ),
     QuerySpec(
         "u6_grouped_map_applyinpandas",

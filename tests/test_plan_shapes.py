@@ -186,6 +186,7 @@ _INTENDED_PYTHON = {
     "u4_udtf_mapinpandas",
     "u5_udf_sql_register",
     "u6_grouped_map_applyinpandas",  # FlatMapGroupsInPandas grouped-map
+    "u7_python_udtf",  # declared Python UDTF (BatchEvalPythonUDTF)
     "x18_multimodal_decode",
     "x58_media_resize",  # mapInPandas resize-geometry stage
     "x59_media_features",  # mapInPandas byte-histogram feature stage
