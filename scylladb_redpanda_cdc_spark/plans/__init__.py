@@ -170,6 +170,8 @@ def registry() -> dict[str, QuerySpec]:
         "b41_approx_quantile",
         "s16_stream_quality_filter",
         "u7_python_udtf",
+        "x64_length_histogram",
+        "x65_vocab_growth",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -2845,6 +2845,114 @@ SELECT label, CAST(p.dim AS INT) AS dim,
 FROM x GROUP BY label, p.dim"""
 
 
+def x64_length_histogram(spark, sf_dir):
+    """Sequence-length planning stats: doc token counts bucketed in powers
+    of two, with per-bucket doc/token counts AND the padding waste each
+    bucket would pay at a 2048-token context if packed one-doc-per-
+    sequence — the numbers that decide context length and justify x24's
+    packing (waste_ppm near 1e6 means almost the whole batch is pad).
+
+    Exactness: buckets are integer log2 via comparison CASE (no floats);
+    waste is exact BIGINT arithmetic: ceil(n/2048)*2048 - n summed.
+
+    Scale shape: map-only bucketing + one bucket-keyed partial agg whose
+    output is ~log2(max_len) rows."""
+    d = _docs_fanned(spark, sf_dir)
+    t = d.select(F.size(words(F.col("text"))).cast("long").alias("n"))
+    bucket = F.expr(
+        "CASE WHEN n <= 0 THEN 0 WHEN n < 64 THEN 64 WHEN n < 128 THEN 128"
+        " WHEN n < 256 THEN 256 WHEN n < 512 THEN 512"
+        " WHEN n < 1024 THEN 1024 WHEN n < 2048 THEN 2048"
+        " ELSE 4096 END"
+    )
+    pad = F.expr("((n + 2047) DIV 2048) * 2048 - n")
+    agg = (
+        t.select(bucket.alias("len_bucket"), "n", pad.alias("pad"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.sum("pad").alias("pad_tokens"),
+        )
+    )
+    return agg.select(
+        "len_bucket",
+        "n_docs",
+        "n_tokens",
+        "pad_tokens",
+        F.expr(
+            "pad_tokens * 1000000 DIV (n_tokens + pad_tokens)"
+        ).alias("waste_ppm"),
+    )
+
+
+def x65_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (the Heaps-law measurement tokenizer teams
+    plot before fixing a vocab size): scanning the corpus in doc_id
+    order, how many NEW distinct tokens does each 100-doc chunk
+    introduce, and what is the cumulative vocabulary? A flattening curve
+    says more data stops buying vocabulary coverage.
+
+    Exactness: a token's first sighting is MIN(doc_id) — order-free; the
+    cumulative sum runs over the ~|corpus|/100 chunk rows with a total
+    ORDER BY, identical in both engines.
+
+    Scale shape: the corpus-sized work is one token-keyed partial agg
+    (zipf keys collapse map-side); the ordered window runs over
+    CHUNK-count rows, bounded and tiny — x34's discipline applied to the
+    growth dimension."""
+    d = _docs_fanned(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_chunk = (
+        first.select(F.expr("first_doc DIV 100").alias("chunk"))
+        .groupBy("chunk")
+        .agg(F.count("*").alias("n_new_tokens"))
+    )
+    w = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_chunk.select(
+        "chunk",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).alias("cum_vocab"),
+    )
+
+
+_X64_SQL = """WITH t AS (
+  SELECT CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+    w -> w <> '')) AS BIGINT) AS n
+  FROM documents),
+b AS (SELECT n,
+    CASE WHEN n <= 0 THEN 0 WHEN n < 64 THEN 64 WHEN n < 128 THEN 128
+         WHEN n < 256 THEN 256 WHEN n < 512 THEN 512
+         WHEN n < 1024 THEN 1024 WHEN n < 2048 THEN 2048
+         ELSE 4096 END AS len_bucket,
+    ((n + 2047) // 2048) * 2048 - n AS pad
+  FROM t),
+agg AS (SELECT len_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS n_tokens,
+          CAST(SUM(pad) AS BIGINT) AS pad_tokens
+        FROM b GROUP BY len_bucket)
+SELECT len_bucket, n_docs, n_tokens, pad_tokens,
+  pad_tokens * 1000000 // (n_tokens + pad_tokens) AS waste_ppm
+FROM agg"""
+
+_X65_SQL = """WITH t AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      w -> w <> '')) AS tok
+  FROM documents),
+first AS (SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY tok),
+pc AS (SELECT first_doc // 100 AS chunk,
+         CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+       FROM first GROUP BY 1)
+SELECT chunk, n_new_tokens,
+  CAST(SUM(n_new_tokens) OVER (ORDER BY chunk
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM pc"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4337,5 +4445,19 @@ SPECS = [
         "per-class mean embedding in exact integer micros (centroid init)",
         x63_class_prototypes,
         _X63_SQL,
+    ),
+    QuerySpec(
+        "x64_length_histogram",
+        "X",
+        "pow2 token-length buckets + exact 2048-context padding waste ppm",
+        x64_length_histogram,
+        _X64_SQL,
+    ),
+    QuerySpec(
+        "x65_vocab_growth",
+        "X",
+        "Heaps-curve: new distinct tokens per 100-doc chunk + cumulative",
+        x65_vocab_growth,
+        _X65_SQL,
     ),
 ]
