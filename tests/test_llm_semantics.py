@@ -621,3 +621,26 @@ def test_rfm_quartiles_are_balanced(spark, sf_dir, specs):
         pdf["rfm_code"]
         == pdf["r_q"] * 100 + pdf["f_q"] * 10 + pdf["m_q"]
     ).all()
+
+
+def test_length_histogram_partitions_the_corpus(spark, sf_dir, specs):
+    """x64: bucket doc counts sum to the corpus, waste is a valid ppm,
+    and tokens+pad is a multiple of the 2048 context."""
+    pdf = specs["x64_length_histogram"].build(spark, sf_dir).toPandas()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert pdf["n_docs"].sum() == n_docs
+    assert ((pdf["waste_ppm"] >= 0) & (pdf["waste_ppm"] < 1_000_000)).all()
+    assert ((pdf["n_tokens"] + pdf["pad_tokens"]) % 2048 == 0).all()
+
+
+def test_vocab_growth_accumulates_to_the_vocabulary(spark, sf_dir, specs):
+    """x65: cumulative vocab is monotone and its final value equals the
+    corpus' distinct token count."""
+    pdf = (
+        specs["x65_vocab_growth"]
+        .build(spark, sf_dir)
+        .toPandas()
+        .sort_values("chunk")
+    )
+    assert pdf["cum_vocab"].is_monotonic_increasing
+    assert pdf["cum_vocab"].iloc[-1] == pdf["n_new_tokens"].sum()
