@@ -172,6 +172,7 @@ def registry() -> dict[str, QuerySpec]:
         "u7_python_udtf",
         "x64_length_histogram",
         "x65_vocab_growth",
+        "b42_last_touch_attribution",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

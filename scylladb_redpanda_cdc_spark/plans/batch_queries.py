@@ -947,6 +947,70 @@ def b41_approx_quantile(spark, sf_dir):
     )
 
 
+def b42_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent PRECEDING view or click (ties on timestamp broken by
+    event_id — a total order, so both engines credit the same touch);
+    output is the per-type attribution tally plus unattributed purchases.
+
+    The windowed AS-OF shape: b14 joins two tables as-of; attribution is
+    the single-table form — a running conditional MAX over the user's
+    ordered history — one shuffle on user_id, one incremental frame pass,
+    no self-join at all.
+
+    Exactness: the credited touch is an integer-packed (us, event_id,
+    type-code) triple so MAX carries the tie-break; counts are BIGINTs."""
+    e = _T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    # pack (us, event_id) lexicographically into a struct for running MAX;
+    # keep the type alongside so the argmax carries its payload
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct(
+            F.col("us").alias("t_us"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = (
+        e.withColumn("last_touch", F.max(touch).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("last_touch.t_type"), F.lit("none")).alias(
+                "attributed_to"
+            )
+        )
+    )
+    return attributed.groupBy("attributed_to").agg(
+        F.count("*").cast("long").alias("n_purchases")
+    )
+
+
+_B42_SQL = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+a AS (
+  SELECT event_type,
+    MAX(CASE WHEN event_type IN ('view', 'click')
+             THEN struct_pack(t_us := us, t_id := event_id,
+                              t_type := event_type) END)
+      OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM e)
+SELECT COALESCE(lt.t_type, 'none') AS attributed_to,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM a WHERE event_type = 'purchase'
+GROUP BY 1"""
+
+
 _B41_SQL = """SELECT l_returnflag,
   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
   TRUE AS approx_within_rank_error
@@ -1411,5 +1475,12 @@ SPECS = [
         "GK percentile_approx within declared rank error (b17's policy)",
         b41_approx_quantile,
         _B41_SQL,
+    ),
+    QuerySpec(
+        "b42_last_touch_attribution",
+        "B",
+        "purchases credited to the latest preceding view/click (windowed)",
+        b42_last_touch_attribution,
+        _B42_SQL,
     ),
 ]
