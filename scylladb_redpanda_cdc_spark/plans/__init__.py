@@ -173,6 +173,7 @@ def registry() -> dict[str, QuerySpec]:
         "x64_length_histogram",
         "x65_vocab_growth",
         "b42_last_touch_attribution",
+        "b43_multiformat_scan",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

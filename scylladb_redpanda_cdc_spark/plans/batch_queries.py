@@ -947,6 +947,67 @@ def b41_approx_quantile(spark, sf_dir):
     )
 
 
+_mf_staged: dict[tuple[str, str], str] = {}
+
+
+def b43_multiformat_scan(spark, sf_dir):
+    """Source-format breadth: the documents table round-tripped through
+    CSV (header + quoting) and JSON-lines, read back with EXPLICIT
+    schemas (never inferSchema — a schema inference pass reads the data
+    twice and types drift run-to-run), and aggregated per (format,
+    source). Matching the parquet oracle proves both readers byte-
+    faithful end to end — the lake-ingest reality where upstream drops
+    CSV/JSONL and only the engine's parsers stand between them and the
+    warehouse.
+
+    Scale notes: both readers are splittable scans here (CSV/JSONL split
+    by line); explicit schema keeps a single pass; the verdict agg is
+    formats x sources-sized with map-side combine. Staged once per
+    (session, dataset)."""
+    from scylladb_redpanda_cdc_spark.streaming.core import tmpdir
+
+    d = _T(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _mf_staged:
+        base = tmpdir("multiformat")
+        d.write.mode("overwrite").option("header", True).csv(base + "/csv")
+        d.write.mode("overwrite").json(base + "/jsonl")
+        _mf_staged[key] = base
+    base = _mf_staged[key]
+    ddl = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    c = (
+        spark.read.schema(ddl)
+        .option("header", True)
+        .csv(base + "/csv")
+        .withColumn("fmt", F.lit("csv"))
+    )
+    j = (
+        spark.read.schema(ddl)
+        .json(base + "/jsonl")
+        .withColumn("fmt", F.lit("jsonl"))
+    )
+    return (
+        c.unionByName(j)
+        .groupBy("fmt", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(F.length("text").cast("long")).alias("text_chars"),
+        )
+    )
+
+
+_B43_SQL = """SELECT fmt, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+  CAST(SUM(length(text)) AS BIGINT) AS text_chars
+FROM documents CROSS JOIN (VALUES ('csv'), ('jsonl')) f(fmt)
+GROUP BY fmt, source"""
+
+
 def b42_last_touch_attribution(spark, sf_dir):
     """Last-touch attribution: every purchase is credited to the user's
     most recent PRECEDING view or click (ties on timestamp broken by
@@ -1482,5 +1543,12 @@ SPECS = [
         "purchases credited to the latest preceding view/click (windowed)",
         b42_last_touch_attribution,
         _B42_SQL,
+    ),
+    QuerySpec(
+        "b43_multiformat_scan",
+        "B",
+        "CSV + JSONL readers round-trip the table (explicit schemas)",
+        b43_multiformat_scan,
+        _B43_SQL,
     ),
 ]
