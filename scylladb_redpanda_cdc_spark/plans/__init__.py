@@ -174,6 +174,8 @@ def registry() -> dict[str, QuerySpec]:
         "x65_vocab_growth",
         "b42_last_touch_attribution",
         "b43_multiformat_scan",
+        "x66_countmin_sketch",
+        "x67_weighted_sample",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

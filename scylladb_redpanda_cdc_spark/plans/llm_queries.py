@@ -2953,6 +2953,162 @@ SELECT chunk, n_new_tokens,
 FROM pc"""
 
 
+#: x66's count-min geometry: 4 rows x 1024 buckets, row hashes = the first
+#: 4 MinHash remix pairs (literal constants shared with the oracle).
+X66_ROWS = 4
+X66_WIDTH = 1024
+
+
+def x66_countmin_sketch(spark, sf_dir):
+    """Count-min sketch over the token stream — the streaming/heavy-hitter
+    sketch beside b17's HLL and b41's GK quantiles: 4 x 1024 counters
+    (deterministic literal row hashes), then the CMS estimate for the
+    top-20 TRUE tokens with the sketch's defining invariants pinned:
+    estimate >= truth always (CMS never underestimates), within
+    2e/width x total mass with high probability.
+
+    Exactness: every counter is an exact BIGINT; the row hashes are the
+    MinHash remix literals, so DuckDB rebuilds the identical sketch and
+    both engines agree on every estimate bit-for-bit.
+
+    Scale shape: the sketch build is one partial agg to a FIXED 4096-row
+    table (the point of a sketch: state independent of corpus size); the
+    probe side broadcasts the sketch to 20 rows. At 100 TB the sketch
+    rides map-side combine and the shuffle carries counters, not tokens."""
+    d = _docs_fanned(spark, sf_dir)
+    toks = d.select(F.explode(words(F.col("text"))).alias("tok"))
+    h = hash60(F.col("tok"))
+    # ONE corpus scan: each token explodes into its 4 (row, bucket) cells
+    # map-side (a UNION of 4 scans would read the corpus four times)
+    hashed = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(minhash_remix(h, r), F.lit(X66_WIDTH)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(X66_ROWS)
+                ]
+            )
+        ).alias("p")
+    ).select("p.r", "p.bucket")
+    sketch = hashed.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    probes = top.select(
+        "tok",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            minhash_remix(hash60(F.col("tok")), r),
+                            F.lit(X66_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for r in range(X66_ROWS)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "true_n", "p.r", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        "true_n",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("true_n")).alias("never_underestimates"),
+    )
+
+
+def x67_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement, fully DETERMINISTIC and
+    engine-exact: sequential Poisson sampling (Ohlsson) — rank every doc
+    by ``u / w`` where ``u`` is a per-doc hash uniform in (0,1] and ``w``
+    its token count, take the smallest 64. Longer docs sample more often
+    (~proportional to size), yet the draw is a pure function of content,
+    reproducible across runs and engines. The transcendental-free rank
+    (u/w, two IEEE divisions — the 2^-60 scale is exponent-exact) is
+    what makes a strict cross-engine oracle possible where the classic
+    ``u^(1/w)`` key (libm pow) would drift in the last ulp.
+
+    Scale shape: rank is map-only; the selection is TakeOrdered top-k —
+    no global sort, no shuffle beyond the k survivors."""
+    d = _docs_fanned(spark, sf_dir)
+    t = d.select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    u = (
+        hash60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(2**60))
+    return (
+        t.select(
+            "doc_id",
+            "n_tokens",
+            (u / F.col("n_tokens").cast("double")).alias("rank_key"),
+        )
+        .orderBy(F.col("rank_key").asc(), F.col("doc_id").asc())
+        .limit(64)
+    )
+
+
+_X66_SQL_ROWS = ",\n  ".join(
+    f"({r}, {MINHASH_BANDS[r][0]}, {MINHASH_BANDS[r][1]})"
+    for r in range(X66_ROWS)
+)
+
+_X66_SQL = f"""WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+    w -> w <> '')) AS tok
+  FROM documents),
+rp(r, a, c) AS (VALUES {_X66_SQL_ROWS}),
+hashed AS (
+  SELECT r,
+    ((CAST(concat('0x', substr(sha256(tok), 1, 15)) AS BIGINT)
+      % {MINHASH_P}) * a + c) % {MINHASH_P} % {X66_WIDTH} AS bucket
+  FROM t, rp),
+sketch AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+           FROM hashed GROUP BY r, bucket),
+top AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_n FROM t
+        GROUP BY tok ORDER BY true_n DESC, tok ASC LIMIT 20),
+probes AS (
+  SELECT tok, true_n, r,
+    ((CAST(concat('0x', substr(sha256(tok), 1, 15)) AS BIGINT)
+      % {MINHASH_P}) * a + c) % {MINHASH_P} % {X66_WIDTH} AS bucket
+  FROM top, rp)
+SELECT tok, true_n, CAST(MIN(c) AS BIGINT) AS cms_estimate,
+  MIN(c) >= true_n AS never_underestimates
+FROM probes JOIN sketch USING (r, bucket)
+GROUP BY tok, true_n"""
+
+_X67_SQL = """WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+    CAST(CAST(concat('0x', substr(sha256('ws:' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0
+      / CAST(n_tokens AS DOUBLE) AS rank_key
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, rank_key
+FROM r ORDER BY rank_key ASC, doc_id ASC LIMIT 64"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4459,5 +4615,19 @@ SPECS = [
         "Heaps-curve: new distinct tokens per 100-doc chunk + cumulative",
         x65_vocab_growth,
         _X65_SQL,
+    ),
+    QuerySpec(
+        "x66_countmin_sketch",
+        "X",
+        "4x1024 CMS: exact counters, top-20 probes, never-underestimate",
+        x66_countmin_sketch,
+        _X66_SQL,
+    ),
+    QuerySpec(
+        "x67_weighted_sample",
+        "X",
+        "sequential Poisson weighted sample: deterministic u/w rank top-64",
+        x67_weighted_sample,
+        _X67_SQL,
     ),
 ]
