@@ -176,6 +176,7 @@ def registry() -> dict[str, QuerySpec]:
         "b43_multiformat_scan",
         "x66_countmin_sketch",
         "x67_weighted_sample",
+        "x68_bpe_merge_apply",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -3109,6 +3109,81 @@ SELECT doc_id, n_tokens, rank_key
 FROM r ORDER BY rank_key ASC, doc_id ASC LIMIT 64"""
 
 
+def x68_bpe_merge_apply(spark, sf_dir):
+    """One full BPE TRAINING iteration (x41 counts; x68 closes the loop):
+    pick the argmax pair (count DESC, pair ASC — a total order, so both
+    engines pick the same merge), apply it corpus-wide (leftmost
+    non-overlapping replace, '#' as the new symbol — Java and DuckDB
+    replace() agree exactly), and re-count symbol pairs over the merged
+    corpus. Emits the applied merge + the next top-20 pair counts — the
+    state entering iteration 2. Iterating this operator IS BPE training,
+    each round the same two alphabet-sized partial aggs.
+
+    Scale shape: the argmax pair is a 1-row broadcast; merge + re-pair
+    are map-side expression algebra; both aggs shuffle alphabet²-sized
+    keys regardless of corpus size."""
+    d = _docs_fanned(spark, sf_dir)
+    w = d.select(F.explode(words(F.col("text"))).alias("w"))
+
+    def pair_counts(words_df, col):
+        return (
+            words_df.select(
+                F.explode(
+                    F.when(
+                        F.length(col) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.length(col) - 1),
+                            lambda i: F.col(col).substr(i, F.lit(2)),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count("*").alias("n"))
+        )
+
+    best = (
+        pair_counts(w, "w")
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(1)
+        .select(F.col("pair").alias("merged_pair"))
+    )
+    merged = w.crossJoin(F.broadcast(best)).select(
+        "merged_pair",
+        F.expr("replace(w, merged_pair, '#')").alias("m"),
+    )
+    return (
+        pair_counts(merged, "m")
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+        .crossJoin(F.broadcast(best))
+        .select("merged_pair", "pair", "n")
+    )
+
+
+_X68_SQL = """WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+    x -> x <> '')) AS w
+  FROM documents),
+p1 AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2)))
+    AS pair
+  FROM t WHERE length(w) >= 2),
+best AS (
+  SELECT pair AS merged_pair FROM (
+    SELECT pair, COUNT(*) AS n FROM p1 GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 1) b),
+m AS (SELECT replace(w, merged_pair, '#') AS m, merged_pair FROM t, best),
+p2 AS (
+  SELECT merged_pair,
+    unnest(list_transform(range(1, length(m)), i -> substring(m, i, 2)))
+      AS pair
+  FROM m WHERE length(m) >= 2)
+SELECT merged_pair, pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p2 GROUP BY merged_pair, pair
+ORDER BY n DESC, pair ASC LIMIT 20"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4629,5 +4704,12 @@ SPECS = [
         "sequential Poisson weighted sample: deterministic u/w rank top-64",
         x67_weighted_sample,
         _X67_SQL,
+    ),
+    QuerySpec(
+        "x68_bpe_merge_apply",
+        "X",
+        "one BPE training step: argmax merge applied + next pair counts",
+        x68_bpe_merge_apply,
+        _X68_SQL,
     ),
 ]

@@ -175,6 +175,7 @@ _INTENDED_NESTED_LOOP = {
     "x55_source_drift",  # broadcast 1-row corpus token/ppm totals
     "x56_mixture_sample",  # broadcast 1-row source count (x49's allocation)
     "x62_hard_negatives",  # broadcast query batch (x32's mining twin)
+    "x68_bpe_merge_apply",  # broadcast 1-row argmax merge pair
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
