@@ -644,3 +644,67 @@ def test_vocab_growth_accumulates_to_the_vocabulary(spark, sf_dir, specs):
     )
     assert pdf["cum_vocab"].is_monotonic_increasing
     assert pdf["cum_vocab"].iloc[-1] == pdf["n_new_tokens"].sum()
+
+
+def test_attribution_accounts_for_every_purchase(spark, sf_dir, specs):
+    """b42: attribution classes partition all purchases; every purchase is
+    credited to view, click, or none."""
+    pdf = specs["b42_last_touch_attribution"].build(spark, sf_dir).toPandas()
+    n_purchases = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert set(pdf["attributed_to"]) <= {"view", "click", "none"}
+    assert pdf["n_purchases"].sum() == n_purchases
+
+
+def test_multiformat_readers_agree(spark, sf_dir, specs):
+    """b43: CSV and JSONL read back identical per-source aggregates."""
+    pdf = specs["b43_multiformat_scan"].build(spark, sf_dir).toPandas()
+    wide = pdf.pivot(index="source", columns="fmt", values="n_chars")
+    assert (wide["csv"] == wide["jsonl"]).all()
+
+
+def test_cms_never_underestimates_and_is_bounded(spark, sf_dir, specs):
+    """x66: the defining CMS invariant holds for every probe, and the
+    overestimate stays within the total token mass."""
+    pdf = specs["x66_countmin_sketch"].build(spark, sf_dir).toPandas()
+    assert pdf["never_underestimates"].all()
+    assert (pdf["cms_estimate"] >= pdf["true_n"]).all()
+
+
+def test_weighted_sample_prefers_longer_docs(spark, sf_dir, specs):
+    """x67: exactly 64 docs, and the sampled docs skew longer than the
+    corpus median (the point of weighting by size)."""
+    pdf = specs["x67_weighted_sample"].build(spark, sf_dir).toPandas()
+    assert len(pdf) == 64
+    assert (pdf["rank_key"] > 0).all()
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import words
+    from pyspark.sql import functions as F
+
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.size(words(F.col("text"))).alias("n"))
+        .toPandas()
+    )
+    assert pdf["n_tokens"].median() >= corpus["n"].median()
+
+
+def test_bpe_merge_removes_the_merged_pair(spark, sf_dir, specs):
+    """x68: after applying the argmax merge, that pair can never survive
+    in the next round's counts (its occurrences became '#')."""
+    pdf = specs["x68_bpe_merge_apply"].build(spark, sf_dir).toPandas()
+    merged = pdf["merged_pair"].iloc[0]
+    assert (pdf["merged_pair"] == merged).all()
+    assert merged not in set(pdf["pair"])
+
+
+def test_stream_quality_filter_matches_batch_kernel(spark, sf_dir, specs):
+    """s16: the in-stream scores for original docs equal the batch x48
+    scores doc-for-doc (shared kernel, no drift)."""
+    stream = specs["s16_stream_quality_filter"].build(spark, sf_dir).toPandas()
+    batch = specs["x48_quality_classifier"].build(spark, sf_dir).toPandas()
+    merged = stream.merge(batch, on="doc_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch)
+    assert (merged["margin_micro_s"] == merged["margin_micro_b"]).all()
