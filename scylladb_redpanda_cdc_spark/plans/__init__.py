@@ -177,6 +177,7 @@ def registry() -> dict[str, QuerySpec]:
         "x66_countmin_sketch",
         "x67_weighted_sample",
         "x68_bpe_merge_apply",
+        "a20_incremental_mv",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

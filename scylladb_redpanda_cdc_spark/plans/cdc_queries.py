@@ -652,6 +652,81 @@ FROM log LEFT JOIN dcnt
 GROUP BY log."partition\""""
 
 
+def a20_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: incremental materialized-view maintenance — the reason a CDC
+    stream exists downstream: keep a per-customer aggregate current by
+    applying ONLY a delta batch, never rescanning the base. The base is
+    the changelog minus a deterministic late batch (the non-insert events
+    of ``order_id % 10 == 7``); the MV update recomputes the state of the
+    AFFECTED keys alone (semi-join), diffs their old vs new contribution,
+    and merges the customer-level diff into the standing MV. The oracle
+    is the FULL recompute over the entire changelog — equality IS the
+    incremental-maintenance correctness claim.
+
+    Exactness: contributions are exact BIGINT cents (floor per row, then
+    order-free sums), so base+diff arithmetic can never drift from the
+    full recompute.
+
+    Scale shape: at 100 TB the base MV and per-key state are STORED
+    (s10's foreachBatch sink is the live form; both sides recomputed here
+    so the spec is self-contained); the incremental path touches
+    delta-sized data only — affected-key state via one semi-join, a
+    delta-keyed window, customers-diff agg, and an MV-sized merge join.
+    Nothing base-sized shuffles."""
+    log = synth_changelog(spark, sf_dir)
+    cents = F.floor(F.col("totalprice") * 100).cast("long")
+    is_late = (F.col("op") != "c") & (F.col("order_id") % 10 == 7)
+    base = log.filter(~is_late)
+    delta = log.filter(is_late)
+    state_old = cdc.materialize_latest(base, ["customer_id", "order_id"])
+    mv_old = state_old.groupBy("customer_id").agg(
+        F.count("*").alias("n_live"), F.sum(cents).alias("revenue_cents")
+    )
+    affected = delta.select("customer_id", "order_id").distinct()
+    old_aff = state_old.join(affected, ["customer_id", "order_id"], "semi")
+    new_aff = cdc.materialize_latest(
+        old_aff.unionByName(delta), ["customer_id", "order_id"]
+    )
+    d_old = old_aff.groupBy("customer_id").agg(
+        F.count("*").alias("o_n"), F.sum(cents).alias("o_c")
+    )
+    d_new = new_aff.groupBy("customer_id").agg(
+        F.count("*").alias("n_n"), F.sum(cents).alias("n_c")
+    )
+    z = F.lit(0).cast("long")
+    merged = (
+        mv_old.join(d_old, "customer_id", "full")
+        .join(d_new, "customer_id", "full")
+        .select(
+            "customer_id",
+            (
+                F.coalesce("n_live", z)
+                - F.coalesce("o_n", z)
+                + F.coalesce("n_n", z)
+            ).alias("n_live"),
+            (
+                F.coalesce("revenue_cents", z)
+                - F.coalesce("o_c", z)
+                + F.coalesce("n_c", z)
+            ).alias("revenue_cents"),
+        )
+    )
+    return merged.filter(F.col("n_live") > 0)
+
+
+_A20_SQL = f"""WITH {CHANGELOG_SQL_CTE.strip()},
+state AS (
+  SELECT customer_id, order_id, totalprice
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id, order_id
+                                     ORDER BY "offset" DESC) AS rn
+        FROM changelog)
+  WHERE rn = 1 AND op <> 'd')
+SELECT customer_id, CAST(COUNT(*) AS BIGINT) AS n_live,
+  CAST(SUM(CAST(FLOOR(totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM state GROUP BY customer_id"""
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -927,6 +1002,13 @@ FROM log GROUP BY topic""",
 ) WHERE rn = 1 AND op <> 'd'""",
             extended=True,
         ),
+    ),
+    QuerySpec(
+        "a20_incremental_mv",
+        "A",
+        "MV maintained from a delta batch == full recompute (exact cents)",
+        a20_incremental_mv,
+        _A20_SQL,
     ),
     QuerySpec(
         "a19_log_integrity_audit",
