@@ -708,3 +708,35 @@ def test_stream_quality_filter_matches_batch_kernel(spark, sf_dir, specs):
     merged = stream.merge(batch, on="doc_id", suffixes=("_s", "_b"))
     assert len(merged) == len(batch)
     assert (merged["margin_micro_s"] == merged["margin_micro_b"]).all()
+
+
+def test_incremental_mv_equals_full_recompute(spark, sf_dir, specs):
+    """a20: the incremental path must equal an independently-computed full
+    recompute over the whole changelog, row for row."""
+    from pyspark.sql import functions as F
+
+    from scylladb_redpanda_cdc_spark.operators import cdc
+    from scylladb_redpanda_cdc_spark.sources.changelog import synth_changelog
+
+    inc = (
+        specs["a20_incremental_mv"]
+        .build(spark, sf_dir)
+        .toPandas()
+        .sort_values("customer_id")
+        .reset_index(drop=True)
+    )
+    log = synth_changelog(spark, sf_dir)
+    state = cdc.materialize_latest(log, ["customer_id", "order_id"])
+    full = (
+        state.groupBy("customer_id")
+        .agg(
+            F.count("*").alias("n_live"),
+            F.sum(F.floor(F.col("totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .toPandas()
+        .sort_values("customer_id")
+        .reset_index(drop=True)
+    )
+    assert inc.equals(full)

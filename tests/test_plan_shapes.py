@@ -341,3 +341,12 @@ def test_snapshot_diff_joins_on_the_id_key(spark, sf_dir, specs):
     for line in plan.splitlines():
         if "Project" in line and "text" in line:
             assert "sha2" in line, line
+
+
+def test_incremental_mv_touches_affected_keys_via_semi_join(
+    spark, sf_dir, specs
+):
+    """a20: the affected-key state extraction must plan as a semi join —
+    a full join there would rescan base-sized state per delta batch."""
+    plan = plan_of(spark, sf_dir, specs, "a20_incremental_mv")
+    assert "LeftSemi" in plan, plan
