@@ -178,6 +178,7 @@ def registry() -> dict[str, QuerySpec]:
         "x67_weighted_sample",
         "x68_bpe_merge_apply",
         "a20_incremental_mv",
+        "s17_stream_incremental_mv",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

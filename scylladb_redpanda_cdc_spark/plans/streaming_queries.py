@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from scylladb_redpanda_cdc_spark.plans import QuerySpec
-from scylladb_redpanda_cdc_spark.plans.cdc_queries import EVOLUTION_SQL
+from scylladb_redpanda_cdc_spark.plans.cdc_queries import (
+    EVOLUTION_SQL,
+    _A20_SQL as _A20_ORACLE,
+)
 from scylladb_redpanda_cdc_spark.sources.changelog import CHANGELOG_SQL_CTE
 from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
 from scylladb_redpanda_cdc_spark.streaming.core import (
@@ -31,6 +34,7 @@ from scylladb_redpanda_cdc_spark.streaming.ops import (
     foreachbatch_upsert,
     heavy_hitters_stream,
     incremental_dedup_stream,
+    incremental_mv_stream,
     stage_changelog_stream,
     stage_documents_stream,
     stage_late_events_stream,
@@ -359,6 +363,17 @@ def s16_stream_quality_filter(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def s17_stream_incremental_mv(spark, sf_dir):
+    """S17: a20's incremental MV maintenance as a LIVE stream — the CDC
+    log drained in four micro-batches, each merging per-key state (s10's
+    anti/semi discipline) and applying a customers-level contribution
+    diff to the standing aggregate. The final MV must equal the full
+    recompute over the whole log (a20's oracle, shared verbatim) no
+    matter how the batch boundaries fell."""
+    changes = stage_changelog_stream(spark, sf_dir, n_files=4)
+    return incremental_mv_stream(changes, ["customer_id", "order_id"])
+
+
 def s11_stateful_running_state(spark, sf_dir):
     """S11: arbitrary per-key streaming state (applyInPandasWithState) —
     running per-user counters. Single availableNow batch => one final
@@ -578,6 +593,14 @@ FROM h JOIN fa USING (text_hash) JOIN fb USING (text_hash, b)""",
         # identical semantics to a17 — the map-only batch DAG transfers
         # unchanged into the micro-batch, so the oracle is shared verbatim
         EVOLUTION_SQL,
+    ),
+    QuerySpec(
+        "s17_stream_incremental_mv",
+        "S",
+        "live incremental MV across micro-batches == full recompute",
+        s17_stream_incremental_mv,
+        # a20's oracle verbatim: the full recompute over the whole log
+        _A20_ORACLE,
     ),
     QuerySpec(
         "s16_stream_quality_filter",

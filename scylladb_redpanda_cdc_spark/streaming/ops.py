@@ -393,6 +393,131 @@ def incremental_dedup_stream(docs: DataFrame) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def incremental_mv_stream(
+    changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """S17: a20's incremental MV maintenance run LIVE — each micro-batch
+    merges into the per-key state (s10's anti/semi discipline: untouched
+    keys never shuffle) AND applies the customers-level contribution diff
+    to a standing per-customer aggregate. The returned MV must equal the
+    full recompute over the whole log (the a20 oracle), proving the
+    incremental arithmetic exact across arbitrary batch boundaries.
+
+    Exactness: contributions are BIGINT cents (floor per row before any
+    sum), so prev − old + new can never drift from a from-scratch agg.
+
+    Scale shape per batch: the state merge is batch-sized (s10); the MV
+    update reads contributions of AFFECTED keys only and merges into the
+    customers-sized MV — the whole point: nothing state-sized or
+    corpus-sized moves when a small delta lands."""
+    from pyspark.sql import functions as F
+
+    spark = changes.sparkSession
+    state_base = tmpdir("mv_state")
+    mv_base = tmpdir("mv_agg")
+    current: dict[str, str | None] = {"state": None, "mv": None}
+    cents = F.floor(F.col("totalprice") * 100).cast("long")
+
+    def contrib(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("op") != "d")
+            .groupBy("customer_id")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("c"))
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_latest = materialize_latest(
+            batch_df, key_cols, drop_deletes=False
+        ).persist()
+        n_batch_keys = batch_latest.count()
+        prev = (
+            spark.read.parquet(current["state"]).persist()
+            if current["state"] is not None
+            else None
+        )
+        if prev is None:
+            affected_old = None
+            merged_affected = batch_latest
+            merged = batch_latest
+        else:
+            batch_keys = batch_latest.select(*key_cols).withColumn(
+                "__hit", F.lit(1)
+            )
+            if n_batch_keys <= BROADCAST_KEY_CAP:
+                batch_keys = F.broadcast(batch_keys)
+            marked = prev.join(batch_keys, key_cols, "left")
+            unaffected = marked.filter(F.col("__hit").isNull()).drop("__hit")
+            affected_old = (
+                marked.filter(F.col("__hit").isNotNull())
+                .drop("__hit")
+                .persist()
+            )
+            merged_affected = materialize_latest(
+                affected_old.unionByName(batch_latest),
+                key_cols,
+                drop_deletes=False,
+            )
+            merged = unaffected.unionByName(merged_affected)
+        new_c = contrib(merged_affected)
+        old_c = (
+            contrib(affected_old)
+            if affected_old is not None
+            else new_c.limit(0)
+        )
+        mv_prev = (
+            spark.read.parquet(current["mv"])
+            if current["mv"] is not None
+            else None
+        )
+        z = F.lit(0).cast("long")
+        diff = (
+            new_c.withColumnRenamed("n", "n_n").withColumnRenamed("c", "n_c")
+        ).join(
+            old_c.withColumnRenamed("n", "o_n").withColumnRenamed("c", "o_c"),
+            "customer_id",
+            "full",
+        )
+        if mv_prev is not None:
+            diff = mv_prev.join(diff, "customer_id", "full")
+        else:
+            diff = diff.withColumn("n_live", z).withColumn("revenue_cents", z)
+        mv_new = diff.select(
+            "customer_id",
+            (
+                F.coalesce("n_live", z)
+                - F.coalesce("o_n", z)
+                + F.coalesce("n_n", z)
+            ).alias("n_live"),
+            (
+                F.coalesce("revenue_cents", z)
+                - F.coalesce("o_c", z)
+                + F.coalesce("n_c", z)
+            ).alias("revenue_cents"),
+        )
+        state_path = os.path.join(state_base, f"v{batch_id}")
+        mv_path = os.path.join(mv_base, f"v{batch_id}")
+        merged.coalesce(16).write.mode("overwrite").parquet(state_path)
+        mv_new.coalesce(4).write.mode("overwrite").parquet(mv_path)
+        current["state"] = state_path
+        current["mv"] = mv_path
+        batch_latest.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        if affected_old is not None:
+            affected_old.unpersist()
+
+    with scoped_shuffle(spark):
+        q = (
+            changes.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", tmpdir("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = spark.read.parquet(current["mv"])
+    return final.filter(F.col("n_live") > 0)
+
+
 def heavy_hitters_stream(docs: DataFrame) -> DataFrame:
     """S15: streaming heavy hitters — the corpus-wide top-20 token counts
     maintained INCREMENTALLY as document shards arrive (the trending-terms
