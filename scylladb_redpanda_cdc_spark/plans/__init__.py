@@ -179,6 +179,7 @@ def registry() -> dict[str, QuerySpec]:
         "x68_bpe_merge_apply",
         "a20_incremental_mv",
         "s17_stream_incremental_mv",
+        "f8_fn_binary",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

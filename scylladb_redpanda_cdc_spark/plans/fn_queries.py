@@ -137,6 +137,39 @@ def f7_fn_json(spark, sf_dir):
     )
 
 
+def f8_fn_binary(spark, sf_dir):
+    """Binary/codec family: utf-8 encode, base64, hex, md5, bit/octet
+    lengths, and a base64 round-trip proof — the wire-format helpers a
+    CDC pipeline leans on (the reference's payloads are base64-adjacent
+    JSON frames). All map-only expression work; hex is lower()-normalized
+    because Spark emits uppercase digits and DuckDB lowercase."""
+    p = _T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    b = F.encode("p_name", "utf-8")
+    return p.select(
+        "p_partkey",
+        F.base64(b).alias("b64"),
+        F.lower(
+            F.hex(F.encode(F.substring("p_name", 1, 4), "utf-8"))
+        ).alias("hex4"),
+        F.md5(b).alias("md5_hex"),
+        F.bit_length("p_name").cast("int").alias("n_bits"),
+        F.octet_length("p_name").cast("int").alias("n_bytes"),
+        (F.decode(F.unbase64(F.base64(b)), "utf-8") == F.col("p_name")).alias(
+            "b64_roundtrip_ok"
+        ),
+    )
+
+
+_F8_SQL = """SELECT p_partkey,
+  base64(encode(p_name)) AS b64,
+  lower(hex(encode(substring(p_name, 1, 4)))) AS hex4,
+  md5(p_name) AS md5_hex,
+  CAST(bit_length(p_name) AS INT) AS n_bits,
+  CAST(octet_length(encode(p_name)) AS INT) AS n_bytes,
+  decode(from_base64(base64(encode(p_name)))) = p_name AS b64_roundtrip_ok
+FROM part"""
+
+
 SPECS = [
     QuerySpec(
         "f1_fn_string",
@@ -238,5 +271,12 @@ SPECS = [
         "  json_extract_string(props, '$.missing') IS NULL AS missing_absent,\n"
         "  json_extract_string(props, '$.k') AS k_map\n"
         "FROM events",
+    ),
+    QuerySpec(
+        "f8_fn_binary",
+        "F",
+        "binary/codec family: encode/base64/hex/md5/lengths + round-trip",
+        f8_fn_binary,
+        _F8_SQL,
     ),
 ]
