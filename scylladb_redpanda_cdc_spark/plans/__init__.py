@@ -180,6 +180,7 @@ def registry() -> dict[str, QuerySpec]:
         "a20_incremental_mv",
         "s17_stream_incremental_mv",
         "f8_fn_binary",
+        "x69_collocation_lift",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

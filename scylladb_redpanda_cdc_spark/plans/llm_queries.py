@@ -3184,6 +3184,93 @@ FROM p2 GROUP BY merged_pair, pair
 ORDER BY n DESC, pair ASC LIMIT 20"""
 
 
+def x69_collocation_lift(spark, sf_dir):
+    """Collocation mining — the log-free PMI variant: for every bigram
+    with support >= 5, its LIFT ``p(ab) / (p(a) p(b))`` (how much more
+    often the pair co-occurs than independence predicts); top-20 by lift.
+    The phrase detector behind word2vec-style phrase merging and
+    stop-phrase lists.
+
+    Exactness: all counts are exact BIGINTs; lift is computed in ONE
+    fixed expression shape (three exact-int->double casts, four
+    divisions, one multiply, same order both engines) so the doubles are
+    bit-identical and the (lift DESC, bigram ASC) cut is deterministic.
+
+    Scale shape: two vocabulary-sized partial aggs (unigrams, bigrams —
+    zipf keys collapse map-side) + the unigram table BROADCAST twice onto
+    the bigram table (x28's discipline), 1-row totals broadcast, TakeOrdered
+    top-k. Nothing corpus-sized shuffles twice."""
+    d = _docs_fanned(spark, sf_dir)
+    toks = d.select(words(F.col("text")).alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_uni"))
+    )
+    n_tot = uni.agg(F.sum("n_uni").alias("n_tot"))
+    bg = (
+        toks.select(F.explode(word_grams(F.col("ws"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    b_tot = bg.agg(F.sum("n_ab").alias("b_tot"))
+    u1 = uni.select(
+        F.col("tok").alias("w1"), F.col("n_uni").alias("n_a")
+    )
+    u2 = uni.select(
+        F.col("tok").alias("w2"), F.col("n_uni").alias("n_b")
+    )
+    joined = (
+        bg.filter(F.col("n_ab") >= 5)
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(b_tot))
+    )
+    lift = (
+        F.col("n_ab").cast("double") / F.col("b_tot").cast("double")
+    ) / (
+        (F.col("n_a").cast("double") / F.col("n_tot").cast("double"))
+        * (F.col("n_b").cast("double") / F.col("n_tot").cast("double"))
+    )
+    return (
+        joined.select("bigram", "n_ab", "n_a", "n_b", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+_X69_SQL = """WITH t AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+uni AS (SELECT unnest(ws) AS tok FROM t),
+uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_uni FROM uni GROUP BY tok),
+n_tot AS (SELECT CAST(SUM(n_uni) AS BIGINT) AS n_tot FROM uc),
+bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+         i -> ws[i] || ' ' || ws[i+1])) AS bigram
+       FROM t WHERE len(ws) >= 2),
+bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bg
+       GROUP BY bigram),
+b_tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS b_tot FROM bc),
+j AS (
+  SELECT bigram, n_ab,
+    string_split(bigram, ' ')[1] AS w1,
+    string_split(bigram, ' ')[2] AS w2
+  FROM bc WHERE n_ab >= 5)
+SELECT bigram, n_ab, a.n_uni AS n_a, b.n_uni AS n_b,
+  (CAST(n_ab AS DOUBLE) / CAST(b_tot AS DOUBLE))
+  / ((CAST(a.n_uni AS DOUBLE) / CAST(n_tot AS DOUBLE))
+     * (CAST(b.n_uni AS DOUBLE) / CAST(n_tot AS DOUBLE))) AS lift
+FROM j
+JOIN uc a ON j.w1 = a.tok
+JOIN uc b ON j.w2 = b.tok
+CROSS JOIN n_tot CROSS JOIN b_tot
+ORDER BY lift DESC, bigram ASC LIMIT 20"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4711,5 +4798,12 @@ SPECS = [
         "one BPE training step: argmax merge applied + next pair counts",
         x68_bpe_merge_apply,
         _X68_SQL,
+    ),
+    QuerySpec(
+        "x69_collocation_lift",
+        "X",
+        "bigram lift (log-free PMI) top-20 with support floor (phrases)",
+        x69_collocation_lift,
+        _X69_SQL,
     ),
 ]

@@ -176,6 +176,7 @@ _INTENDED_NESTED_LOOP = {
     "x56_mixture_sample",  # broadcast 1-row source count (x49's allocation)
     "x62_hard_negatives",  # broadcast query batch (x32's mining twin)
     "x68_bpe_merge_apply",  # broadcast 1-row argmax merge pair
+    "x69_collocation_lift",  # broadcast 1-row unigram/bigram totals
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
