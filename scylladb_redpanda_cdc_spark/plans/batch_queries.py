@@ -947,6 +947,56 @@ def b41_approx_quantile(spark, sf_dir):
     )
 
 
+def b44_q3_composite(spark, sf_dir):
+    """TPC-H Q3-shaped composite — the realistic multi-operator workload
+    in ONE declarative plan: segment-filtered customers ⋈ date-filtered
+    orders ⋈ lineitem, revenue per (order, date, priority), top-10 by
+    revenue. The individual B specs prove each operator; b44 proves they
+    COMPOSE into the plan you'd want — both filters push into their
+    scans, the customer side broadcasts, the orders⋈lineitem join keys
+    the bigger pair, revenue partial-aggs before the top-k, and the
+    top-10 is TakeOrdered (no global sort).
+
+    Exactness: revenue is exact integer micros (floor each extended
+    price*(1-discount) per row — one deterministic double multiply, then
+    floor — summed as BIGINT in any order)."""
+    c = _T(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1_000_000
+    ).cast("long")
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_micros"))
+        .orderBy(F.col("revenue_micros").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_B44_SQL = """SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000)
+    AS BIGINT)) AS BIGINT) AS revenue_micros
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_micros DESC, l_orderkey ASC LIMIT 10"""
+
+
 _mf_staged: dict[tuple[str, str], str] = {}
 
 
@@ -1550,5 +1600,12 @@ SPECS = [
         "CSV + JSONL readers round-trip the table (explicit schemas)",
         b43_multiformat_scan,
         _B43_SQL,
+    ),
+    QuerySpec(
+        "b44_q3_composite",
+        "B",
+        "TPC-H Q3-shaped composite: 3-way join + agg + top-10 (one plan)",
+        b44_q3_composite,
+        _B44_SQL,
     ),
 ]

@@ -351,3 +351,12 @@ def test_incremental_mv_touches_affected_keys_via_semi_join(
     a full join there would rescan base-sized state per delta batch."""
     plan = plan_of(spark, sf_dir, specs, "a20_incremental_mv")
     assert "LeftSemi" in plan, plan
+
+
+def test_q3_composite_has_the_wanted_plan(spark, sf_dir, specs):
+    """b44: both date filters pushed to their scans, the customer side
+    broadcast, top-10 via TakeOrdered (no global sort)."""
+    plan = plan_of(spark, sf_dir, specs, "b44_q3_composite")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("PushedFilters: [") >= 2, plan
