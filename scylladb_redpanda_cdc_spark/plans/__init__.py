@@ -182,6 +182,7 @@ def registry() -> dict[str, QuerySpec]:
         "f8_fn_binary",
         "x69_collocation_lift",
         "b44_q3_composite",
+        "x70_retrieval_mrr",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

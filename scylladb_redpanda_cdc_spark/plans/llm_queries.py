@@ -3271,6 +3271,89 @@ CROSS JOIN n_tot CROSS JOIN b_tot
 ORDER BY lift DESC, bigram ASC LIMIT 20"""
 
 
+def x70_retrieval_mrr(spark, sf_dir):
+    """Retrieval-quality evaluation beyond recall (x45): MRR and
+    precision@10 of the exact cosine ranking, scored against the
+    fixture's class labels as the relevance rule (a neighbor is relevant
+    iff it shares the query's label) — the metric pair a retrieval team
+    tracks per index build.
+
+    Exactness: ranks are integers from a total order (cos DESC, vec_id
+    ASC over bit-identical doubles); MRR is one division by an integer;
+    precision is integer ppm.
+
+    Scale shape: x32's discipline (query batch broadcast, two-phase
+    top-k), then a 10-rows-per-query metric agg — evaluation-sized."""
+    e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+    )
+    w1 = Window.partitionBy("qid", F.col("vec_id") % 16).orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    cand = scored.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= 10
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    top = cand.withColumn("rnk", F.row_number().over(w2)).filter(
+        F.col("rnk") <= 10
+    )
+    rel = F.col("label") == F.col("qlabel")
+    return top.groupBy("qid").agg(
+        F.min(F.when(rel, F.col("rnk"))).cast("int").alias("first_rel_rank"),
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(rel, F.col("rnk"))).cast("double"),
+            F.lit(0.0),
+        ).alias("mrr"),
+        F.expr(
+            "CAST(SUM(CAST(label = qlabel AS BIGINT)) * 1000000 DIV 10"
+            " AS BIGINT)"
+        ).alias("prec_at10_ppm"),
+    )
+
+
+_X70_SQL = """WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT qid, qlabel, vec_id, e.label AS label,
+    list_aggregate(list_transform(list_zip(e.embedding, qe),
+      p -> CAST(p[1] * p[2] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(e.embedding,
+        x -> CAST(x * x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(qe,
+        x -> CAST(x * x AS DOUBLE)), 'sum'))) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> qid),
+top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+    FROM scored) r WHERE rnk <= 10)
+SELECT qid,
+  CAST(MIN(CASE WHEN label = qlabel THEN rnk END) AS INT)
+    AS first_rel_rank,
+  COALESCE(1.0 / CAST(MIN(CASE WHEN label = qlabel THEN rnk END)
+    AS DOUBLE), 0.0) AS mrr,
+  CAST(SUM(CAST(label = qlabel AS BIGINT)) * 1000000 // 10 AS BIGINT)
+    AS prec_at10_ppm
+FROM top GROUP BY qid"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4805,5 +4888,12 @@ SPECS = [
         "bigram lift (log-free PMI) top-20 with support floor (phrases)",
         x69_collocation_lift,
         _X69_SQL,
+    ),
+    QuerySpec(
+        "x70_retrieval_mrr",
+        "X",
+        "MRR + precision@10 of exact ranking vs label relevance per query",
+        x70_retrieval_mrr,
+        _X70_SQL,
     ),
 ]

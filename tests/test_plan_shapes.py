@@ -177,6 +177,7 @@ _INTENDED_NESTED_LOOP = {
     "x62_hard_negatives",  # broadcast query batch (x32's mining twin)
     "x68_bpe_merge_apply",  # broadcast 1-row argmax merge pair
     "x69_collocation_lift",  # broadcast 1-row unigram/bigram totals
+    "x70_retrieval_mrr",  # broadcast query batch (x32's evaluation twin)
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
