@@ -740,3 +740,42 @@ def test_incremental_mv_equals_full_recompute(spark, sf_dir, specs):
         .reset_index(drop=True)
     )
     assert inc.equals(full)
+
+
+def test_collocation_lift_support_floor_and_parts(spark, sf_dir, specs):
+    """x69: every emitted bigram meets the support floor, its parts'
+    unigram counts bound the pair count, and lift is positive."""
+    pdf = specs["x69_collocation_lift"].build(spark, sf_dir).toPandas()
+    assert len(pdf) == 20
+    assert (pdf["n_ab"] >= 5).all()
+    assert (pdf["n_ab"] <= pdf[["n_a", "n_b"]].min(axis=1)).all()
+    assert (pdf["lift"] > 0).all()
+
+
+def test_retrieval_mrr_is_consistent(spark, sf_dir, specs):
+    """x70: mrr == 1/first_rel_rank where a relevant hit exists (0 and
+    null otherwise), precision is a valid ppm multiple of 1/10."""
+    pdf = specs["x70_retrieval_mrr"].build(spark, sf_dir).toPandas()
+    hit = pdf["first_rel_rank"].notna()
+    assert (pdf.loc[hit, "mrr"] == 1.0 / pdf.loc[hit, "first_rel_rank"]).all()
+    assert (pdf.loc[~hit, "mrr"] == 0.0).all()
+    assert (pdf["prec_at10_ppm"] % 100000 == 0).all()
+    assert (pdf["prec_at10_ppm"] <= 1_000_000).all()
+
+
+def test_q3_composite_revenue_is_positive_and_bounded(spark, sf_dir, specs):
+    """b44: exactly <=10 rows, strictly ordered by revenue desc."""
+    pdf = specs["b44_q3_composite"].build(spark, sf_dir).toPandas()
+    assert len(pdf) <= 10
+    rev = pdf["revenue_micros"].tolist()
+    assert rev == sorted(rev, reverse=True)
+    assert all(r > 0 for r in rev)
+
+
+def test_fn_binary_roundtrip_always_holds(spark, sf_dir, specs):
+    """f8: the base64 round-trip bit is TRUE for every row and md5 is a
+    32-hex string."""
+    pdf = specs["f8_fn_binary"].build(spark, sf_dir).toPandas()
+    assert pdf["b64_roundtrip_ok"].all()
+    assert pdf["md5_hex"].str.fullmatch(r"[0-9a-f]{32}").all()
+    assert (pdf["n_bits"] == 8 * pdf["n_bytes"]).all()
