@@ -183,6 +183,7 @@ def registry() -> dict[str, QuerySpec]:
         "x69_collocation_lift",
         "b44_q3_composite",
         "x70_retrieval_mrr",
+        "b45_gap_fill",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

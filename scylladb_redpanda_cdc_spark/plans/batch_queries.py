@@ -997,6 +997,77 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue_micros DESC, l_orderkey ASC LIMIT 10"""
 
 
+def b45_gap_fill(spark, sf_dir):
+    """Time-series regularization: per user, the dense daily spine from
+    first to last activity, zero-filled event counts and FORWARD-FILLED
+    daily value (`last(..., ignorenulls)` over the ordered spine) — the
+    gap-fill + LOCF step every downstream daily model assumes has already
+    happened.
+
+    Exactness: days are epoch-day int64s (b36's floor idiom), daily
+    values exact micros, and the forward fill reads a total order
+    ((user, day) unique) — identical in both engines.
+
+    Scale shape: one user-day partial agg; the spine explodes bounded by
+    each user's day SPAN (never the cross product of users x calendar);
+    the join rides the same (user, day) key; the fill window is per-user
+    over days-sized rows."""
+    D = 86_400_000_000
+    e = _T(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            f"(unix_micros(ts) - pmod(unix_micros(ts), {D})) DIV {D}"
+        ).alias("day"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"),
+        F.sum("vm").alias("value_micros"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.last("value_micros", ignorenulls=True)
+        .over(w)
+        .alias("ff_value_micros"),
+    )
+
+
+_B45_SQL = """WITH e AS (
+  SELECT user_id,
+    (epoch_us(ts)
+     - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+    // 86400000000 AS day,
+    CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+  FROM events),
+daily AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(SUM(vm) AS BIGINT) AS value_micros
+          FROM e GROUP BY user_id, day),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+         GROUP BY user_id),
+spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
+SELECT s.user_id, s.day,
+  COALESCE(n_events, 0) AS n_events,
+  CAST(LAST_VALUE(value_micros IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS ff_value_micros
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day"""
+
+
 _mf_staged: dict[tuple[str, str], str] = {}
 
 
@@ -1607,5 +1678,12 @@ SPECS = [
         "TPC-H Q3-shaped composite: 3-way join + agg + top-10 (one plan)",
         b44_q3_composite,
         _B44_SQL,
+    ),
+    QuerySpec(
+        "b45_gap_fill",
+        "B",
+        "dense daily spine + zero-fill counts + forward-filled values",
+        b45_gap_fill,
+        _B45_SQL,
     ),
 ]
