@@ -36,20 +36,25 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table, e.g. ``load_table(spark, sf_dir, "lineitem")``."""
+    """Load one driver table, e.g. ``load_table(spark, sf_dir, "lineitem")``.
+
+    Pins the session timezone to UTC on EVERY load: the fixtures store
+    naive timestamps (TIMESTAMP_NTZ dates in orders/lineitem, the ntz
+    events vintage), and any ntz->instant cast or string-literal
+    comparison downstream reads the session timezone — under a non-UTC
+    caller session every ts-dependent oracle would silently shift
+    relative to DuckDB's naive semantics. The loader is the one choke
+    point every query passes through, so the pin here makes the whole
+    registry timezone-independent (regression-tested under a hostile
+    session tz in tests/test_entry_contract.py)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # The legacy conf is runtime-settable and harmless when ts is not
         # nanos, so set it unconditionally: the loader must work under ANY
         # caller's session, including the driver's vanilla one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The ntz vintage is cast to TimestampType below, which interprets
-        # the wall clock in the SESSION timezone — under a non-UTC caller
-        # session that would shift every epoch micro relative to DuckDB's
-        # epoch_us. Pin the session to UTC (the engine default, see
-        # session.py) so the conversion is timezone-independent.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         return normalize_event_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
