@@ -3354,6 +3354,98 @@ SELECT qid,
 FROM top GROUP BY qid"""
 
 
+def x71_centered_ann(spark, sf_dir):
+    """Mean-centered cosine retrieval — the standard embedding
+    preprocessing (centering removes the corpus' common direction, which
+    otherwise dominates cosine and flattens rankings): subtract the
+    per-dimension corpus mean, then exact top-10 neighbors of vec_id 0
+    under CENTERED cosine.
+
+    Exactness: the mean comes from x63's exact integer-micros sums (ONE
+    double division per dimension), centering is one subtract per
+    component, and the cosine is the shared left-to-right double fold —
+    every derived double is bit-identical across engines, so ranks and
+    the cut line agree exactly.
+
+    Scale shape: the 64-row mean vector is collected per dimension via a
+    (dim)-keyed partial agg, then BROADCAST and re-assembled with
+    sort_array(struct(dim, mean)) — map-only centering after one
+    dims-sized shuffle; retrieval is the x3 broadcast + TakeOrdered
+    shape."""
+    e = _T(spark, sf_dir, "embeddings")
+    dims = e.select(F.posexplode("embedding").alias("dim", "x"))
+    mean = (
+        dims.select(
+            "dim",
+            F.floor(F.col("x").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("xm"),
+        )
+        .groupBy("dim")
+        .agg(
+            (
+                F.sum("xm").cast("double") / F.count("*").cast("double")
+            ).alias("mu_micro")
+        )
+    )
+    mean_vec = mean.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("dim", "mu_micro"))
+            ),
+            lambda s: s.mu_micro / 1_000_000.0,
+        ).alias("mu")
+    )
+    centered = e.crossJoin(F.broadcast(mean_vec)).select(
+        "vec_id",
+        F.zip_with(
+            "embedding", "mu", lambda x, m: x.cast("double") - m
+        ).alias("cemb"),
+    )
+    q = centered.filter(F.col("vec_id") == 0).select(
+        F.col("cemb").alias("qe")
+    )
+    return (
+        centered.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot_d(F.col("cemb"), F.col("qe"))
+                / (l2_norm(F.col("cemb")) * l2_norm(F.col("qe")))
+            ).alias("centered_cos"),
+        )
+        .orderBy(F.col("centered_cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_X71_SQL = """WITH d AS (
+  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+    i -> {'dim': i - 1, 'x': embedding[i]})) AS p
+  FROM embeddings),
+mean AS (
+  SELECT p.dim AS dim,
+    CAST(SUM(CAST(FLOOR(CAST(p.x AS DOUBLE) * 1000000) AS BIGINT))
+      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu_micro
+  FROM d GROUP BY p.dim),
+mu AS (SELECT list(mu_micro / 1000000.0 ORDER BY dim) AS mu FROM mean),
+c AS (
+  SELECT vec_id,
+    list_transform(list_zip(embedding, mu),
+      z -> CAST(z[1] AS DOUBLE) - z[2]) AS cemb
+  FROM embeddings, mu),
+q AS (SELECT cemb AS qe FROM c WHERE vec_id = 0)
+SELECT vec_id,
+  list_aggregate(list_transform(list_zip(cemb, qe),
+    z -> z[1] * z[2]), 'sum')
+  / (sqrt(list_aggregate(list_transform(cemb, x -> x * x), 'sum'))
+     * sqrt(list_aggregate(list_transform(qe, x -> x * x), 'sum')))
+    AS centered_cos
+FROM c, q WHERE vec_id <> 0
+ORDER BY centered_cos DESC, vec_id ASC LIMIT 10"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4895,5 +4987,12 @@ SPECS = [
         "MRR + precision@10 of exact ranking vs label relevance per query",
         x70_retrieval_mrr,
         _X70_SQL,
+    ),
+    QuerySpec(
+        "x71_centered_ann",
+        "X",
+        "mean-centered cosine top-10 (common-direction removal, exact)",
+        x71_centered_ann,
+        _X71_SQL,
     ),
 ]
