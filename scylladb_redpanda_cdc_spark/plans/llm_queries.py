@@ -3396,11 +3396,20 @@ def x71_centered_ann(spark, sf_dir):
             lambda s: s.mu_micro / 1_000_000.0,
         ).alias("mu")
     )
-    centered = e.crossJoin(F.broadcast(mean_vec)).select(
-        "vec_id",
-        F.zip_with(
-            "embedding", "mu", lambda x, m: x.cast("double") - m
-        ).alias("cemb"),
+    # Eager checkpoint: ``centered`` feeds BOTH the query row and the
+    # corpus side — without it the dims-explode + mean agg + centering
+    # subtree plans (and codegens) twice. At 100 TB this materialization
+    # IS the deployment shape anyway: preprocessing writes the centered
+    # corpus once and every query reads it (x50's precedent).
+    centered = (
+        e.crossJoin(F.broadcast(mean_vec))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "embedding", "mu", lambda x, m: x.cast("double") - m
+            ).alias("cemb"),
+        )
+        .localCheckpoint(eager=True)
     )
     q = centered.filter(F.col("vec_id") == 0).select(
         F.col("cemb").alias("qe")
