@@ -185,6 +185,7 @@ def registry() -> dict[str, QuerySpec]:
         "x70_retrieval_mrr",
         "b45_gap_fill",
         "x71_centered_ann",
+        "x72_rank_fusion",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -3455,6 +3455,152 @@ FROM c, q WHERE vec_id <> 0
 ORDER BY centered_cos DESC, vec_id ASC LIMIT 10"""
 
 
+def x72_rank_fusion(spark, sf_dir):
+    """Hybrid-search rank fusion (RRF, Cormack et al. 2009): fuse the
+    BM25 ranking (x43's scoring verbatim) with a query-likelihood ranking
+    (sum tf / dl) for the same literal query via reciprocal-rank fusion
+    ``sum 1/(60+rank)`` over each list's top-50 — THE standard way
+    production search merges lexical and secondary rankers without score
+    calibration.
+
+    Exactness: both scores are fixed expression trees over exact
+    integers (bit-identical per x43's argument); ranks are integers from
+    total orders; RRF adds two exact divisions in a fixed order.
+
+    Scale shape: candidates are docs matching >=1 query term (pruned
+    before any shuffle); each top-50 is TakeOrdered then ranked by a
+    window over FIFTY rows; the fusion join is 50x50-bounded."""
+    d = _docs_fanned(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qtf = (
+        tok.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(
+                    f"tf_{t}"
+                )
+                for t in BM25_TERMS
+            ]
+        )
+    )
+    stats = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_len"),
+        *[
+            F.countDistinct(
+                F.when(F.col("term") == t, F.col("doc_id"))
+            ).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = dl.join(qtf, "doc_id").crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = (F.col("n_docs").cast("double") + F.lit(1.0)) / (
+            F.col(f"df_{t}").cast("double") + F.lit(1.0)
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + (F.lit(BM25_B) * F.col("dl").cast("double")) / avgdl
+        )
+        return idf * ((tf * F.lit(BM25_K1 + 1.0)) / denom)
+
+    t1, t2, t3 = BM25_TERMS
+    s_a = (term_score(t1) + term_score(t2)) + term_score(t3)
+    s_b = (
+        F.col(f"tf_{t1}") + F.col(f"tf_{t2}") + F.col(f"tf_{t3}")
+    ).cast("double") / F.col("dl").cast("double")
+    ranked = scored.select(
+        "doc_id", s_a.alias("s_a"), s_b.alias("s_b")
+    ).localCheckpoint(eager=True)
+
+    def top50(col):
+        w = Window.orderBy(F.col(col).desc(), F.col("doc_id").asc())
+        return (
+            ranked.orderBy(F.col(col).desc(), F.col("doc_id").asc())
+            .limit(50)
+            .withColumn("r", F.row_number().over(w))
+            .select("doc_id", "r")
+        )
+
+    la = top50("s_a").withColumnRenamed("r", "rank_bm25")
+    lb = top50("s_b").withColumnRenamed("r", "rank_ql")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("rank_bm25").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("rank_ql").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        la.join(lb, "doc_id", "full")
+        .select("doc_id", "rank_bm25", "rank_ql", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _x72_sql() -> str:
+    t1, t2, t3 = BM25_TERMS
+    k1, k1p1, omb, b = (
+        repr(BM25_K1),
+        repr(BM25_K1 + 1.0),
+        repr(1.0 - BM25_B),
+        repr(BM25_B),
+    )
+    avgdl = "(CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+
+    def s(t: str) -> str:
+        return (
+            f"((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df_{t} AS DOUBLE) + 1.0))"
+            f" * ((CAST(tf_{t} AS DOUBLE) * {k1p1})"
+            f" / (CAST(tf_{t} AS DOUBLE) + {k1} * ({omb}"
+            f" + ({b} * CAST(dl AS DOUBLE)) / {avgdl})))"
+        )
+
+    terms = ", ".join(
+        f"CAST(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    dfs = ", ".join(
+        f"COUNT(DISTINCT CASE WHEN term = '{t}' THEN doc_id END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+qtf AS (SELECT doc_id, {terms}
+        FROM tok WHERE term IN ({in_list}) GROUP BY 1),
+stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+            COUNT(*) AS total_len, {dfs}
+          FROM tok),
+ranked AS (
+  SELECT doc_id,
+    ({s(t1)} + {s(t2)}) + {s(t3)} AS s_a,
+    CAST(tf_{t1} + tf_{t2} + tf_{t3} AS DOUBLE) / CAST(dl AS DOUBLE) AS s_b
+  FROM dl JOIN qtf USING (doc_id) CROSS JOIN stats),
+la AS (SELECT doc_id, r AS rank_bm25 FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s_a DESC, doc_id ASC) AS r
+    FROM ranked) x WHERE r <= 50),
+lb AS (SELECT doc_id, r AS rank_ql FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s_b DESC, doc_id ASC) AS r
+    FROM ranked) x WHERE r <= 50)
+SELECT doc_id, rank_bm25, rank_ql,
+  COALESCE(1.0 / (60.0 + CAST(rank_bm25 AS DOUBLE)), 0.0)
+  + COALESCE(1.0 / (60.0 + CAST(rank_ql AS DOUBLE)), 0.0) AS rrf_score
+FROM la FULL OUTER JOIN lb USING (doc_id)
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 20"""
+
+
+_X72_SQL = _x72_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5003,5 +5149,12 @@ SPECS = [
         "mean-centered cosine top-10 (common-direction removal, exact)",
         x71_centered_ann,
         _X71_SQL,
+    ),
+    QuerySpec(
+        "x72_rank_fusion",
+        "X",
+        "RRF hybrid fusion of BM25 + query-likelihood top-50 lists",
+        x72_rank_fusion,
+        _X72_SQL,
     ),
 ]
