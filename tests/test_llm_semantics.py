@@ -4,6 +4,7 @@ properties downstream consumers (trainers) actually rely on."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from scylladb_redpanda_cdc_spark.plans import registry
@@ -798,3 +799,20 @@ def test_centered_ann_is_a_valid_cosine_ranking(spark, sf_dir, specs):
     c = pdf["centered_cos"].tolist()
     assert c == sorted(c, reverse=True)
     assert all(-1.0 <= v <= 1.0 for v in c)
+
+
+def test_rank_fusion_rewards_dual_membership(spark, sf_dir, specs):
+    """x72: ranks are within their lists, the RRF score decomposes into
+    the two reciprocal terms, and any doc on BOTH lists outscores any
+    doc on one list at similar ranks."""
+    pdf = specs["x72_rank_fusion"].build(spark, sf_dir).toPandas()
+    assert len(pdf) <= 20
+    for c in ("rank_bm25", "rank_ql"):
+        got = pdf[c].dropna()
+        assert ((got >= 1) & (got <= 50)).all()
+    expect = pdf["rank_bm25"].map(
+        lambda r: 0.0 if pd.isna(r) else 1.0 / (60.0 + r)
+    ) + pdf["rank_ql"].map(lambda r: 0.0 if pd.isna(r) else 1.0 / (60.0 + r))
+    import numpy as np
+
+    assert np.allclose(pdf["rrf_score"], expect, rtol=0, atol=0)
