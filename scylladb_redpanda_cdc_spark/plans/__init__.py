@@ -186,6 +186,7 @@ def registry() -> dict[str, QuerySpec]:
         "b45_gap_fill",
         "x71_centered_ann",
         "x72_rank_fusion",
+        "x73_dataset_card",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -3601,6 +3601,90 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT 20"""
 _X72_SQL = _x72_sql()
 
 
+def x73_dataset_card(spark, sf_dir):
+    """The dataset datasheet in one row — the header block of a dataset
+    card (Gebru et al.'s datasheets): doc/token/vocab counts, language
+    and source cardinalities, exact duplicate rate in ppm, mean and
+    median doc length. The single summary every release ships and every
+    ingest run diffs against the previous release.
+
+    Exactness: counts are BIGINTs; dup ppm is integer division; the mean
+    is one double division; the median is the exact interpolated
+    percentile rounded at 4dp (b21's rule).
+
+    Scale shape: ONE corpus pass feeding a per-doc (len, hash) frame;
+    vocab and dup stats are partial aggs (hash/token keys collapse
+    map-side); the card itself is a 1-row agg."""
+    d = _docs_fanned(spark, sf_dir)
+    per = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(words(F.col("text"))).cast("long").alias("n_tok"),
+        F.sha2(F.lower(F.trim("text")), 256).alias("h"),
+    ).localCheckpoint(eager=True)
+    vocab = (
+        d.select(F.explode(words(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("n_vocab"))
+    )
+    dups = per.groupBy("h").agg(F.count("*").alias("n"))
+    dup_stats = dups.agg(
+        F.sum("n").alias("n_docs_h"),
+        F.sum(F.col("n") - 1).alias("n_dups"),
+    )
+    card = per.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (
+            F.sum("n_tok").cast("double") / F.count("*").cast("double")
+        ).alias("mean_doc_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias(
+            "median_doc_tokens"
+        ),
+    )
+    return (
+        card.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dup_stats))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_vocab",
+            "n_langs",
+            "n_sources",
+            F.expr("n_dups * 1000000 DIV n_docs_h").alias("dup_ppm"),
+            "mean_doc_tokens",
+            "median_doc_tokens",
+        )
+    )
+
+
+_X73_SQL = """WITH per AS (
+  SELECT doc_id, lang, source,
+    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      w -> w <> '')) AS BIGINT) AS n_tok,
+    sha256(lower(trim(text))) AS h
+  FROM documents),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      w -> w <> '')) AS tok FROM documents) t),
+dups AS (SELECT h, COUNT(*) AS n FROM per GROUP BY h),
+ds AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs_h,
+         CAST(SUM(n - 1) AS BIGINT) AS n_dups FROM dups)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+  n_vocab,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  n_dups * 1000000 // n_docs_h AS dup_ppm,
+  CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_doc_tokens,
+  ROUND(quantile_cont(n_tok, 0.5), 4) AS median_doc_tokens
+FROM per CROSS JOIN vocab CROSS JOIN ds
+GROUP BY n_vocab, n_dups, n_docs_h"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5156,5 +5240,12 @@ SPECS = [
         "RRF hybrid fusion of BM25 + query-likelihood top-50 lists",
         x72_rank_fusion,
         _X72_SQL,
+    ),
+    QuerySpec(
+        "x73_dataset_card",
+        "X",
+        "one-row dataset datasheet: counts, vocab, dup ppm, length stats",
+        x73_dataset_card,
+        _X73_SQL,
     ),
 ]

@@ -179,6 +179,7 @@ _INTENDED_NESTED_LOOP = {
     "x69_collocation_lift",  # broadcast 1-row unigram/bigram totals
     "x70_retrieval_mrr",  # broadcast query batch (x32's evaluation twin)
     "x71_centered_ann",  # broadcast 1-row mean vector + 1-row query
+    "x73_dataset_card",  # broadcast 1-row vocab + dup-stats cards
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
