@@ -187,6 +187,7 @@ def registry() -> dict[str, QuerySpec]:
         "x71_centered_ann",
         "x72_rank_fusion",
         "x73_dataset_card",
+        "w7_session_window_native",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -71,6 +71,63 @@ SELECT user_id,
 FROM sessioned GROUP BY user_id, sid"""
 
 
+def w7_session_window_native(spark, sf_dir):
+    """Spark's BUILT-IN batch ``session_window`` (w6 builds the identical
+    semantics from two stacked windows; w7 proves the native primitive —
+    the form you'd actually write — lands the exact same sessions): merge
+    events whose gaps are under 30 minutes, per user, and aggregate.
+
+    Session identity: Spark extends a session to ``[ts, ts+gap)``, so an
+    event landing exactly at ``ts+gap`` starts a NEW session — the same
+    ``>=`` break rule w6's lag-gap construction uses, which is why one
+    oracle covers both formulations. Value sums are exact floored micros.
+
+    Scale shape: session_window compiles to one user-keyed shuffle + a
+    sort-based session merge — the same single-shuffle plan as w6, minus
+    the second stacked window."""
+    ev = _T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                "value_micros"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("sw.start")).alias("sess_start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("sess_end_ms"),
+            "n_events",
+            "value_micros",
+        )
+    )
+
+
+_W7_SQL = """WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, value,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+  epoch_ms(MIN(ts)) AS sess_start_ms,
+  epoch_ms(MAX(ts)) + 1800000 AS sess_end_ms,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+    AS value_micros
+FROM sessioned GROUP BY user_id, sid"""
+
+
 def w1_win_ranking(spark, sf_dir):
     o = _T(spark, sf_dir, "orders")
     w_tie = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
@@ -226,5 +283,12 @@ SPECS = [
         "batch gaps-and-islands sessionization (lag + running break sum)",
         w6_win_sessionize,
         _W6_SQL,
+    ),
+    QuerySpec(
+        "w7_session_window_native",
+        "W",
+        "built-in batch session_window == w6's lag-gap sessions (exact)",
+        w7_session_window_native,
+        _W7_SQL,
     ),
 ]
