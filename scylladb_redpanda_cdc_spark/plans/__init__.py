@@ -42,6 +42,7 @@ def registry() -> dict[str, QuerySpec]:
         cdc_queries,
         fn_queries,
         llm_queries,
+        storage_queries,
         streaming_queries,
         udx_queries,
         window_queries,
@@ -82,6 +83,7 @@ def registry() -> dict[str, QuerySpec]:
         batch_queries,
         cdc_queries,
         llm_queries,
+        storage_queries,
     ):
         for spec in mod.SPECS:
             if spec.qid in specs:
@@ -188,6 +190,11 @@ def registry() -> dict[str, QuerySpec]:
         "x72_rank_fusion",
         "x73_dataset_card",
         "w7_session_window_native",
+        "o1_partitioned_write",
+        "o2_compact_small_files",
+        "o3_clustered_write",
+        "o4_zorder_layout",
+        "o5_dynamic_partition_overwrite",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -180,6 +180,7 @@ _INTENDED_NESTED_LOOP = {
     "x70_retrieval_mrr",  # broadcast query batch (x32's evaluation twin)
     "x71_centered_ann",  # broadcast 1-row mean vector + 1-row query
     "x73_dataset_card",  # broadcast 1-row vocab + dup-stats cards
+    "o2_compact_small_files",  # broadcast 1-row file-count x 1-row stats
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF

@@ -1,0 +1,124 @@
+"""Physical-layout invariants for the O group (plans/storage_queries.py).
+
+The oracle equality proves the DATA round-trips; these tests pin the
+LAYOUT claims the aggregates cannot see: partition pruning reaches the
+scan, compaction really changes the file count, clustered files are
+internally sorted, and z-order buckets are tight in both dimensions.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from scylladb_redpanda_cdc_spark.plans import storage_queries as SQ
+
+
+@pytest.fixture(scope="module")
+def o1_base(spark, sf_dir):
+    SQ.o1_partitioned_write(spark, sf_dir).collect()
+    return SQ._staged[(spark.sparkContext.applicationId, sf_dir, "o1")]
+
+
+def test_o1_layout_is_hive_partitioned(o1_base):
+    # two-level directory scheme, one level per partition column
+    flags = glob.glob(os.path.join(o1_base, "l_returnflag=*"))
+    assert flags, o1_base
+    statuses = glob.glob(
+        os.path.join(o1_base, "l_returnflag=*", "l_linestatus=*")
+    )
+    assert statuses
+    # one file per leaf partition (the repartition-before-write contract:
+    # files == partitions, not tasks x partitions)
+    for leaf in statuses:
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        assert len(files) == 1, (leaf, files)
+
+
+def test_o1_read_back_prunes_partitions(spark, o1_base):
+    """A filter on the partition column must become a PartitionFilter on
+    the scan (whole directories skipped), not a post-scan Filter."""
+    back = spark.read.parquet(o1_base).where(F.col("l_returnflag") == "R")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+
+
+def test_o2_compaction_file_counts(spark, sf_dir):
+    SQ.o2_compact_small_files(spark, sf_dir).collect()
+    base = SQ._staged[(spark.sparkContext.applicationId, sf_dir, "o2")]
+    small = glob.glob(os.path.join(base, "small", "*.parquet"))
+    compact = glob.glob(os.path.join(base, "compact", "*.parquet"))
+    assert len(small) == 64
+    assert len(compact) == 4
+
+
+def test_o3_files_sorted_within_and_disjoint_across(spark, sf_dir):
+    rows = SQ.o3_clustered_write(spark, sf_dir).collect()
+    base = SQ._staged[(spark.sparkContext.applicationId, sf_dir, "o3")]
+    # bucket ranges disjoint by construction -> every [min,max] interval
+    # is inside its 64-day epoch and no two buckets overlap
+    spans = sorted((r.bucket, r.min_day, r.max_day) for r in rows)
+    for b, lo, hi in spans:
+        assert b * 64 <= lo <= hi < (b + 1) * 64, (b, lo, hi)
+    for (_, _, hi_prev), (_, lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next
+    # one file per bucket dir, rows sorted by l_shipdate inside the file
+    leaves = glob.glob(os.path.join(base, "bucket=*"))
+    assert leaves
+    for leaf in leaves:
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        assert len(files) == 1, (leaf, files)
+        col = (
+            pq.read_table(os.path.join(leaf, files[0]), columns=["l_shipdate"])
+            .column("l_shipdate")
+            .to_pylist()
+        )
+        assert col == sorted(col), leaf
+
+
+def test_o4_buckets_tight_in_both_dimensions(spark, sf_dir):
+    """A z-bucket of 4096 contiguous z-values is exactly a 64x64 tile of
+    the (zx, zy) plane: per-bucket span <= 63 in BOTH dimensions — the
+    two-column file-skipping guarantee a 1-D sort cannot give (sorting by
+    zx alone leaves zy spans at the full 0..1023 range)."""
+    rows = SQ.o4_zorder_layout(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_x - r.min_x <= 63, r
+        assert r.max_y - r.min_y <= 63, r
+
+
+def test_o5_only_min_day_restated(spark, sf_dir):
+    """The dynamic overwrite doubled exactly the earliest day: read the
+    layout back and compare against the source-of-truth recompute."""
+    out = {
+        r.day: (r.n_events, r.value_micros)
+        for r in SQ.o5_dynamic_partition_overwrite(spark, sf_dir).collect()
+    }
+    from scylladb_redpanda_cdc_spark.sources.tables import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+                " DIV 86400000000"
+            ).alias("day"),
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.sum("vm").alias("vm"))
+        .collect()
+    )
+    truth = {r.day: (r.n, r.vm) for r in e}
+    d0 = min(truth)
+    assert set(out) == set(truth)
+    for day, (n, vm) in truth.items():
+        want = (n, vm * 2 if day == d0 else vm)
+        assert out[day] == want, (day, out[day], want)
