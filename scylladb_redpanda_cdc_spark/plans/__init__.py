@@ -195,6 +195,12 @@ def registry() -> dict[str, QuerySpec]:
         "o3_clustered_write",
         "o4_zorder_layout",
         "o5_dynamic_partition_overwrite",
+        "a21_replay_idempotence",
+        "b46_agg_cube",
+        "f9_fn_url",
+        "u8_map_in_arrow",
+        "x74_graph_pagerank",
+        "x75_quantile_normalize",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

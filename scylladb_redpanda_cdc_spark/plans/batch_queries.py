@@ -1071,6 +1071,38 @@ FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day"""
 _mf_staged: dict[tuple[str, str], str] = {}
 
 
+def b46_agg_cube(spark, sf_dir):
+    """Full CUBE over (returnflag, linestatus): all four grouping sets —
+    detail, each single-dimension margin, and the grand total — in one
+    declared plan, disambiguated by grouping_id (a NULL group value vs a
+    rolled-up dimension are different things; gid is the only sound
+    discriminator). b19 proves ROLLUP's prefix lattice; b46 proves the
+    full power set.
+
+    Exactness: counts + exact floored-micros sums (any agg order).
+
+    Scale: Spark expands CUBE to a single Expand + one partial-agg
+    shuffle — 4x map-side rows but ONE exchange, with map-side combine
+    collapsing each grouping set before it moves; margins are never
+    recomputed from detail in a second pass."""
+    li = _T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("l_quantity") * 1_000_000).cast("long")).alias(
+            "qty_micros"
+        ),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+_B46_SQL = """SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(l_quantity * 1000000) AS BIGINT)) AS BIGINT)
+    AS qty_micros,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+
 def b43_multiformat_scan(spark, sf_dir):
     """Source-format breadth: the documents table round-tripped through
     CSV (header + quoting) and JSON-lines, read back with EXPLICIT
@@ -1685,5 +1717,12 @@ SPECS = [
         "dense daily spine + zero-fill counts + forward-filled values",
         b45_gap_fill,
         _B45_SQL,
+    ),
+    QuerySpec(
+        "b46_agg_cube",
+        "B",
+        "full CUBE lattice (detail, both margins, grand total) in one pass",
+        b46_agg_cube,
+        _B46_SQL,
     ),
 ]

@@ -727,6 +727,32 @@ SELECT customer_id, CAST(COUNT(*) AS BIGINT) AS n_live,
 FROM state GROUP BY customer_id"""
 
 
+def a21_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: at-least-once delivery tolerance — the reference's contract is
+    at-least-once, never exactly-once (offset flush every 10 s,
+    connect-standalone.properties:5 → a crash re-delivers everything since
+    the last flush; README.md:212). A consumer restart is simulated by
+    re-delivering the tail of the log (every event with offset >= 3,
+    which crosses the tombstone), and the materialized state must equal
+    the single-delivery state EXACTLY: compaction keyed by the offset
+    authority is idempotent, so duplicates are absorbed, re-delivered
+    deletes stay deleted, and no key flickers back to life.
+
+    Scale: the replayed segment unions in before the ONE compaction
+    shuffle — no extra pass; at 100 TB re-delivery cost is the duplicate
+    rows' share of the shuffle, not a second materialization."""
+    events = _decoded_df(spark, extended=True).select(
+        F.col("key_customer_id").alias("customer_id"),
+        F.col("key_order_id").alias("order_id"),
+        F.col("after_product").alias("product"),
+        "op",
+        "offset",
+    )
+    replayed = events.unionByName(events.filter(F.col("offset") >= 3))
+    merged = cdc.materialize_latest(replayed, ["customer_id", "order_id"])
+    return merged.select("customer_id", "order_id", "product")
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -1016,6 +1042,13 @@ FROM log GROUP BY topic""",
         "consumer-vs-authority reconciliation: lost/redelivered per partition",
         a19_log_integrity_audit,
         _A19_SQL,
+    ),
+    QuerySpec(
+        "a21_replay_idempotence",
+        "A",
+        "at-least-once replay absorbed: duplicated tail -> identical state",
+        a21_replay_idempotence,
+        _s("SELECT customer_id, order_id, product FROM state", extended=True),
     ),
     QuerySpec(
         "flagship_cdc_materialize",

@@ -170,6 +170,48 @@ _F8_SQL = """SELECT p_partkey,
 FROM part"""
 
 
+def f9_fn_url(spark, sf_dir):
+    """URL family: a deterministic URL is CONSTRUCTED from document fields
+    (the corpus has no URL column), then Spark's ``parse_url`` must invert
+    the construction — host, path, query, and a single query parameter all
+    recovered exactly. The oracle doesn't need a URL parser: it rebuilds
+    each part from the same fields, so equality proves Spark's parser
+    inverts the builder (the web-corpus provenance-normalization step
+    every crawl pipeline runs). Map-only expression algebra."""
+    d = _T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("lang"),
+        F.lit("&id="),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).cast("long").alias(
+            "id_param"
+        ),
+    )
+
+
+_F9_SQL = """SELECT doc_id,
+  source || '.example.com' AS host,
+  '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+  'ref=' || lang || '&id=' || CAST(doc_id AS VARCHAR) AS query,
+  lang AS ref_param,
+  doc_id AS id_param
+FROM documents"""
+
+
 SPECS = [
     QuerySpec(
         "f1_fn_string",
@@ -278,5 +320,12 @@ SPECS = [
         "binary/codec family: encode/base64/hex/md5/lengths + round-trip",
         f8_fn_binary,
         _F8_SQL,
+    ),
+    QuerySpec(
+        "f9_fn_url",
+        "F",
+        "URL family: parse_url inverts a field-built URL (host/path/query)",
+        f9_fn_url,
+        _F9_SQL,
     ),
 ]

@@ -4688,6 +4688,129 @@ FROM present p
 JOIN s_tot ON p.source = s_tot.source
 CROSS JOIN c_all"""
 
+def x74_graph_pagerank(spark, sf_dir):
+    """PageRank (3 exact iterations) over the near-dup similarity graph —
+    graph centrality as a curation signal: in a web-scale corpus, rank
+    over the link/similarity graph is the classic quality prior (harmonic
+    centrality in Common Crawl curation), and docs central to a template
+    cluster get DOWN-weighted by dedup while centrality tells you which
+    one to keep. Nodes = all docs; edges = x11's df-capped Jaccard pairs
+    (both directions), so the graph is bounded and never all-pairs.
+
+    Exactness: pure integer PageRank — ranks in ppm (start 1,000,000),
+    per-edge contribution ``rank DIV degree``, damping as
+    ``150000 + (85*s) DIV 100``; all operands non-negative so Spark's
+    truncating DIV and DuckDB's floor ``//`` agree, and three unrolled
+    iterations are identical algebra in both engines. No floats anywhere.
+
+    Scale: per iteration one shuffle keyed by dst (edge-sized) + one
+    nodes-sized left join; 3 static iterations keep the plan shallow (an
+    open-ended solve would localCheckpoint per round like x21)."""
+    pairs = x11_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+    nodes = _T(spark, sf_dir, "documents").select("doc_id")
+    ranks = nodes.select(
+        "doc_id", F.lit(1_000_000).cast("long").alias("rank")
+    )
+    for _ in range(3):
+        c = ed.join(
+            ranks.withColumnRenamed("doc_id", "src"), "src"
+        ).select("dst", F.expr("rank DIV deg").alias("c"))
+        s = c.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(
+            s, nodes.doc_id == s.dst, "left"
+        ).select(
+            nodes.doc_id,
+            (F.lit(150_000) + F.expr("(85 * coalesce(s, 0)) DIV 100"))
+            .cast("long")
+            .alias("rank"),
+        )
+    return ranks.select("doc_id", F.col("rank").alias("rank_ppm"))
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One integer-PageRank round as a CTE pair (DuckDB twin of the Spark
+    loop body — same DIV/damping algebra)."""
+    return (
+        f"c{cur} AS (SELECT e.dst, SUM(r{prev}.rank // d.deg) AS s\n"
+        f"  FROM edges e JOIN deg d USING (src)"
+        f" JOIN r{prev} ON r{prev}.doc_id = e.src GROUP BY 1),\n"
+        f"r{cur} AS (SELECT n.doc_id,\n"
+        f"  CAST(150000 + (85 * COALESCE(c{cur}.s, 0)) // 100 AS BIGINT)"
+        f" AS rank\n"
+        f"  FROM documents n LEFT JOIN c{cur} ON n.doc_id = c{cur}.dst)"
+    )
+
+
+_X74_SQL = f"""WITH {_X11_CTES},
+jpairs AS ({_X11_FINAL}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jpairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank FROM documents),
+{_pr_iter_sql("0", "1")},
+{_pr_iter_sql("1", "2")},
+{_pr_iter_sql("2", "3")}
+SELECT doc_id, rank AS rank_ppm FROM r3"""
+
+
+def x75_quantile_normalize(spark, sf_dir):
+    """Per-source quantile (rank) normalization of a quality score — the
+    score-calibration step before cross-source filtering: raw scores are
+    not comparable across sources (a news-wire 'short' is a forum 'long'),
+    so each doc's score is replaced by its within-source rank position on
+    a uniform [0, 1e6] ppm grid. Downstream thresholds ('keep top 40%')
+    then mean the same thing in every source.
+
+    Exactness: rank via row_number over a TOTAL order (score, doc_id
+    tiebreak); ppm = ((rn-1) * 1e6) DIV (n-1) — pure integer algebra,
+    single-doc sources pinned to 0 by CASE.
+
+    Scale: one shuffle on source + a per-source sort — and source
+    cardinality is small while groups are huge, so the real deployment
+    shape is the two-phase variant (sample per-source quantile boundaries,
+    broadcast, map-side bucket); this exact form is the oracle-checkable
+    contract for it."""
+    d = _T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    t = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            "CASE WHEN n = 1 THEN 0"
+            " ELSE ((rn - 1) * 1000000) DIV (n - 1) END"
+        )
+        .cast("long")
+        .alias("qnorm_ppm"),
+    )
+
+
+_X75_SQL = """WITH t AS (
+  SELECT doc_id, source, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT doc_id, source, n_chars,
+  CAST(CASE WHEN n = 1 THEN 0
+       ELSE ((rn - 1) * 1000000) // (n - 1) END AS BIGINT) AS qnorm_ppm
+FROM t"""
+
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -5247,5 +5370,19 @@ SPECS = [
         "one-row dataset datasheet: counts, vocab, dup ppm, length stats",
         x73_dataset_card,
         _X73_SQL,
+    ),
+    QuerySpec(
+        "x74_graph_pagerank",
+        "X",
+        "integer PageRank (3 rounds) over the df-capped similarity graph",
+        x74_graph_pagerank,
+        _X74_SQL,
+    ),
+    QuerySpec(
+        "x75_quantile_normalize",
+        "X",
+        "per-source rank normalization of scores to a uniform ppm grid",
+        x75_quantile_normalize,
+        _X75_SQL,
     ),
 ]

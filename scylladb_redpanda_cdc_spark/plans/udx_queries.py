@@ -153,6 +153,39 @@ def _sequence_user_events(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def u8_map_in_arrow(spark, sf_dir):
+    """``mapInArrow``: the zero-copy batch API below mapInPandas — batches
+    arrive as ``pyarrow.RecordBatch`` and every computation here is a
+    vectorized Arrow compute kernel (no pandas materialization, no Python
+    loop — the cheapest possible Python-adjacent path; for string-heavy
+    batch transforms the pandas conversion u4 pays is pure overhead).
+    Outputs are integers (byte length, uppercase-letter count) so there is
+    no float question at all.
+
+    Scale: partition-local (zero shuffles), Arrow batch size bounds
+    worker memory, and the kernels run in Arrow's C++ — the Python layer
+    only routes batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def feats(batches):
+        for batch in batches:
+            name = batch.column(batch.schema.get_field_index("p_name"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("p_partkey")),
+                    pc.cast(pc.binary_length(name), pa.int64()),
+                    pc.cast(
+                        pc.count_substring_regex(name, "[A-Z]"), pa.int64()
+                    ),
+                ],
+                names=["p_partkey", "n_bytes", "n_upper"],
+            )
+
+    p = _T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return p.mapInArrow(feats, "p_partkey bigint, n_bytes bigint, n_upper bigint")
+
+
 def u6_grouped_map_applyinpandas(spark, sf_dir):
     """U6: ``applyInPandas`` grouped-map — the whole-group-in /
     whole-group-out API (U3 aggregates a group to one row; U6 transforms
@@ -255,5 +288,16 @@ SPECS = [
         " AS BIGINT) AS gap_us\n"
         "FROM events\n"
         "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)",
+    ),
+    QuerySpec(
+        "u8_map_in_arrow",
+        "U",
+        "mapInArrow zero-copy batch transform (pure Arrow compute kernels)",
+        u8_map_in_arrow,
+        "SELECT p_partkey, CAST(octet_length(encode(p_name)) AS BIGINT)"
+        " AS n_bytes,\n"
+        "  CAST(length(regexp_replace(p_name, '[^A-Z]', '', 'g')) AS BIGINT)"
+        " AS n_upper\n"
+        "FROM part",
     ),
 ]

@@ -816,3 +816,52 @@ def test_rank_fusion_rewards_dual_membership(spark, sf_dir, specs):
     import numpy as np
 
     assert np.allclose(pdf["rrf_score"], expect, rtol=0, atol=0)
+
+
+def test_pagerank_integer_invariants(spark, sf_dir, specs):
+    """x74: every doc gets a rank; isolated docs sit at exactly the
+    damping floor (150000 ppm); connected docs never fall below it; and
+    a doc with at least one in-edge from a connected node exceeds it."""
+    pr = specs["x74_graph_pagerank"].build(spark, sf_dir).toPandas()
+    assert pr["rank_ppm"].notna().all()
+    assert (pr["rank_ppm"] >= 150_000).all()
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import (
+        x11_dedup_ngram_jaccard,
+    )
+
+    pairs = x11_dedup_ngram_jaccard(spark, sf_dir).toPandas()
+    connected = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    iso = pr[~pr["doc_id"].isin(connected)]
+    assert (iso["rank_ppm"] == 150_000).all()
+    linked = pr[pr["doc_id"].isin(connected)]
+    if len(linked):
+        assert (linked["rank_ppm"] > 150_000).any()
+
+
+def test_quantile_normalize_grid(spark, sf_dir, specs):
+    """x75: within each source, qnorm spans exactly 0..1e6 (n>=2),
+    is monotone in (n_chars, doc_id) order, and endpoints are hit."""
+    pdf = specs["x75_quantile_normalize"].build(spark, sf_dir).toPandas()
+    for _, g in pdf.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"])
+        q = g["qnorm_ppm"].tolist()
+        assert q == sorted(q)
+        if len(g) >= 2:
+            assert q[0] == 0 and q[-1] == 1_000_000
+        else:
+            assert q == [0]
+
+
+def test_replay_idempotence_equals_single_delivery(spark, sf_dir, specs):
+    """a21: duplicated-tail materialization is row-identical to the
+    single-delivery state (a6's output)."""
+    a21 = specs["a21_replay_idempotence"].build(spark, sf_dir).toPandas()
+    a6 = (
+        specs["a6_latest_state_materialize"]
+        .build(spark, sf_dir)
+        .toPandas()
+    )
+    key = ["customer_id", "order_id", "product"]
+    assert sorted(map(tuple, a21[key].values.tolist())) == sorted(
+        map(tuple, a6[key].values.tolist())
+    )
