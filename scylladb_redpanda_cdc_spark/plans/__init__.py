@@ -201,6 +201,11 @@ def registry() -> dict[str, QuerySpec]:
         "u8_map_in_arrow",
         "x74_graph_pagerank",
         "x75_quantile_normalize",
+        "s18_stream_batch_invariance",
+        "s19_stream_redelivery_dedup",
+        "b47_subquery_family",
+        "w8_win_value_frames",
+        "x76_ngram_novelty",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

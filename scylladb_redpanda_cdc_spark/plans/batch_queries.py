@@ -1103,6 +1103,57 @@ _B46_SQL = """SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
 
 
+def b47_subquery_family(spark, sf_dir):
+    """Correlated-subquery surface in one declared row: EXISTS / NOT
+    EXISTS / IN / NOT IN (null-free) / NOT IN (with a NULL in the
+    subquery). Catalyst decorrelates the first four to left-semi /
+    left-anti equi-joins (pinned in test_plan_shapes — the rewrite that
+    makes them shuffle-joinable at scale instead of per-row re-executed);
+    the fifth pins three-valued NOT IN logic: ONE null in the subquery
+    makes the predicate UNKNOWN for every row, so its count is exactly 0
+    — the classic silent-wrong-answer trap, here a declared contract both
+    engines agree on. The null is planted with
+    ``nullif(o_custkey, MIN(o_custkey))`` so it exists at every SF."""
+    _T(spark, sf_dir, "customer").createOrReplaceTempView("sg_b47_c")
+    _T(spark, sf_dir, "orders").createOrReplaceTempView("sg_b47_o")
+    return spark.sql(
+        """SELECT
+  (SELECT COUNT(*) FROM sg_b47_c c
+   WHERE EXISTS (SELECT 1 FROM sg_b47_o o WHERE o.o_custkey = c.c_custkey))
+    AS n_exists,
+  (SELECT COUNT(*) FROM sg_b47_c c
+   WHERE NOT EXISTS (SELECT 1 FROM sg_b47_o o
+                     WHERE o.o_custkey = c.c_custkey)) AS n_not_exists,
+  (SELECT COUNT(*) FROM sg_b47_c c
+   WHERE c.c_custkey IN (SELECT o_custkey FROM sg_b47_o)) AS n_in,
+  (SELECT COUNT(*) FROM sg_b47_c c
+   WHERE c.c_custkey NOT IN (SELECT o_custkey FROM sg_b47_o))
+    AS n_not_in_nullfree,
+  (SELECT COUNT(*) FROM sg_b47_c c
+   WHERE c.c_custkey NOT IN
+     (SELECT nullif(o_custkey, (SELECT MIN(o_custkey) FROM sg_b47_o))
+      FROM sg_b47_o)) AS n_not_in_withnull"""
+    )
+
+
+_B47_SQL = """SELECT
+  (SELECT COUNT(*) FROM customer c
+   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    AS n_exists,
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey)) AS n_not_exists,
+  (SELECT COUNT(*) FROM customer c
+   WHERE c.c_custkey IN (SELECT o_custkey FROM orders)) AS n_in,
+  (SELECT COUNT(*) FROM customer c
+   WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders))
+    AS n_not_in_nullfree,
+  (SELECT COUNT(*) FROM customer c
+   WHERE c.c_custkey NOT IN
+     (SELECT nullif(o_custkey, (SELECT MIN(o_custkey) FROM orders))
+      FROM orders)) AS n_not_in_withnull"""
+
+
 def b43_multiformat_scan(spark, sf_dir):
     """Source-format breadth: the documents table round-tripped through
     CSV (header + quoting) and JSON-lines, read back with EXPLICIT
@@ -1724,5 +1775,12 @@ SPECS = [
         "full CUBE lattice (detail, both margins, grand total) in one pass",
         b46_agg_cube,
         _B46_SQL,
+    ),
+    QuerySpec(
+        "b47_subquery_family",
+        "B",
+        "EXISTS/NOT EXISTS/IN/NOT IN (+null) decorrelated to semi/anti",
+        b47_subquery_family,
+        _B47_SQL,
     ),
 ]

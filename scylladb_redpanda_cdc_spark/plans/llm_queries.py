@@ -4800,6 +4800,57 @@ def x75_quantile_normalize(spark, sf_dir):
     )
 
 
+def x76_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty against everything EARLIER in corpus order:
+    the fraction of a doc's distinct 3-gram shingles whose first corpus
+    occurrence (min doc_id over the whole corpus) is the doc itself. The
+    streaming-curation signal behind 'this scrape adds nothing new' —
+    redundancy against the accumulated corpus rather than any single
+    duplicate partner (x11 finds pairs; x76 measures marginal novelty),
+    and the batch contract for X36's standing-index incremental form.
+
+    Exactness: counts + ppm via integer DIV — no floats. Docs with < 3
+    tokens have no shingles and emit nothing (oracle mirrors).
+
+    Scale: first-occurrence is ONE partial agg on the shingle key (min
+    doc_id combines map-side; the zipf head collapses before the
+    shuffle), joined back along the same key, then a doc-sized rollup.
+    Never pairwise."""
+    d = _T(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr("(n_novel * 1000000) DIV n_shingles").alias("novelty_ppm"),
+    )
+
+
+_X76_SQL = f"""WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+s2 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+first AS (SELECT s, MIN(doc_id) AS first_doc FROM s2 GROUP BY 1),
+per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+          SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM s2 JOIN first USING (s) GROUP BY 1)
+SELECT doc_id, n_shingles, CAST(n_novel AS BIGINT) AS n_novel,
+  CAST((n_novel * 1000000) // n_shingles AS BIGINT) AS novelty_ppm
+FROM per"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -5384,5 +5435,12 @@ SPECS = [
         "per-source rank normalization of scores to a uniform ppm grid",
         x75_quantile_normalize,
         _X75_SQL,
+    ),
+    QuerySpec(
+        "x76_ngram_novelty",
+        "X",
+        "per-doc marginal novelty vs corpus order (first-occurrence ppm)",
+        x76_ngram_novelty,
+        _X76_SQL,
     ),
 ]

@@ -37,6 +37,7 @@ from scylladb_redpanda_cdc_spark.streaming.ops import (
     incremental_mv_stream,
     stage_changelog_stream,
     stage_documents_stream,
+    stage_events_split_stream,
     stage_late_events_stream,
     user_running_state,
 )
@@ -374,6 +375,56 @@ def s17_stream_incremental_mv(spark, sf_dir):
     return incremental_mv_stream(changes, ["customer_id", "order_id"])
 
 
+def s18_stream_batch_invariance(spark, sf_dir):
+    """S18: batch-boundary invariance of the windowed aggregate — the SAME
+    1-hour tumbling aggregation as s3, but the source drained as FOUR
+    micro-batches (one file per trigger, mtime-ordered). The result must
+    equal s3's single-batch answer (the shared DuckDB oracle): window
+    state accumulates across batches and the final complete-mode emit is
+    independent of where the poll boundaries fell. This is the streaming
+    analog of a20/s17's equality claim, applied to windows — and the
+    property a 1000-executor deployment leans on every time a backlog
+    drain changes its batch sizes."""
+    ev = stage_events_split_stream(spark, sf_dir, n_files=4)
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(_val_micros()).alias("sum_value_micros"),
+    )
+    out = agg.select(
+        F.unix_millis("win.start").alias("win_start_ms"),
+        "n_events",
+        "sum_value_micros",
+    )
+    return run_to_table(out, mode="complete")
+
+
+def s19_stream_redelivery_dedup(spark, sf_dir):
+    """S19: ``dropDuplicatesWithinWatermark`` absorbing an at-least-once
+    crash replay — the first poll's file is re-served byte-identical in a
+    LATER micro-batch (a21's scenario, live). The dedup keeps per-key
+    state within the watermark delay of first sight; the delay is sized
+    to the REDELIVERY HORIZON (here: the fixture's whole span; in
+    production: the broker's offset-flush/retention window — the rule
+    that makes dedup state bounded by horizon x arrival rate, not by
+    topic history). Output aggregates the deduped stream; equality with
+    the oracle over the ORIGINAL table proves every duplicate died.
+
+    vs s7: s7 proves in-batch dropDuplicates; s19's duplicates arrive in
+    a different micro-batch, which only WithinWatermark state handles."""
+    ev = stage_events_split_stream(spark, sf_dir, n_files=4, redeliver=True)
+    deduped = (
+        ev.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", _val_micros())
+    )
+    sunk = run_to_table(deduped)
+    return sunk.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum("value_micros").alias("sum_value_micros"),
+    )
+
+
 def s11_stateful_running_state(spark, sf_dir):
     """S11: arbitrary per-key streaming state (applyInPandasWithState) —
     running per-user counters. Single availableNow batch => one final
@@ -625,5 +676,24 @@ t AS (SELECT unnest(list_filter(
 SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
 FROM t GROUP BY tok
 ORDER BY n DESC, tok ASC LIMIT 20""",
+    ),
+    QuerySpec(
+        "s18_stream_batch_invariance",
+        "S",
+        "tumbling agg equal across 4 micro-batches (s3's oracle verbatim)",
+        s18_stream_batch_invariance,
+        "SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_ms,\n"
+        f"  COUNT(*) AS n_events,\n"
+        f"  CAST(SUM({_VAL_MICROS_SQL}) AS BIGINT) AS sum_value_micros\n"
+        "FROM events GROUP BY 1",
+    ),
+    QuerySpec(
+        "s19_stream_redelivery_dedup",
+        "S",
+        "dropDuplicatesWithinWatermark kills a cross-batch replayed file",
+        s19_stream_redelivery_dedup,
+        "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids,\n"
+        f"  CAST(SUM({_VAL_MICROS_SQL}) AS BIGINT) AS sum_value_micros\n"
+        "FROM events",
     ),
 ]

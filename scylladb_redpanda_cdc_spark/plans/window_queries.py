@@ -208,6 +208,51 @@ def w5_win_cume(spark, sf_dir):
     )
 
 
+def w8_win_value_frames(spark, sf_dir):
+    """W8: the value-window family — first_value / last_value / nth_value
+    over EXPLICIT frames (trailing, forward-looking, and full-partition),
+    on a total order (orderdate, orderkey tiebreak) so every value is
+    deterministic. The forward frame (current→unbounded following) is the
+    one engines quietly get wrong when they default the frame to
+    range-unbounded-preceding — declaring it pins the semantics.
+
+    Exactness: picked values are raw 2-decimal money (no arithmetic);
+    nth_value returns NULL for partitions shorter than 3 in both engines.
+
+    Scale: one shuffle on o_custkey + one per-partition sort shared by
+    all three frames (Catalyst collapses same-spec windows into a single
+    Window operator)."""
+    o = _T(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    base = Window.partitionBy("o_custkey").orderBy(*order)
+    w_trail = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_full = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_totalprice").over(w_trail).alias("first_price"),
+        F.last_value("o_totalprice").over(w_fwd).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(w_full).alias("third_price"),
+    )
+
+
+_W8_SQL = """SELECT o_custkey, o_orderkey,
+  FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+  LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_price,
+  NTH_VALUE(o_totalprice, 3) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS third_price
+FROM orders"""
+
+
 SPECS = [
     QuerySpec(
         "w1_win_ranking",
@@ -290,5 +335,12 @@ SPECS = [
         "built-in batch session_window == w6's lag-gap sessions (exact)",
         w7_session_window_native,
         _W7_SQL,
+    ),
+    QuerySpec(
+        "w8_win_value_frames",
+        "W",
+        "first/last/nth_value over explicit trailing/forward/full frames",
+        w8_win_value_frames,
+        _W8_SQL,
     ),
 ]

@@ -618,3 +618,61 @@ def user_running_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_staged_event_splits: dict[tuple[str, str, int, bool], str] = {}
+
+
+def stage_events_split_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, redeliver: bool = False
+) -> DataFrame:
+    """Stage the ``events`` table as ``n_files`` parquet files with mtimes
+    pinning their stream order, and read them back one file per
+    micro-batch — the deterministic stand-in for a topic drained across
+    several polls (S18's batch-boundary-invariance fixture).
+
+    ``redeliver=True`` appends a byte-identical COPY of the first staged
+    file with the newest mtime: the at-least-once crash-replay scenario
+    (the broker re-serves everything since the last offset flush,
+    connect-standalone.properties:5) arriving in a LATER micro-batch —
+    S19's dedup fixture. Staged once per (session, dataset, shape)."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F  # noqa: F401  (parity with peers)
+
+    from scylladb_redpanda_cdc_spark.sources.tables import normalize_event_ts
+    from scylladb_redpanda_cdc_spark.streaming.core import (
+        EVENTS_NORMALIZED_DDL,
+        events_stream_ddl,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir, n_files, redeliver)
+    if not staged_dir_valid(_staged_event_splits.get(cache_key)):
+        with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            raw = normalize_event_ts(
+                spark.read.schema(events_stream_ddl(sf_dir)).parquet(
+                    os.path.join(sf_dir, "events.parquet")
+                )
+            )
+            scratch = tmpdir("evsplit_scratch")
+            raw.repartition(n_files).write.mode("overwrite").parquet(scratch)
+        stage = tmpdir("evsplit")
+        now = _time.time()
+        parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
+        for i, src in enumerate(parts):
+            dst = os.path.join(stage, f"{i:02d}.parquet")
+            shutil.move(src, dst)
+            mtime = now - 600 + i * 60
+            os.utime(dst, (mtime, mtime))
+        if redeliver:
+            dup = os.path.join(stage, "99_redelivered.parquet")
+            shutil.copyfile(os.path.join(stage, "00.parquet"), dup)
+            os.utime(dup, (now, now))
+        _staged_event_splits[cache_key] = stage
+    return (
+        spark.readStream.schema(EVENTS_NORMALIZED_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_event_splits[cache_key])
+    )

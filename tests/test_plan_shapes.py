@@ -364,3 +364,14 @@ def test_q3_composite_has_the_wanted_plan(spark, sf_dir, specs):
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("PushedFilters: [") >= 2, plan
+
+
+def test_subquery_family_decorrelates(spark, sf_dir, specs):
+    """b47: every EXISTS/IN form must decorrelate to a semi/anti hash
+    join — per-row subquery re-execution (nested loop) is the scale
+    failure the spec exists to forbid."""
+    plan = plan_of(spark, sf_dir, specs, "b47_subquery_family")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("LeftSemi") >= 2, plan
+    assert plan.count("LeftAnti") >= 3, plan
