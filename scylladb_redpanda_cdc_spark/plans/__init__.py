@@ -206,6 +206,9 @@ def registry() -> dict[str, QuerySpec]:
         "b47_subquery_family",
         "w8_win_value_frames",
         "x76_ngram_novelty",
+        "b48_hll_sketch_union",
+        "x77_feature_hashing",
+        "a22_dead_letter_split",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

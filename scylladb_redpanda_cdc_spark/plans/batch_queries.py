@@ -1154,6 +1154,60 @@ _B47_SQL = """SELECT
       FROM orders)) AS n_not_in_withnull"""
 
 
+def b48_hll_sketch_union(spark, sf_dir):
+    """Mergeable distinct-count sketches — the actual 100 TB distinct-count
+    architecture: per-partition/per-group HLL sketches built once
+    (``hll_sketch_agg``), then UNIONED (``hll_union_agg``) to the global
+    estimate without ever re-touching the data — the two-level rollup b17's
+    single-shot approx_count_distinct can't do (sketches are reusable
+    state: per-day sketches union into month/year for free). Graded by
+    b17's policy: sketch estimates differ across implementations, so the
+    output carries the exact count plus booleans asserting both the
+    merged estimate and the per-group round trip landed within the
+    sketch's error envelope (lgConfigK=12 ⇒ rsd ≈ 1.6%; 5x headroom).
+    The oracle computes the exact counts and expects TRUE."""
+    li = _T(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", 12).alias("sk"),
+        F.countDistinct("l_partkey").alias("exact_n"),
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"),
+        F.sum(
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk").cast("double")
+                    - F.col("exact_n").cast("double")
+                )
+                <= F.lit(0.08) * F.col("exact_n").cast("double")
+            ).cast("int")
+        ).alias("groups_within_tol"),
+        F.count("*").alias("n_groups"),
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_n_part"))
+    return merged.crossJoin(exact).select(
+        "exact_n_part",
+        "n_groups",
+        (F.col("groups_within_tol") == F.col("n_groups")).alias(
+            "all_groups_within_tol"
+        ),
+        (
+            F.abs(
+                F.col("union_est").cast("double")
+                - F.col("exact_n_part").cast("double")
+            )
+            <= F.lit(0.08) * F.col("exact_n_part").cast("double")
+        ).alias("union_within_tol"),
+    )
+
+
+_B48_SQL = """SELECT
+  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_n_part,
+  (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS n_groups,
+  TRUE AS all_groups_within_tol,
+  TRUE AS union_within_tol"""
+
+
 def b43_multiformat_scan(spark, sf_dir):
     """Source-format breadth: the documents table round-tripped through
     CSV (header + quoting) and JSON-lines, read back with EXPLICIT
@@ -1782,5 +1836,12 @@ SPECS = [
         "EXISTS/NOT EXISTS/IN/NOT IN (+null) decorrelated to semi/anti",
         b47_subquery_family,
         _B47_SQL,
+    ),
+    QuerySpec(
+        "b48_hll_sketch_union",
+        "B",
+        "mergeable HLL sketches: per-group build + union rollup in bounds",
+        b48_hll_sketch_union,
+        _B48_SQL,
     ),
 ]

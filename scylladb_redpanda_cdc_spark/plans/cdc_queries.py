@@ -727,6 +727,87 @@ SELECT customer_id, CAST(COUNT(*) AS BIGINT) AS n_live,
 FROM state GROUP BY customer_id"""
 
 
+#: A22's planted poison frames (offset, key, value): a non-JSON value, a
+#: non-JSON key, and a valid-JSON envelope with no op — the three failure
+#: classes a connector's converter actually produces. Shared verbatim by
+#: the Spark builder and the oracle VALUES.
+_A22_BAD = [
+    (100, '{"payload": {"customer_id": 9, "order_id": 9}}', "garbage{"),
+    (101, "garbage{", '{"payload": {"op": "c"}}'),
+    (102, '{"payload": {"customer_id": 9, "order_id": 9}}', '{"payload": {"source": {"db": "x"}}}'),
+]
+
+
+def a22_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: dead-letter routing — the ingest guard in front of everything
+    else. Kafka Connect's converter dies on a poison record unless
+    ``errors.tolerance=all`` routes it to a DLQ; this operator IS that
+    route, as a declarative split: per record, classify value-not-JSON /
+    key-not-JSON / JSON-but-no-op / ok (first failure wins), so the
+    pipeline quarantines precisely the poison and decodes the rest. The
+    three failure classes are planted as literal frames beside the golden
+    capture (reference contract: every frame is schema-carrying JSON,
+    rpk_topic_consume.json:3-4; README errors note :212).
+
+    Scale: one map-only pass — each record classified by its own bytes,
+    no shuffle; at 100 TB the DLQ write is a partitioned filter sink off
+    the same scan."""
+    bad = spark.createDataFrame(
+        [
+            (TOPIC, k, v, 1_700_000_000_000 + off, 0, off)
+            for off, k, v in _A22_BAD
+        ],
+        golden_stream_df(spark).schema,
+    )
+    allrec = golden_stream_df(spark).unionByName(bad)
+    # PERMISSIVE from_json yields an all-null struct (not NULL) for corrupt
+    # input; the declared corrupt-record column is the sound poison signal.
+    corrupt = {"columnNameOfCorruptRecord": "_corrupt"}
+    val_js = F.from_json(
+        F.col("value"), "payload struct<op: string>, _corrupt string", corrupt
+    )
+    key_js = F.from_json(
+        F.col("key"),
+        "payload struct<customer_id: int, order_id: int>, _corrupt string",
+        corrupt,
+    )
+    route = (
+        F.when(
+            val_js.getField("_corrupt").isNotNull(),
+            F.lit("dlq_value_not_json"),
+        )
+        .when(
+            key_js.getField("_corrupt").isNotNull(), F.lit("dlq_key_not_json")
+        )
+        .when(
+            val_js.getField("payload").getField("op").isNull(),
+            F.lit("dlq_missing_op"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return allrec.select("offset", route.alias("route"))
+
+
+def _a22_sql() -> str:
+    bad_rows = ",\n    ".join(
+        f"('{TOPIC}', '{k}', '{v}', {1_700_000_000_000 + off}, 0, {off})"
+        for off, k, v in _A22_BAD
+    )
+    return f"""WITH {golden_raw_cte(False)},
+bad(topic, "key", "value", "timestamp", "partition", "offset") AS (
+  VALUES
+    {bad_rows}
+),
+allrec AS (SELECT * FROM raw UNION ALL SELECT * FROM bad)
+SELECT "offset",
+  CASE WHEN NOT json_valid("value") THEN 'dlq_value_not_json'
+       WHEN NOT json_valid("key") THEN 'dlq_key_not_json'
+       WHEN json_extract_string("value", '$.payload.op') IS NULL
+         THEN 'dlq_missing_op'
+       ELSE 'ok' END AS route
+FROM allrec"""
+
+
 def a21_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A21: at-least-once delivery tolerance — the reference's contract is
     at-least-once, never exactly-once (offset flush every 10 s,
@@ -1042,6 +1123,13 @@ FROM log GROUP BY topic""",
         "consumer-vs-authority reconciliation: lost/redelivered per partition",
         a19_log_integrity_audit,
         _A19_SQL,
+    ),
+    QuerySpec(
+        "a22_dead_letter_split",
+        "A",
+        "DLQ routing: per-record poison classification, first failure wins",
+        a22_dead_letter_split,
+        _a22_sql(),
     ),
     QuerySpec(
         "a21_replay_idempotence",

@@ -27,6 +27,7 @@ from scylladb_redpanda_cdc_spark.operators.llm import (
     connected_components_min_label,
     cosine,
     dot_d,
+    hash16,
     hash60,
     l2_norm,
     lsh_bucket,
@@ -4851,6 +4852,41 @@ SELECT doc_id, n_shingles, CAST(n_novel AS BIGINT) AS n_novel,
 FROM per"""
 
 
+def x77_feature_hashing(spark, sf_dir):
+    """Feature hashing (the fastText/Vowpal-Wabbit input layer): each doc's
+    token bag folded into a FIXED 16-bucket count vector by hashing every
+    token into a bucket — the featurization that needs no vocabulary, no
+    fit step, and no second corpus pass, which is why it's the default at
+    corpus scale (x35's vocab join is the exact-ids alternative). Output
+    long format (doc_id, bucket, n) so the oracle is a plain group-by;
+    the trailing pivot to a dense vector is a per-row reshape.
+
+    Exactness: bucket = hash16(token) % 16 — the engine-portable sha
+    prefix hash, so both engines bucket identically; counts exact.
+
+    Scale: one partial-agg shuffle on (doc_id, bucket) — 16 buckets per
+    doc max after map-side combine, so shuffle volume is ≤ 16 rows per
+    doc regardless of doc length."""
+    d = _T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("tok")
+    )
+    return (
+        tok.select("doc_id", (hash16(F.col("tok")) % 16).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_X77_SQL = f"""WITH {_TOKS_CTE},
+t AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+b AS (SELECT doc_id,
+        CAST(concat('0x', substr(sha256(tok), 1, 4)) AS BIGINT) % 16
+          AS bucket
+      FROM t)
+SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -5442,5 +5478,12 @@ SPECS = [
         "per-doc marginal novelty vs corpus order (first-occurrence ppm)",
         x76_ngram_novelty,
         _X76_SQL,
+    ),
+    QuerySpec(
+        "x77_feature_hashing",
+        "X",
+        "vocabulary-free 16-bucket hashed bag-of-words (fastText layer)",
+        x77_feature_hashing,
+        _X77_SQL,
     ),
 ]

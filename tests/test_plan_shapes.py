@@ -181,6 +181,7 @@ _INTENDED_NESTED_LOOP = {
     "x71_centered_ann",  # broadcast 1-row mean vector + 1-row query
     "x73_dataset_card",  # broadcast 1-row vocab + dup-stats cards
     "o2_compact_small_files",  # broadcast 1-row file-count x 1-row stats
+    "b48_hll_sketch_union",  # broadcast 1-row merged-sketch x 1-row exact
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
