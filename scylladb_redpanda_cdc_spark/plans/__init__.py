@@ -209,6 +209,8 @@ def registry() -> dict[str, QuerySpec]:
         "b48_hll_sketch_union",
         "x77_feature_hashing",
         "a22_dead_letter_split",
+        "x78_ccnet_buckets",
+        "u9_pandas_udf_iterator",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

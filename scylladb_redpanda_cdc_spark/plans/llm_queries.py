@@ -4887,6 +4887,65 @@ b AS (SELECT doc_id,
 SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2"""
 
 
+def x78_ccnet_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split: per language, docs ranked by the
+    unigram LM quality proxy (x28's exact integer pair) and cut into
+    fluency terciles — head trains, middle is kept for diversity, tail is
+    dropped or down-weighted. The canonical perplexity-bucket curation
+    move, here with a fully exact ordering: the score is the INTEGER
+    scaled mean ``(freq_mass*1e6) DIV n_tokens`` with doc_id tiebreak, so
+    ntile boundaries are identical in both engines (no float ordering).
+
+    Scale: x28's broadcast-tf scoring + ONE shuffle on lang for the
+    tercile window; output is langs x 3 rows. A deployment replaces the
+    full per-lang sort with sampled score-boundary broadcast (x75's
+    documented rewrite) — same contract, this is the checkable form."""
+    d = _T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        tok.join(F.broadcast(tf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("freq_mass"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    scored = per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("(freq_mass * 1000000) DIV n_tokens").alias("score_scaled"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id").asc()
+    )
+    b = scored.select(
+        "lang", "n_tokens", F.ntile(3).over(w).alias("bucket")
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+_X78_SQL = f"""WITH {_TOKS_CTE},
+t AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+tf AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY 1),
+per AS (SELECT doc_id, SUM(cnt) AS freq_mass, COUNT(*) AS n_tokens
+        FROM t JOIN tf USING (term) GROUP BY 1),
+scored AS (SELECT p.doc_id, d.lang, p.n_tokens,
+             (p.freq_mass * 1000000) // p.n_tokens AS score_scaled
+           FROM per p JOIN documents d ON p.doc_id = d.doc_id),
+b AS (SELECT lang, n_tokens,
+        NTILE(3) OVER (PARTITION BY lang
+                       ORDER BY score_scaled DESC, doc_id ASC) AS bucket
+      FROM scored)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM b GROUP BY 1, 2"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -5485,5 +5544,12 @@ SPECS = [
         "vocabulary-free 16-bucket hashed bag-of-words (fastText layer)",
         x77_feature_hashing,
         _X77_SQL,
+    ),
+    QuerySpec(
+        "x78_ccnet_buckets",
+        "X",
+        "CCNet head/middle/tail fluency terciles per lang (exact ordering)",
+        x78_ccnet_buckets,
+        _X78_SQL,
     ),
 ]

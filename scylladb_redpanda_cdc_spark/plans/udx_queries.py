@@ -9,6 +9,8 @@ pairwise sum vs DuckDB's sequential sum differ in the last ulps).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -186,6 +188,37 @@ def u8_map_in_arrow(spark, sf_dir):
     return p.mapInArrow(feats, "p_partkey bigint, n_bytes bigint, n_upper bigint")
 
 
+def u9_pandas_udf_iterator(spark, sf_dir):
+    """Iterator-of-Series pandas UDF (SCALAR_ITER): the variant whose
+    point is per-worker amortization — expensive one-time setup (a model
+    load, a compiled regex, a tokenizer) happens ONCE per executor task
+    before the batch loop, not once per batch (U2's plain scalar UDF
+    re-enters Python with no setup hook). Here the 'model' is a constant
+    affine adjustment initialized before the loop; the arithmetic is
+    plain IEEE doubles so the oracle is the same expression natively.
+
+    Scale: partition-local, Arrow-batched; setup cost amortizes over
+    every batch a task processes — the difference between 10k model
+    loads and 32 at 100 TB."""
+    @F.pandas_udf(DoubleType())
+    def net_price_iter(
+        batches: Iterator[pd.Series],
+    ) -> Iterator[pd.Series]:
+        # once-per-task setup (the amortized 'model load')
+        rate = 1.0
+        for prices in batches:
+            yield prices * rate
+
+    li = _T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price_iter(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("net_price"),
+    )
+
+
 def u6_grouped_map_applyinpandas(spark, sf_dir):
     """U6: ``applyInPandas`` grouped-map — the whole-group-in /
     whole-group-out API (U3 aggregates a group to one row; U6 transforms
@@ -288,6 +321,15 @@ SPECS = [
         " AS BIGINT) AS gap_us\n"
         "FROM events\n"
         "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)",
+    ),
+    QuerySpec(
+        "u9_pandas_udf_iterator",
+        "U",
+        "SCALAR_ITER pandas UDF: once-per-task setup amortized over batches",
+        u9_pandas_udf_iterator,
+        "SELECT l_orderkey, l_linenumber,\n"
+        "  l_extendedprice * (1.0 - l_discount) AS net_price\n"
+        "FROM lineitem WHERE l_quantity >= 30",
     ),
     QuerySpec(
         "u8_map_in_arrow",

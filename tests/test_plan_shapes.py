@@ -194,6 +194,8 @@ _INTENDED_PYTHON = {
     "u5_udf_sql_register",
     "u6_grouped_map_applyinpandas",  # FlatMapGroupsInPandas grouped-map
     "u7_python_udtf",  # declared Python UDTF (BatchEvalPythonUDTF)
+    "u8_map_in_arrow",  # declared Arrow batch API (pure Arrow kernels)
+    "u9_pandas_udf_iterator",  # declared SCALAR_ITER pandas UDF
     "x18_multimodal_decode",
     "x58_media_resize",  # mapInPandas resize-geometry stage
     "x59_media_features",  # mapInPandas byte-histogram feature stage
@@ -227,6 +229,7 @@ def test_no_accidental_nested_loop_or_python_anywhere(spark, sf_dir, specs):
                 "BatchEvalPython",
                 "ArrowEvalPython",
                 "MapInPandas",
+                "MapInArrow",
             )
             if m in plan
         ]
