@@ -211,6 +211,10 @@ def registry() -> dict[str, QuerySpec]:
         "a22_dead_letter_split",
         "x78_ccnet_buckets",
         "u9_pandas_udf_iterator",
+        "a23_transaction_grouping",
+        "x79_blocklist_filter",
+        "x80_length_bucketing",
+        "b49_bag_set_ops",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

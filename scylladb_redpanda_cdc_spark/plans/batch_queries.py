@@ -1208,6 +1208,53 @@ _B48_SQL = """SELECT
   TRUE AS union_within_tol"""
 
 
+def b49_bag_set_ops(spark, sf_dir):
+    """Bag-semantics set operations: ``exceptAll`` / ``intersectAll`` over
+    two multiset projections WITH genuine duplicates — B27/B28 prove the
+    set (DISTINCT) forms; the ALL forms are different operators with
+    different algebra (multiplicity arithmetic: min(m,n) for intersect,
+    max(0, m-n) for except) and the ones dedup accounting actually needs.
+    Output is the aggregated verdict of each result so the one-row oracle
+    pins full multiset cardinality and mass.
+
+    Scale: Spark plans both as a single aggregate-join on the value
+    (count-per-key on each side, then multiplicity arithmetic) — no sort,
+    no pairwise expansion; the join rides the value key."""
+    li = _T(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") >= 25).select("l_partkey")
+    b = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    ex = a.exceptAll(b).agg(
+        F.count("*").alias("n_except_all"),
+        F.sum("l_partkey").alias("sum_except_all"),
+    )
+    it = a.intersectAll(b).agg(
+        F.count("*").alias("n_intersect_all"),
+        F.sum("l_partkey").alias("sum_intersect_all"),
+    )
+    return ex.crossJoin(it)
+
+
+_B49_SQL = """SELECT
+  (SELECT COUNT(*) FROM (SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+                         EXCEPT ALL
+                         SELECT l_partkey FROM lineitem
+                         WHERE l_returnflag = 'R')) AS n_except_all,
+  (SELECT CAST(SUM(l_partkey) AS BIGINT) FROM
+     (SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+      EXCEPT ALL
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'))
+    AS sum_except_all,
+  (SELECT COUNT(*) FROM (SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+                         INTERSECT ALL
+                         SELECT l_partkey FROM lineitem
+                         WHERE l_returnflag = 'R')) AS n_intersect_all,
+  (SELECT CAST(SUM(l_partkey) AS BIGINT) FROM
+     (SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+      INTERSECT ALL
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'))
+    AS sum_intersect_all"""
+
+
 def b43_multiformat_scan(spark, sf_dir):
     """Source-format breadth: the documents table round-tripped through
     CSV (header + quoting) and JSON-lines, read back with EXPLICIT
@@ -1843,5 +1890,12 @@ SPECS = [
         "mergeable HLL sketches: per-group build + union rollup in bounds",
         b48_hll_sketch_union,
         _B48_SQL,
+    ),
+    QuerySpec(
+        "b49_bag_set_ops",
+        "B",
+        "EXCEPT ALL / INTERSECT ALL multiset algebra (min/m-n counts)",
+        b49_bag_set_ops,
+        _B49_SQL,
     ),
 ]

@@ -808,6 +808,105 @@ SELECT "offset",
 FROM allrec"""
 
 
+#: A23's planted transaction-labeled frames (offset, txn_id, total_order,
+#: data_collection_order): the Debezium transaction block the envelope
+#: contract carries (ENVELOPE_SCHEMA; always null in the capture) populated
+#: for two synthetic transactions — one complete 2-event txn, one 1-event
+#: txn. Shared verbatim by the Spark builder and the oracle VALUES.
+_A23_TXN = [
+    (200, "tx-1", 2, 1),
+    (201, "tx-1", 2, 2),
+    (202, "tx-2", 1, 1),
+]
+
+
+def a23_transaction_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: transaction-boundary accounting — the envelope's ``transaction``
+    block (id, total_order, data_collection_order; ENVELOPE_SCHEMA,
+    rpk_topic_consume.json:4) is how a consumer knows a multi-statement
+    source transaction arrived WHOLE before applying it atomically. The
+    capture carries null transactions (Scylla CDC emits none), so two
+    labeled transactions are planted beside it; per transaction the
+    operator reports event count, completeness (max total_order ==
+    events seen) and gaplessness (collection orders form 1..n) — the
+    admission check a transactional sink runs before committing a group.
+
+    Scale: one partial-agg shuffle on txn id; untransacted events all
+    fold into the 'none' group map-side."""
+    bad = spark.createDataFrame(
+        [
+            (
+                TOPIC,
+                '{"payload": {"customer_id": 9, "order_id": 9}}',
+                '{"payload": {"op": "u", "transaction": {"id": "%s", '
+                '"total_order": %d, "data_collection_order": %d}}}'
+                % (tx, to, dco),
+                1_700_000_000_000 + off,
+                0,
+                off,
+            )
+            for off, tx, to, dco in _A23_TXN
+        ],
+        golden_stream_df(spark).schema,
+    )
+    allrec = golden_stream_df(spark).unionByName(bad)
+    js = F.from_json(
+        F.col("value"),
+        "payload struct<op: string, transaction: struct<id: string,"
+        " total_order: bigint, data_collection_order: bigint>>",
+    )
+    txn = js.getField("payload").getField("transaction")
+    t = allrec.select(
+        F.coalesce(txn.getField("id"), F.lit("none")).alias("txn_id"),
+        txn.getField("total_order").alias("total_order"),
+        txn.getField("data_collection_order").alias("dco"),
+    )
+    # COALESCE(..., FALSE): the 'none' group's max(total_order) is NULL,
+    # and a NULL boolean round-trips differently through the two engines'
+    # pandas bridges (None vs NaN) — and untransacted events are not a
+    # complete transaction anyway, so FALSE is also the honest verdict.
+    return t.groupBy("txn_id").agg(
+        F.count("*").alias("n_events"),
+        F.coalesce(
+            F.max("total_order") == F.count("*"), F.lit(False)
+        ).alias("complete_ok"),
+        F.coalesce(
+            (F.count_distinct(F.col("dco")) == F.count("*"))
+            & (F.max("dco") == F.count("*")),
+            F.lit(False),
+        ).alias("gapless_ok"),
+    )
+
+
+def _a23_sql() -> str:
+    rows = ",\n    ".join(
+        f"""('{TOPIC}', '{{"payload": {{"customer_id": 9, "order_id": 9}}}}', """
+        f"""'{{"payload": {{"op": "u", "transaction": {{"id": "{tx}", """
+        f""""total_order": {to}, "data_collection_order": {dco}}}}}}}', """
+        f"{1_700_000_000_000 + off}, 0, {off})"
+        for off, tx, to, dco in _A23_TXN
+    )
+    return f"""WITH {golden_raw_cte(False)},
+bad(topic, "key", "value", "timestamp", "partition", "offset") AS (
+  VALUES
+    {rows}
+),
+allrec AS (SELECT * FROM raw UNION ALL SELECT * FROM bad),
+t AS (SELECT
+  COALESCE(json_extract_string("value", '$.payload.transaction.id'), 'none')
+    AS txn_id,
+  CAST(json_extract_string("value", '$.payload.transaction.total_order')
+    AS BIGINT) AS total_order,
+  CAST(json_extract_string("value",
+    '$.payload.transaction.data_collection_order') AS BIGINT) AS dco
+FROM allrec)
+SELECT txn_id, COUNT(*) AS n_events,
+  COALESCE(MAX(total_order) = COUNT(*), FALSE) AS complete_ok,
+  COALESCE((COUNT(DISTINCT dco) = COUNT(*)) AND (MAX(dco) = COUNT(*)),
+           FALSE) AS gapless_ok
+FROM t GROUP BY txn_id"""
+
+
 def a21_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A21: at-least-once delivery tolerance — the reference's contract is
     at-least-once, never exactly-once (offset flush every 10 s,
@@ -1123,6 +1222,13 @@ FROM log GROUP BY topic""",
         "consumer-vs-authority reconciliation: lost/redelivered per partition",
         a19_log_integrity_audit,
         _A19_SQL,
+    ),
+    QuerySpec(
+        "a23_transaction_grouping",
+        "A",
+        "transaction-boundary accounting: completeness + gapless order",
+        a23_transaction_grouping,
+        _a23_sql(),
     ),
     QuerySpec(
         "a22_dead_letter_split",

@@ -4946,6 +4946,119 @@ SELECT lang, bucket, COUNT(*) AS n_docs,
 FROM b GROUP BY 1, 2"""
 
 
+#: X79's term blocklist — a deterministic stand-in list drawn from the
+#: fixture vocabulary so the filter is non-vacuous (the real deployment
+#: swaps in its safety/toxicity lexicon; the MECHANISM is the operator).
+X79_BLOCKLIST = ["hash", "vector", "slow"]
+
+
+def x79_blocklist_filter(spark, sf_dir):
+    """Term-blocklist safety filter — the lexicon-based toxicity/safety
+    pass every corpus runs before (or instead of) a model-based one: per
+    doc, count tokens hitting the blocklist, compute the exact hit rate
+    (ppm) and the keep/flag verdict at a 2% threshold. List is a literal
+    broadcast into the row expression — no join, no shuffle for the
+    filter itself (the lexicon is KBs even in production).
+
+    Exactness: counts + integer ppm; verdict is integer compare.
+
+    Scale: tokenize + per-doc agg only — one (doc-keyed) partial agg; at
+    100 TB this rides the same tokenize pass as every other per-doc text
+    op (x15/x16 fuse into one scan)."""
+    d = _T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    per = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tok").isin(X79_BLOCKLIST), 1).otherwise(0)
+        ).alias("n_hits"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_hits",
+        F.expr("(n_hits * 1000000) DIV n_tokens").alias("hit_ppm"),
+        (F.expr("(n_hits * 1000000) DIV n_tokens") >= 20_000).alias(
+            "flagged"
+        ),
+    )
+
+
+_X79_SQL = f"""WITH {_TOKS_CTE},
+t AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+          SUM(CASE WHEN tok IN ('hash', 'vector', 'slow') THEN 1 ELSE 0 END)
+            AS n_hits
+        FROM t GROUP BY 1)
+SELECT doc_id, n_tokens, CAST(n_hits AS BIGINT) AS n_hits,
+  CAST((n_hits * 1000000) // n_tokens AS BIGINT) AS hit_ppm,
+  (n_hits * 1000000) // n_tokens >= 20000 AS flagged
+FROM per"""
+
+
+def x80_length_bucketing(spark, sf_dir):
+    """Sequence-length bucketing for batched inference/training: docs
+    grouped into power-of-two token-length buckets (8, 16, 32, …), with
+    per-bucket doc count, real token mass, padded token mass (bucket
+    ceiling x docs) and the exact padding overhead in ppm — the
+    batching-efficiency report that decides bucket boundaries (padding
+    waste is pure throughput loss on the accelerator).
+
+    Exactness: bucket ceiling = next power of two via integer doubling
+    (no log2 floats); all masses exact BIGINTs; overhead ppm integer DIV.
+
+    Scale: per-doc token count + one bucket-keyed partial agg — buckets
+    are ~30 rows no matter the corpus size."""
+    d = _T(spark, sf_dir, "documents")
+    n_tok = F.size(words(F.col("text")))
+    per = d.select("doc_id", n_tok.alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    # smallest power of two >= n (min 8), by integer doubling
+    ceil_expr = (
+        "CASE WHEN n_tokens <= 8 THEN 8 WHEN n_tokens <= 16 THEN 16 "
+        "WHEN n_tokens <= 32 THEN 32 WHEN n_tokens <= 64 THEN 64 "
+        "WHEN n_tokens <= 128 THEN 128 WHEN n_tokens <= 256 THEN 256 "
+        "WHEN n_tokens <= 512 THEN 512 WHEN n_tokens <= 1024 THEN 1024 "
+        "WHEN n_tokens <= 2048 THEN 2048 ELSE 4096 END"
+    )
+    b = per.select("n_tokens", F.expr(ceil_expr).alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("real_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "real_tokens",
+            (F.col("bucket") * F.col("n_docs")).alias("padded_tokens"),
+            F.expr(
+                "((bucket * n_docs - real_tokens) * 1000000)"
+                " DIV (bucket * n_docs)"
+            ).alias("overhead_ppm"),
+        )
+    )
+
+
+_X80_SQL = f"""WITH {_TOKS_CTE},
+per AS (SELECT doc_id, len(ws) AS n_tokens FROM toks WHERE len(ws) > 0),
+b AS (SELECT n_tokens,
+        CASE WHEN n_tokens <= 8 THEN 8 WHEN n_tokens <= 16 THEN 16
+             WHEN n_tokens <= 32 THEN 32 WHEN n_tokens <= 64 THEN 64
+             WHEN n_tokens <= 128 THEN 128 WHEN n_tokens <= 256 THEN 256
+             WHEN n_tokens <= 512 THEN 512 WHEN n_tokens <= 1024 THEN 1024
+             WHEN n_tokens <= 2048 THEN 2048 ELSE 4096 END AS bucket
+      FROM per)
+SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+  CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+  CAST(((bucket * COUNT(*) - SUM(n_tokens)) * 1000000)
+       // (bucket * COUNT(*)) AS BIGINT) AS overhead_ppm
+FROM b GROUP BY bucket"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -5551,5 +5664,19 @@ SPECS = [
         "CCNet head/middle/tail fluency terciles per lang (exact ordering)",
         x78_ccnet_buckets,
         _X78_SQL,
+    ),
+    QuerySpec(
+        "x79_blocklist_filter",
+        "X",
+        "lexicon safety filter: per-doc blocklist hit ppm + flag verdict",
+        x79_blocklist_filter,
+        _X79_SQL,
+    ),
+    QuerySpec(
+        "x80_length_bucketing",
+        "X",
+        "power-of-two length buckets + exact padding-overhead ppm",
+        x80_length_bucketing,
+        _X80_SQL,
     ),
 ]

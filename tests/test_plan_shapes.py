@@ -182,6 +182,7 @@ _INTENDED_NESTED_LOOP = {
     "x73_dataset_card",  # broadcast 1-row vocab + dup-stats cards
     "o2_compact_small_files",  # broadcast 1-row file-count x 1-row stats
     "b48_hll_sketch_union",  # broadcast 1-row merged-sketch x 1-row exact
+    "b49_bag_set_ops",  # broadcast 1-row exceptAll x 1-row intersectAll
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
