@@ -215,6 +215,8 @@ def registry() -> dict[str, QuerySpec]:
         "x79_blocklist_filter",
         "x80_length_bucketing",
         "b49_bag_set_ops",
+        "s20_stream_partitioned_sink",
+        "o6_schema_merge_read",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

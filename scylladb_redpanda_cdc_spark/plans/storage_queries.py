@@ -368,6 +368,52 @@ SELECT day, COUNT(*) AS n_events,
 FROM e GROUP BY day"""
 
 
+# ---------------------------------------------------------------------------
+# O6 schema-evolved read (mergeSchema across parquet vintages)
+# ---------------------------------------------------------------------------
+
+
+def o6_schema_merge_read(spark, sf_dir):
+    """Schema evolution at the FILE level: two parquet vintages in one
+    dataset — an old batch written BEFORE the ``lang`` column existed
+    (even doc_ids) and a new batch with it (odd doc_ids) — read back with
+    ``mergeSchema``, which unions the footers and nulls the missing
+    column in old files. The aggregate buckets old rows under 'missing',
+    proving exactly the old vintage lacks the column and no row was
+    dropped in the merge. (A17/S13 prove envelope-level evolution; O6 is
+    the lake-file version every long-lived table hits.)
+
+    Scale: mergeSchema's cost is footer-only (schema union across files,
+    not data); the scan itself stays columnar and pruned. Real
+    deployments pin the merged schema in a catalog once instead of
+    re-merging per query — this is the checkable contract for it."""
+
+    def write(base: str) -> None:
+        d = _T(spark, sf_dir, "documents")
+        old = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+        new = d.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "n_chars", "lang"
+        )
+        old.write.mode("overwrite").parquet(base + "/batch=0")
+        new.write.mode("overwrite").parquet(base + "/batch=1")
+
+    base = _stage(spark, sf_dir, "o6", write)
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    return back.groupBy(
+        F.coalesce("lang", F.lit("missing")).alias("lang_out")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+_O6_SQL = """SELECT
+  CASE WHEN doc_id % 2 = 0 THEN 'missing' ELSE lang END AS lang_out,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents GROUP BY 1"""
+
+
 SPECS = [
     QuerySpec(
         "o1_partitioned_write",
@@ -403,5 +449,12 @@ SPECS = [
         "dynamic partition overwrite restates one day in place, exactly",
         o5_dynamic_partition_overwrite,
         _O5_SQL,
+    ),
+    QuerySpec(
+        "o6_schema_merge_read",
+        "O",
+        "mergeSchema across parquet vintages: old files null the new col",
+        o6_schema_merge_read,
+        _O6_SQL,
     ),
 ]

@@ -425,6 +425,53 @@ def s19_stream_redelivery_dedup(spark, sf_dir):
     )
 
 
+def s20_stream_partitioned_sink(spark, sf_dir):
+    """S20: the stream→lake sink — the reference pipeline's actual
+    downstream destination (topic drained into day-partitioned parquet a
+    warehouse then queries): each micro-batch appends its rows into
+    hive day partitions (O1's layout, fed incrementally); the read-back
+    per-day aggregate must equal the batch recompute no matter how the
+    four polls split the data. Append-only facts append; keyed state
+    takes the s10 merge path instead — knowing which sink discipline a
+    table needs IS the operator.
+
+    Scale: per batch, one shuffle on day (so files per batch = days
+    touched, not tasks x days — o1's writer contract); the lake gains
+    files per batch, which o2's compaction pass then bounds."""
+    from scylladb_redpanda_cdc_spark.streaming.core import scoped_shuffle
+
+    ev = stage_events_split_stream(spark, sf_dir, n_files=4)
+    base = tmpdir("s20_lake")
+    day = "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000"
+
+    def sink(batch_df, batch_id: int) -> None:
+        out = batch_df.select(
+            "event_id",
+            F.expr(day).alias("day"),
+            _val_micros(),
+        )
+        (
+            out.repartition("day")
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(base)
+        )
+
+    with scoped_shuffle(spark):
+        q = (
+            ev.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", tmpdir("s20_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.parquet(base)
+    return back.groupBy(F.col("day").cast("long").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_micros").alias("sum_value_micros"),
+    )
+
+
 def s11_stateful_running_state(spark, sf_dir):
     """S11: arbitrary per-key streaming state (applyInPandasWithState) —
     running per-user counters. Single availableNow batch => one final
@@ -695,5 +742,19 @@ ORDER BY n DESC, tok ASC LIMIT 20""",
         "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids,\n"
         f"  CAST(SUM({_VAL_MICROS_SQL}) AS BIGINT) AS sum_value_micros\n"
         "FROM events",
+    ),
+    QuerySpec(
+        "s20_stream_partitioned_sink",
+        "S",
+        "stream -> day-partitioned lake append, equal to batch recompute",
+        s20_stream_partitioned_sink,
+        """WITH e AS (
+  SELECT (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000)
+          % 86400000000) // 86400000000 AS day,
+    CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+  FROM events)
+SELECT day, COUNT(*) AS n_events,
+  CAST(SUM(vm) AS BIGINT) AS sum_value_micros
+FROM e GROUP BY day""",
     ),
 ]

@@ -122,3 +122,66 @@ def test_o5_only_min_day_restated(spark, sf_dir):
     for day, (n, vm) in truth.items():
         want = (n, vm * 2 if day == d0 else vm)
         assert out[day] == want, (day, out[day], want)
+
+
+def test_o6_merge_read_nulls_only_old_vintage(spark, sf_dir):
+    SQ.o6_schema_merge_read(spark, sf_dir).collect()
+    base = SQ._staged[(spark.sparkContext.applicationId, sf_dir, "o6")]
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    rows = back.groupBy((F.col("doc_id") % 2).alias("par")).agg(
+        F.count("*").alias("n"),
+        F.count("lang").alias("n_lang"),
+    ).collect()
+    by = {r.par: r for r in rows}
+    assert by[0].n_lang == 0        # old vintage: lang absent everywhere
+    assert by[1].n_lang == by[1].n  # new vintage: lang present everywhere
+
+
+def test_zorder_interleave_is_bijective_tile_mapping():
+    """Property: the Morton interleave is a bijection on 20 bits, and a
+    4096-cell z-bucket is exactly one 64x64 tile (the file-skipping
+    guarantee o4's layout rests on)."""
+    from hypothesis import given, strategies as st
+
+    def z(x: int, y: int, bits: int = 10) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i + 1)
+            out |= ((y >> i) & 1) << (2 * i)
+        return out
+
+    @given(st.integers(0, 1023), st.integers(0, 1023))
+    def check(x, y):
+        v = z(x, y)
+        assert 0 <= v < 1 << 20
+        # invert: de-interleave recovers (x, y) -> bijection
+        xi = sum(((v >> (2 * i + 1)) & 1) << i for i in range(10))
+        yi = sum(((v >> (2 * i)) & 1) << i for i in range(10))
+        assert (xi, yi) == (x, y)
+        # tile: the bucket index determines (x>>6, y>>6) — de-interleave
+        # the bucket's base z-value and compare tile coordinates
+        base = (v // 4096) * 4096
+        bx = sum(((base >> (2 * i + 1)) & 1) << i for i in range(10))
+        by = sum(((base >> (2 * i)) & 1) << i for i in range(10))
+        assert (bx >> 6, by >> 6) == (x >> 6, y >> 6)
+
+    check()
+
+
+def test_zorder_bucket_is_single_tile():
+    """Exhaustive on a sub-grid: every z-bucket's members share the same
+    (x>>6, y>>6) tile coordinates — per-bucket span <= 63 in both dims."""
+    def z(x, y):
+        out = 0
+        for i in range(10):
+            out |= ((x >> i) & 1) << (2 * i + 1)
+            out |= ((y >> i) & 1) << (2 * i)
+        return out
+
+    from collections import defaultdict
+
+    tiles = defaultdict(set)
+    for x in range(0, 256, 3):
+        for y in range(0, 256, 3):
+            tiles[z(x, y) // 4096].add((x >> 6, y >> 6))
+    assert all(len(t) == 1 for t in tiles.values())
