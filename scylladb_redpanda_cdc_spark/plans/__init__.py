@@ -217,6 +217,8 @@ def registry() -> dict[str, QuerySpec]:
         "b49_bag_set_ops",
         "s20_stream_partitioned_sink",
         "o6_schema_merge_read",
+        "b50_window_distinct_rewrite",
+        "x81_epoch_shuffle",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

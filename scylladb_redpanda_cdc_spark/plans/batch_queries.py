@@ -1255,6 +1255,42 @@ _B49_SQL = """SELECT
     AS sum_intersect_all"""
 
 
+def b50_window_distinct_rewrite(spark, sf_dir):
+    """Running DISTINCT count over a window — an operator Spark does NOT
+    support natively (`COUNT(DISTINCT) OVER` raises); the declared
+    rewrite is ``size(collect_set() OVER w)``, proven value-identical to
+    DuckDB's native windowed distinct aggregate. Engines differ in what
+    they expose; an engine's job is to close the gap with a rewrite and
+    PROVE it — that proof is this spec.
+
+    Scale: one shuffle on the partition key + one sort; collect_set state
+    per frame is bounded by the distinct-value cardinality of the column
+    (here order priorities: ≤5), not frame length — the rewrite is only
+    safe under that bound, which is the documented applicability rule
+    (unbounded-cardinality columns take b17's sketch path instead)."""
+    o = _T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderpriority").over(w)).alias(
+            "distinct_priorities_so_far"
+        ),
+    )
+
+
+_B50_SQL = """SELECT o_custkey, o_orderkey,
+  CAST(COUNT(DISTINCT o_orderpriority) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+    AS distinct_priorities_so_far
+FROM orders"""
+
+
 def b43_multiformat_scan(spark, sf_dir):
     """Source-format breadth: the documents table round-tripped through
     CSV (header + quoting) and JSON-lines, read back with EXPLICIT
@@ -1897,5 +1933,12 @@ SPECS = [
         "EXCEPT ALL / INTERSECT ALL multiset algebra (min/m-n counts)",
         b49_bag_set_ops,
         _B49_SQL,
+    ),
+    QuerySpec(
+        "b50_window_distinct_rewrite",
+        "B",
+        "running windowed COUNT DISTINCT via the collect_set-size rewrite",
+        b50_window_distinct_rewrite,
+        _B50_SQL,
     ),
 ]

@@ -5059,6 +5059,56 @@ SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
 FROM b GROUP BY bucket"""
 
 
+def x81_epoch_shuffle(spark, sf_dir):
+    """Deterministic multi-epoch training shuffle: each epoch orders the
+    corpus by a seeded portable hash of (doc_id, epoch) — reproducible on
+    any cluster size, different every epoch, no stored permutation (the
+    property a resumable training job needs: epoch k's order is a pure
+    function of the data + k). Output per epoch: doc count, the epoch's
+    permutation fingerprint (exact Σ position·doc_id — any ordering
+    difference moves it) and the first doc — small, fully exact.
+
+    Scale: position assignment is one sort per epoch over (hash, id); a
+    deployment shards first (x24's pattern) so each shard sorts locally
+    and epoch order is (shard, intra-shard position) — same fingerprint
+    algebra. tests pin that the three fingerprints pairwise differ (the
+    shuffles are genuinely different permutations)."""
+    d = _T(spark, sf_dir, "documents").select("doc_id")
+    epochs = None
+    for e in range(3):
+        de = d.select(
+            F.lit(e).alias("epoch"),
+            "doc_id",
+            hash60(
+                F.concat_ws("#", F.col("doc_id").cast("string"), F.lit(str(e)))
+            ).alias("hk"),
+        )
+        epochs = de if epochs is None else epochs.unionByName(de)
+    w = Window.partitionBy("epoch").orderBy("hk", "doc_id")
+    pos = epochs.select(
+        "epoch", "doc_id", F.row_number().over(w).alias("pos")
+    )
+    return pos.groupBy("epoch").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("perm_fingerprint"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+    )
+
+
+_X81_SQL = """WITH e AS (
+  SELECT epoch, doc_id,
+    CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || '#'
+      || CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) ep),
+p AS (SELECT epoch, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY hk, doc_id) AS pos
+      FROM e)
+SELECT epoch, COUNT(*) AS n_docs,
+  CAST(SUM(pos * doc_id) AS BIGINT) AS perm_fingerprint,
+  MIN(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
+FROM p GROUP BY epoch"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -5678,5 +5728,12 @@ SPECS = [
         "power-of-two length buckets + exact padding-overhead ppm",
         x80_length_bucketing,
         _X80_SQL,
+    ),
+    QuerySpec(
+        "x81_epoch_shuffle",
+        "X",
+        "deterministic per-epoch corpus shuffle (seeded hash order, exact)",
+        x81_epoch_shuffle,
+        _X81_SQL,
     ),
 ]

