@@ -219,6 +219,7 @@ def registry() -> dict[str, QuerySpec]:
         "o6_schema_merge_read",
         "b50_window_distinct_rewrite",
         "x81_epoch_shuffle",
+        "x82_content_defined_chunks",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

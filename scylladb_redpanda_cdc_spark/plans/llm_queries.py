@@ -5109,6 +5109,50 @@ SELECT epoch, COUNT(*) AS n_docs,
 FROM p GROUP BY epoch"""
 
 
+def x82_content_defined_chunks(spark, sf_dir):
+    """Content-defined chunking (FastCDC/rsync-style): chunk boundaries
+    where hash(token) lands in a 1/16 target band, so boundaries move
+    WITH the content — insert a sentence and only the chunks around it
+    change, where x38's fixed windows all shift (the property that makes
+    CDC chunks dedupable across document revisions; the storage-dedup
+    workhorse applied to token streams). Per doc: token count, chunk
+    count, expected-vs-actual boundary rate in ppm.
+
+    Exactness: boundaries via the portable sha-prefix hash; counts and
+    ppm integer algebra.
+
+    Scale: map-side per-token predicate + one doc-keyed partial agg; no
+    shuffle carries anything token-sized."""
+    d = _T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    per = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(
+            F.when(hash16(F.col("tok")) % 16 == 0, 1).otherwise(0)
+        ).alias("n_boundaries"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_boundaries") + 1).alias("n_chunks"),
+        F.expr("(n_boundaries * 1000000) DIV n_tokens").alias(
+            "boundary_ppm"
+        ),
+    )
+
+
+_X82_SQL = f"""WITH {_TOKS_CTE},
+t AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+          SUM(CASE WHEN CAST(concat('0x', substr(sha256(tok), 1, 4))
+                        AS BIGINT) % 16 = 0 THEN 1 ELSE 0 END)
+            AS n_boundaries
+        FROM t GROUP BY 1)
+SELECT doc_id, n_tokens, CAST(n_boundaries + 1 AS BIGINT) AS n_chunks,
+  CAST((n_boundaries * 1000000) // n_tokens AS BIGINT) AS boundary_ppm
+FROM per"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -5735,5 +5779,12 @@ SPECS = [
         "deterministic per-epoch corpus shuffle (seeded hash order, exact)",
         x81_epoch_shuffle,
         _X81_SQL,
+    ),
+    QuerySpec(
+        "x82_content_defined_chunks",
+        "X",
+        "content-defined (rolling-hash) chunk boundaries, shift-robust",
+        x82_content_defined_chunks,
+        _X82_SQL,
     ),
 ]

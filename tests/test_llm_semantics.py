@@ -882,3 +882,22 @@ def test_window_distinct_rewrite_is_monotone_bounded(spark, sf_dir, specs):
     pdf = specs["b50_window_distinct_rewrite"].build(spark, sf_dir).toPandas()
     assert pdf["distinct_priorities_so_far"].max() <= 5
     assert (pdf["distinct_priorities_so_far"] >= 1).all()
+
+
+def test_content_defined_boundaries_are_shift_robust():
+    """x82's kernel property (pure Python twin of the hash predicate):
+    inserting one token changes no boundary decisions elsewhere — each
+    token's boundary bit depends only on that token, so chunking is
+    shift-robust where fixed windows are not."""
+    import hashlib
+
+    def is_boundary(tok: str) -> bool:
+        return int(hashlib.sha256(tok.encode()).hexdigest()[:4], 16) % 16 == 0
+
+    toks = [f"tok{i}" for i in range(200)]
+    before = [is_boundary(t) for t in toks]
+    shifted = toks[:100] + ["inserted"] + toks[100:]
+    after = [is_boundary(t) for t in shifted]
+    # every original token keeps its decision, regardless of position
+    assert after[:100] == before[:100]
+    assert after[101:] == before[100:]
