@@ -220,6 +220,8 @@ def registry() -> dict[str, QuerySpec]:
         "b50_window_distinct_rewrite",
         "x81_epoch_shuffle",
         "x82_content_defined_chunks",
+        "w9_win_median_rewrite",
+        "b51_dq_report",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -1291,6 +1291,61 @@ _B50_SQL = """SELECT o_custkey, o_orderkey,
 FROM orders"""
 
 
+def b51_dq_report(spark, sf_dir):
+    """Data-quality assertion report (the dbt-test / Great-Expectations
+    surface as ONE declarative pass): per check, violation count over
+    orders — PK uniqueness, not-null, referential integrity into
+    customer, value-range, and set-membership. A warehouse gates loads on
+    exactly this report; emitting counts (not booleans) makes it a
+    monitoring time series.
+
+    Scale: the five checks share one scan via conditional partial aggs;
+    uniqueness is a key-group count and referential integrity an anti
+    join against the (broadcastable) dimension — nothing re-reads the
+    fact table five times."""
+    o = _T(spark, sf_dir, "orders")
+    c = _T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    base = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias(
+            "dup_pk_violations"
+        ),
+        F.sum(
+            F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
+        ).alias("null_price_violations"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("nonpositive_price_violations"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        ).alias("bad_status_violations"),
+    )
+    orphans = o.join(F.broadcast(c), "o_custkey", "left_anti").agg(
+        F.count("*").alias("orphan_fk_violations")
+    )
+    return base.crossJoin(orphans)
+
+
+_B51_SQL = """SELECT
+  (SELECT COUNT(*) FROM orders) AS n_rows,
+  (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    AS dup_pk_violations,
+  (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL)
+    AS null_price_violations,
+  (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    AS nonpositive_price_violations,
+  (SELECT COUNT(*) FROM orders
+   WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS bad_status_violations,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey))
+    AS orphan_fk_violations"""
+
+
 def b43_multiformat_scan(spark, sf_dir):
     """Source-format breadth: the documents table round-tripped through
     CSV (header + quoting) and JSON-lines, read back with EXPLICIT
@@ -1940,5 +1995,12 @@ SPECS = [
         "running windowed COUNT DISTINCT via the collect_set-size rewrite",
         b50_window_distinct_rewrite,
         _B50_SQL,
+    ),
+    QuerySpec(
+        "b51_dq_report",
+        "B",
+        "data-quality assertion report: 5 checks, one scan + one anti join",
+        b51_dq_report,
+        _B51_SQL,
     ),
 ]

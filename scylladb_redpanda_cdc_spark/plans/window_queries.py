@@ -253,6 +253,49 @@ _W8_SQL = """SELECT o_custkey, o_orderkey,
 FROM orders"""
 
 
+def w9_win_median_rewrite(spark, sf_dir):
+    """W9: rolling median — Spark has no MEDIAN() OVER; the declared
+    rewrite collects the bounded frame (last 4 prices), sorts it, and
+    takes the middle pair SYMBOLICALLY: the output is median×2 in integer
+    cents (odd frame: 2·mid; even frame: lo+hi), which sidesteps the .5
+    interpolation float while remaining exactly DuckDB's native
+    ``MEDIAN() OVER`` doubled. b50's pattern (close an engine gap with a
+    rewrite and PROVE it), applied to an interpolating aggregate.
+
+    Applicability rule: the collect frame must be BOUNDED (here 4 rows) —
+    unbounded frames take a two-pass percentile instead.
+
+    Scale: one shuffle on o_custkey + one sort; the frame array is O(4)
+    per row."""
+    o = _T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("cents").over(w))
+    n = F.size(arr)
+    med_x2 = F.element_at(arr, ((n - 1) / 2).cast("int") + 1) + F.element_at(
+        arr, (n / 2).cast("int") + 1
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", med_x2.alias("median_x2_cents")
+    )
+
+
+_W9_SQL = """SELECT o_custkey, o_orderkey,
+  CAST(2 * MEDIAN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS median_x2_cents
+FROM orders"""
+
+
 SPECS = [
     QuerySpec(
         "w1_win_ranking",
@@ -342,5 +385,12 @@ SPECS = [
         "first/last/nth_value over explicit trailing/forward/full frames",
         w8_win_value_frames,
         _W8_SQL,
+    ),
+    QuerySpec(
+        "w9_win_median_rewrite",
+        "W",
+        "rolling median via bounded-frame collect rewrite (2x-cents exact)",
+        w9_win_median_rewrite,
+        _W9_SQL,
     ),
 ]

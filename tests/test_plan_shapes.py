@@ -183,6 +183,7 @@ _INTENDED_NESTED_LOOP = {
     "o2_compact_small_files",  # broadcast 1-row file-count x 1-row stats
     "b48_hll_sketch_union",  # broadcast 1-row merged-sketch x 1-row exact
     "b49_bag_set_ops",  # broadcast 1-row exceptAll x 1-row intersectAll
+    "b51_dq_report",  # broadcast 1-row checks x 1-row orphan count
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
