@@ -222,6 +222,7 @@ def registry() -> dict[str, QuerySpec]:
         "x82_content_defined_chunks",
         "w9_win_median_rewrite",
         "b51_dq_report",
+        "x83_bloom_prefilter",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -5153,6 +5153,86 @@ SELECT doc_id, n_tokens, CAST(n_boundaries + 1 AS BIGINT) AS n_chunks,
 FROM per"""
 
 
+def x83_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter membership prefilter — the cheap gate in front of an
+    expensive dedup/decontamination join (and the math behind Spark's own
+    runtime bloom pushdown): the reference set (x26's eval convention,
+    doc_id % 97 == 0) occupies k=3 positions per doc in a 4096-bit filter
+    built from the portable hash; a corpus doc is a CANDIDATE iff all 3
+    of its positions are occupied. Both engines recompute identical
+    positions, so even the false positives are deterministic — the output
+    row carries true-member, candidate, and false-positive counts plus
+    the zero-false-NEGATIVE guarantee (every member is a candidate, the
+    property that makes the prefilter sound).
+
+    Scale: the filter is ~occupied-positions-sized (KBs) and BROADCAST;
+    the corpus pass is map-side (3 hashes + semi-join against the
+    broadcast set) — the expensive exact join then runs only on
+    candidates."""
+    d = _T(spark, sf_dir, "documents")
+    pos = None
+    for i in (1, 2, 3):
+        p_i = d.select(
+            "doc_id",
+            (
+                hash16(F.concat_ws("#", F.col("text"), F.lit(str(i))))
+                % 4096
+            ).alias("pos"),
+        )
+        pos = p_i if pos is None else pos.unionByName(p_i)
+    bloom = (
+        pos.where(F.col("doc_id") % 97 == 0).select("pos").distinct()
+    )
+    hits = (
+        pos.join(F.broadcast(bloom), "pos", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_doc = (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("n_hit", F.lit(0)) == 3).alias("candidate"),
+            (F.col("doc_id") % 97 == 0).alias("member"),
+        )
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("member").cast("int")).alias("n_members"),
+        F.sum(F.col("candidate").cast("int")).alias("n_candidates"),
+        F.sum(
+            (F.col("candidate") & ~F.col("member")).cast("int")
+        ).alias("n_false_positives"),
+        F.sum(
+            (F.col("member") & ~F.col("candidate")).cast("int")
+        ).alias("n_false_negatives"),
+    )
+
+
+_X83_SQL = """WITH pos AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(sha256(text || '#' || CAST(i AS VARCHAR)),
+      1, 4)) AS BIGINT) % 4096 AS pos
+  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) ii),
+bloom AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 97 = 0),
+hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM pos
+         WHERE pos IN (SELECT pos FROM bloom) GROUP BY 1),
+per AS (SELECT d.doc_id,
+          COALESCE(h.n_hit, 0) = 3 AS candidate,
+          d.doc_id % 97 = 0 AS member
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+SELECT COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+  CAST(SUM(CASE WHEN candidate THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_candidates,
+  CAST(SUM(CASE WHEN candidate AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_positives,
+  CAST(SUM(CASE WHEN member AND NOT candidate THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_negatives
+FROM per"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -5786,5 +5866,12 @@ SPECS = [
         "content-defined (rolling-hash) chunk boundaries, shift-robust",
         x82_content_defined_chunks,
         _X82_SQL,
+    ),
+    QuerySpec(
+        "x83_bloom_prefilter",
+        "X",
+        "bloom membership prefilter: deterministic FPs, zero FNs, exact",
+        x83_bloom_prefilter,
+        _X83_SQL,
     ),
 ]

@@ -901,3 +901,12 @@ def test_content_defined_boundaries_are_shift_robust():
     # every original token keeps its decision, regardless of position
     assert after[:100] == before[:100]
     assert after[101:] == before[100:]
+
+
+def test_bloom_prefilter_is_sound(spark, sf_dir, specs):
+    """x83: zero false negatives (every member is a candidate — the
+    soundness guarantee), and candidates = members + false positives."""
+    row = specs["x83_bloom_prefilter"].build(spark, sf_dir).toPandas().iloc[0]
+    assert row["n_false_negatives"] == 0
+    assert row["n_candidates"] == row["n_members"] + row["n_false_positives"]
+    assert row["n_members"] > 0
