@@ -157,7 +157,11 @@ def registry() -> dict[str, QuerySpec]:
         "x2_dedup_fuzzy_minhash",
         # slots 51+: past the observed 50-entry grading budget; ordered
         # here so a looser budget grades them, else they head the r6
-        # rotation
+        # rotation. Everything from o1 onward was added late in round 5
+        # (storage-layout O group; a21-a23 delivery-tolerance/DLQ/txn;
+        # s18-s20 batching-invariance/redelivery/lake-sink; b46-b51;
+        # w8/w9; u8/u9; f9; x74-x83) — all locally oracle-verified at
+        # sf0.001 AND sf0.01 (see git log), queued here for driver grading.
         "b39_cohort_retention",
         "a19_log_integrity_audit",
         "x56_mixture_sample",
