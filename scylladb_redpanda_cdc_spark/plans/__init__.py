@@ -227,6 +227,9 @@ def registry() -> dict[str, QuerySpec]:
         "w9_win_median_rewrite",
         "b51_dq_report",
         "x83_bloom_prefilter",
+        "x84_source_minhash_overlap",
+        "f10_fn_bitwise",
+        "b52_tablesample_envelope",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

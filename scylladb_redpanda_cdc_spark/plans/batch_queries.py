@@ -1346,6 +1346,43 @@ _B51_SQL = """SELECT
     AS orphan_fk_violations"""
 
 
+def b52_tablesample_envelope(spark, sf_dir):
+    """Bernoulli TABLESAMPLE, graded by b17's policy: the sampled subset
+    itself is engine-specific (seeded per-row coin flips), so the output
+    pins what IS contractual — the exact source count, a binomial-bounds
+    boolean on the sample size (10% ± 5pp absolute, ~10σ headroom at
+    fixture scale), and a zero count of sampled rows that do not exist in
+    the source (subset soundness via anti join). The oracle expects the
+    exact count, TRUE, and 0.
+
+    Scale: sampling is a map-side filter (no shuffle, no materialized
+    sample); the soundness anti-join is sample-sized."""
+    li = _T(spark, sf_dir, "lineitem")
+    s = li.sample(fraction=0.1, seed=42)
+    n = li.agg(F.count("*").alias("n_source"))
+    ns = s.agg(F.count("*").alias("n_sample"))
+    foreign = s.join(
+        li, ["l_orderkey", "l_linenumber"], "left_anti"
+    ).agg(F.count("*").alias("n_foreign"))
+    return (
+        n.crossJoin(ns)
+        .crossJoin(foreign)
+        .select(
+            "n_source",
+            (
+                (F.col("n_sample") >= F.col("n_source") * 0.05)
+                & (F.col("n_sample") <= F.col("n_source") * 0.15)
+            ).alias("sample_in_bounds"),
+            "n_foreign",
+        )
+    )
+
+
+_B52_SQL = """SELECT COUNT(*) AS n_source, TRUE AS sample_in_bounds,
+  CAST(0 AS BIGINT) AS n_foreign
+FROM lineitem"""
+
+
 def b43_multiformat_scan(spark, sf_dir):
     """Source-format breadth: the documents table round-tripped through
     CSV (header + quoting) and JSON-lines, read back with EXPLICIT
@@ -2002,5 +2039,12 @@ SPECS = [
         "data-quality assertion report: 5 checks, one scan + one anti join",
         b51_dq_report,
         _B51_SQL,
+    ),
+    QuerySpec(
+        "b52_tablesample_envelope",
+        "B",
+        "Bernoulli TABLESAMPLE graded by bounds + subset-soundness (b17)",
+        b52_tablesample_envelope,
+        _B52_SQL,
     ),
 ]

@@ -212,6 +212,38 @@ _F9_SQL = """SELECT doc_id,
 FROM documents"""
 
 
+def f10_fn_bitwise(spark, sf_dir):
+    """Bitwise family: the BIT_AND / BIT_OR / BIT_XOR aggregates (the
+    bitmap/flag-set algebra behind permission masks and feature flags)
+    per brand, plus scalar shifts and negation on the row side. All pure
+    int64 algebra — exact everywhere; aggregates are map-side combinable
+    (AND/OR/XOR are associative+commutative), so they shuffle one value
+    per group like any partial agg."""
+    p = _T(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.bit_and("p_size").alias("size_and"),
+        F.bit_or("p_size").alias("size_or"),
+        F.bit_xor("p_size").alias("size_xor"),
+        F.count("*").alias("n"),
+        F.sum(F.shiftleft(F.col("p_size"), 2).cast("long")).alias(
+            "shl2_sum"
+        ),
+        F.sum(F.shiftright(F.col("p_size"), 1).cast("long")).alias(
+            "shr1_sum"
+        ),
+    )
+
+
+_F10_SQL = """SELECT p_brand,
+  CAST(BIT_AND(p_size) AS INTEGER) AS size_and,
+  CAST(BIT_OR(p_size) AS INTEGER) AS size_or,
+  CAST(BIT_XOR(p_size) AS INTEGER) AS size_xor,
+  COUNT(*) AS n,
+  CAST(SUM(p_size * 4) AS BIGINT) AS shl2_sum,
+  CAST(SUM(p_size // 2) AS BIGINT) AS shr1_sum
+FROM part GROUP BY p_brand"""
+
+
 SPECS = [
     QuerySpec(
         "f1_fn_string",
@@ -327,5 +359,12 @@ SPECS = [
         "URL family: parse_url inverts a field-built URL (host/path/query)",
         f9_fn_url,
         _F9_SQL,
+    ),
+    QuerySpec(
+        "f10_fn_bitwise",
+        "F",
+        "BIT_AND/OR/XOR aggregates + scalar shifts (bitmap algebra)",
+        f10_fn_bitwise,
+        _F10_SQL,
     ),
 ]

@@ -5233,6 +5233,72 @@ SELECT COUNT(*) AS n_docs,
 FROM per"""
 
 
+def x84_source_minhash_overlap(spark, sf_dir):
+    """Source-overlap matrix via MERGEABLE MinHash: each source's
+    signature is 16 mins over ALL its docs' shingle hashes — the min is
+    associative, so per-doc (or per-partition, or per-day) signatures
+    union into source signatures for free, b48's sketch-rollup property
+    applied to Jaccard. Pairwise band agreement estimates which SOURCES
+    feed each other / scrape the same upstream — the first question asked
+    of a new data mix. Estimates are deterministic (portable hash +
+    literal band constants), so even the approximation is oracle-exact.
+
+    Scale: one shingle pass + a sources-sized signature table; the pair
+    comparison is |sources|² over a tiny frame (declared bounded cross
+    join) — never doc-pairwise."""
+    d = _T(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(word_shingles(words(F.col("text")))).alias("s")
+    ).select("source", hash60(F.col("s")).alias("h"))
+    sigs = sh.groupBy("source").agg(
+        *[
+            F.min(minhash_remix(F.col("h"), b)).alias(f"sig_{b}")
+            for b in range(16)
+        ]
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            agree.alias("n_agree"),
+        )
+        .withColumn(
+            "est_jaccard_ppm", F.expr("(n_agree * 1000000) DIV 16")
+        )
+    )
+
+
+def _x84_sql() -> str:
+    return f"""WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+grams AS (SELECT t.source, unnest(s2.shingles) AS s
+          FROM sh s2 JOIN (SELECT doc_id, source FROM documents) t
+            ON s2.doc_id = t.doc_id),
+hs AS (SELECT source,
+         CAST(concat('0x', substr(sha256(s), 1, 15)) AS BIGINT) AS h
+       FROM grams),
+bands(band, a, c) AS (VALUES
+  {_X2_BANDS_VALUES}),
+sigs AS (SELECT source, band,
+           MIN(((h % {MINHASH_P}) * a + c) % {MINHASH_P}) AS sig
+         FROM hs CROSS JOIN bands GROUP BY source, band),
+agree AS (SELECT x.source AS source_a, y.source AS source_b,
+            CAST(SUM(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_agree
+          FROM sigs x JOIN sigs y
+            ON x.band = y.band AND x.source < y.source
+          GROUP BY 1, 2)
+SELECT source_a, source_b, n_agree,
+  CAST((n_agree * 1000000) // 16 AS BIGINT) AS est_jaccard_ppm
+FROM agree"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -5873,5 +5939,12 @@ SPECS = [
         "bloom membership prefilter: deterministic FPs, zero FNs, exact",
         x83_bloom_prefilter,
         _X83_SQL,
+    ),
+    QuerySpec(
+        "x84_source_minhash_overlap",
+        "X",
+        "mergeable per-source MinHash -> pairwise source overlap matrix",
+        x84_source_minhash_overlap,
+        _x84_sql(),
     ),
 ]

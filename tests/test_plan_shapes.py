@@ -184,6 +184,8 @@ _INTENDED_NESTED_LOOP = {
     "b48_hll_sketch_union",  # broadcast 1-row merged-sketch x 1-row exact
     "b49_bag_set_ops",  # broadcast 1-row exceptAll x 1-row intersectAll
     "b51_dq_report",  # broadcast 1-row checks x 1-row orphan count
+    "b52_tablesample_envelope",  # broadcast 1-row counts triple
+    "x84_source_minhash_overlap",  # declared bounded sources^2 cross join
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
