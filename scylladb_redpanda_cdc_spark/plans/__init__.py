@@ -230,6 +230,8 @@ def registry() -> dict[str, QuerySpec]:
         "x84_source_minhash_overlap",
         "f10_fn_bitwise",
         "b52_tablesample_envelope",
+        "a24_snapshot_live_cutover",
+        "b53_q5_composite",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -1383,6 +1383,71 @@ _B52_SQL = """SELECT COUNT(*) AS n_source, TRUE AS sample_in_bounds,
 FROM lineitem"""
 
 
+def b53_q5_composite(spark, sf_dir):
+    """TPC-H Q5-shaped composite: local-supplier revenue per nation — the
+    six-table snowflake (region→nation→{customer, supplier}→orders→
+    lineitem) with the same-nation customer/supplier correlation
+    predicate and a one-year date slice. b44 proves a 3-way compose; b53
+    proves the DEEP join tree lands the right shape: region/nation/
+    supplier broadcast (tiny dims), customer⋈orders keyed on custkey,
+    the big orders⋈lineitem pair keyed on orderkey, the same-nation
+    predicate applied as a join condition (not a post-filter on a wider
+    join), and the date filter pushed into the orders scan.
+
+    Exactness: revenue in exact floored micros per item, summed as
+    BIGINT."""
+    r = _T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _T(spark, sf_dir, "nation")
+    c = _T(spark, sf_dir, "customer")
+    s = _T(spark, sf_dir, "supplier")
+    o = _T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _T(spark, sf_dir, "lineitem")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    sn = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey).select(
+        "s_suppkey", F.col("s_nationkey").alias("sup_nationkey"), "n_name"
+    )
+    co = c.join(o, c.c_custkey == o.o_custkey).select(
+        "o_orderkey", F.col("c_nationkey").alias("cust_nationkey")
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1_000_000
+    ).cast("long")
+    j = (
+        li.join(co, li.l_orderkey == co.o_orderkey)
+        .join(
+            F.broadcast(sn),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("cust_nationkey") == F.col("sup_nationkey")),
+        )
+        .select("n_name", rev.alias("rev_micros"))
+    )
+    return j.groupBy("n_name").agg(
+        F.sum("rev_micros").alias("revenue_micros"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_B53_SQL = """SELECT n_name,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000)
+                AS BIGINT)) AS BIGINT) AS revenue_micros,
+  COUNT(*) AS n_items
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN supplier ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name"""
+
+
 def b43_multiformat_scan(spark, sf_dir):
     """Source-format breadth: the documents table round-tripped through
     CSV (header + quoting) and JSON-lines, read back with EXPLICIT
@@ -2046,5 +2111,12 @@ SPECS = [
         "Bernoulli TABLESAMPLE graded by bounds + subset-soundness (b17)",
         b52_tablesample_envelope,
         _B52_SQL,
+    ),
+    QuerySpec(
+        "b53_q5_composite",
+        "B",
+        "TPC-H Q5-shaped 6-table snowflake: local-supplier revenue/nation",
+        b53_q5_composite,
+        _B53_SQL,
     ),
 ]

@@ -907,6 +907,39 @@ SELECT txn_id, COUNT(*) AS n_events,
 FROM t GROUP BY txn_id"""
 
 
+def a24_snapshot_live_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: consumer bootstrap — the two-phase lifecycle every new CDC
+    consumer runs (reference README.md:117: Debezium snapshot phases
+    ``true``/``last`` precede live ``false`` events): phase 1 materializes
+    the initial-snapshot events into a base table; phase 2 applies the
+    live tail onto that base through the SAME upsert kernel. The result
+    must equal the one-pass materialization of the whole log (a6's
+    oracle): the cutover point is invisible in the final state, which is
+    the property that lets a consumer bootstrap from a snapshot instead
+    of replaying all history.
+
+    Scale: phase 1 is snapshot-sized, phase 2's merge is live-tail-sized
+    on the base — the bootstrap never reprocesses history (the entire
+    reason snapshots exist); both phases are the one-shuffle compaction."""
+    decoded = _decoded_df(spark, extended=True).select(
+        F.col("key_customer_id").alias("customer_id"),
+        F.col("key_order_id").alias("order_id"),
+        F.col("after_product").alias("product"),
+        "op",
+        "offset",
+        "snapshot",
+    )
+    snap = decoded.filter(F.col("snapshot") != "false").drop("snapshot")
+    live = decoded.filter(F.col("snapshot") == "false").drop("snapshot")
+    base = cdc.materialize_latest(
+        snap, ["customer_id", "order_id"], drop_deletes=False
+    )
+    final = cdc.materialize_latest(
+        base.unionByName(live), ["customer_id", "order_id"]
+    )
+    return final.select("customer_id", "order_id", "product")
+
+
 def a21_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A21: at-least-once delivery tolerance — the reference's contract is
     at-least-once, never exactly-once (offset flush every 10 s,
@@ -1236,6 +1269,13 @@ FROM log GROUP BY topic""",
         "DLQ routing: per-record poison classification, first failure wins",
         a22_dead_letter_split,
         _a22_sql(),
+    ),
+    QuerySpec(
+        "a24_snapshot_live_cutover",
+        "A",
+        "two-phase consumer bootstrap (snapshot then live) == one pass",
+        a24_snapshot_live_cutover,
+        _s("SELECT customer_id, order_id, product FROM state", extended=True),
     ),
     QuerySpec(
         "a21_replay_idempotence",
