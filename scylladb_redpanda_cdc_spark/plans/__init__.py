@@ -232,6 +232,8 @@ def registry() -> dict[str, QuerySpec]:
         "b52_tablesample_envelope",
         "a24_snapshot_live_cutover",
         "b53_q5_composite",
+        "o7_file_metadata_columns",
+        "u10_python_datasource",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

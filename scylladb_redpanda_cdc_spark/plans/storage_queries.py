@@ -414,6 +414,48 @@ _O6_SQL = """SELECT
 FROM documents GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# O7 file-provenance metadata columns
+# ---------------------------------------------------------------------------
+
+
+def o7_file_metadata_columns(spark, sf_dir):
+    """File-provenance via the hidden ``_metadata`` struct: every scan can
+    attribute each row to its physical file (path, size, row position) —
+    the lineage/debugging surface incident response needs ('which file
+    produced these corrupt rows?'). Over O1's layout, grouping by
+    partition and distinct file path must report exactly ONE file per
+    partition (the writer contract) and the partition's exact row count;
+    paths themselves are scratch-specific, so the oracle pins the
+    file-count and row-count invariants, not the strings.
+
+    Scale: ``_metadata`` is populated by the scan at zero IO cost (it's
+    already known per split); the agg is partition-keyed."""
+
+    def write(base: str) -> None:
+        (
+            _T(spark, sf_dir, "lineitem")
+            .repartition("l_returnflag", "l_linestatus")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag", "l_linestatus")
+            .parquet(base)
+        )
+
+    base = _stage(spark, sf_dir, "o1", write)  # share o1's layout
+    back = spark.read.parquet(base).select(
+        "l_returnflag", "l_linestatus", F.col("_metadata.file_path").alias("fp")
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.countDistinct("fp").alias("n_files"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_O7_SQL = """SELECT l_returnflag, l_linestatus,
+  CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
 SPECS = [
     QuerySpec(
         "o1_partitioned_write",
@@ -456,5 +498,12 @@ SPECS = [
         "mergeSchema across parquet vintages: old files null the new col",
         o6_schema_merge_read,
         _O6_SQL,
+    ),
+    QuerySpec(
+        "o7_file_metadata_columns",
+        "O",
+        "_metadata file provenance: one file per partition + exact rows",
+        o7_file_metadata_columns,
+        _O7_SQL,
     ),
 ]

@@ -219,6 +219,48 @@ def u9_pandas_udf_iterator(spark, sf_dir):
     )
 
 
+def u10_python_datasource(spark, sf_dir):
+    """Spark 4's Python DataSource API — the newest extension point: a
+    custom source class registered with ``spark.dataSource.register`` and
+    read through the ordinary ``spark.read.format(...)`` path, partition
+    planning included (two partitions here, each generating its half of a
+    deterministic keyed sequence with derived columns). This is how a
+    team plugs a proprietary feed into the engine WITHOUT JVM code; the
+    oracle is DuckDB's ``range()`` twin of the same generator.
+
+    Scale: ``partitions()`` is the parallelism contract — each partition
+    generates/reads independently on an executor (a real feed returns one
+    partition per shard/offset-range, exactly the Kafka source's shape)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SeqSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "sg_seq"
+
+        def schema(self):
+            return "k bigint, k_sq bigint, parity string"
+
+        def reader(self, schema):
+            return SeqReader()
+
+    class SeqReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(0), InputPartition(1)]
+
+        def read(self, partition):
+            lo = partition.value * 50
+            for k in range(lo, lo + 50):
+                yield (k, k * k, "even" if k % 2 == 0 else "odd")
+
+    spark.dataSource.register(SeqSource)
+    return spark.read.format("sg_seq").load()
+
+
 def u6_grouped_map_applyinpandas(spark, sf_dir):
     """U6: ``applyInPandas`` grouped-map — the whole-group-in /
     whole-group-out API (U3 aggregates a group to one row; U6 transforms
@@ -330,6 +372,15 @@ SPECS = [
         "SELECT l_orderkey, l_linenumber,\n"
         "  l_extendedprice * (1.0 - l_discount) AS net_price\n"
         "FROM lineitem WHERE l_quantity >= 30",
+    ),
+    QuerySpec(
+        "u10_python_datasource",
+        "U",
+        "Spark 4 Python DataSource: registered source, partition planning",
+        u10_python_datasource,
+        "SELECT k, k * k AS k_sq,\n"
+        "  CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END AS parity\n"
+        "FROM (SELECT unnest(range(0, 100)) AS k)",
     ),
     QuerySpec(
         "u8_map_in_arrow",
