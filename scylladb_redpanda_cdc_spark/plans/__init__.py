@@ -234,6 +234,7 @@ def registry() -> dict[str, QuerySpec]:
         "b53_q5_composite",
         "o7_file_metadata_columns",
         "u10_python_datasource",
+        "x85_dedup_method_report",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -5299,6 +5299,60 @@ SELECT source_a, source_b, n_agree,
 FROM agree"""
 
 
+def x85_dedup_method_report(spark, sf_dir):
+    """Dedup-method datasheet: the three detector families run over the
+    same corpus and summarized side by side — exact (removable duplicate
+    docs), MinHash banding (candidate pairs), n-gram Jaccard (verified
+    pairs ≥0.1). The tuning report every curation run reads before
+    choosing thresholds: exact is the floor, banding's recall-oriented
+    candidates sit above Jaccard's verified pairs, and drift between the
+    three across snapshots is the first sign a scrape changed character.
+
+    Scale: reuses the production kernels verbatim (x2's banded join,
+    x11's cached inverted index) — each summary is one COUNT over an
+    already-bounded candidate set, never a new all-pairs pass."""
+    d = _T(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim("text")), 256)
+    exact = d.agg(
+        (F.count("*") - F.countDistinct(h)).alias("n_detected")
+    ).select(
+        F.lit("exact").alias("method"),
+        F.lit("dup_docs").alias("unit"),
+        "n_detected",
+    )
+    mh = (
+        x2_dedup_fuzzy_minhash(spark, sf_dir)
+        .agg(F.count("*").alias("n_detected"))
+        .select(
+            F.lit("minhash_band").alias("method"),
+            F.lit("pairs").alias("unit"),
+            "n_detected",
+        )
+    )
+    nj = (
+        x11_dedup_ngram_jaccard(spark, sf_dir)
+        .agg(F.count("*").alias("n_detected"))
+        .select(
+            F.lit("ngram_jaccard").alias("method"),
+            F.lit("pairs").alias("unit"),
+            "n_detected",
+        )
+    )
+    return exact.unionByName(mh).unionByName(nj)
+
+
+def _x85_sql() -> str:
+    return f"""SELECT 'exact' AS method, 'dup_docs' AS unit,
+  (SELECT COUNT(*) - COUNT(DISTINCT sha256(lower(trim(text))))
+   FROM documents) AS n_detected
+UNION ALL
+SELECT 'minhash_band', 'pairs',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_X2_SQL}))
+UNION ALL
+SELECT 'ngram_jaccard', 'pairs',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_X11_SQL}))"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -5946,5 +6000,12 @@ SPECS = [
         "mergeable per-source MinHash -> pairwise source overlap matrix",
         x84_source_minhash_overlap,
         _x84_sql(),
+    ),
+    QuerySpec(
+        "x85_dedup_method_report",
+        "X",
+        "exact / banding / Jaccard detectors summarized side by side",
+        x85_dedup_method_report,
+        _x85_sql(),
     ),
 ]
