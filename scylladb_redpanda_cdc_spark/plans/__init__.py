@@ -90,151 +90,101 @@ def registry() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {spec.qid}")
             specs[spec.qid] = spec
     prefix = [
-        # slots 1-5: registered late in round 3, never driver-graded
-        "b35_time_bucket_rollup",
-        "x33_span_dedup",
-        "x34_vocab_coverage",
-        "x35_tokens_to_ids",
-        "x36_incremental_dedup",
-        # new operators added in rounds 4-5 go here (never graded)
-        "b36_range_interval_join",
-        "x37_pii_redact",
-        "x38_doc_chunk",
-        "x39_dedup_containment",
-        "a16_multi_table_topics",
-        "x40_ngram_topk",
-        "x41_bpe_pair_counts",
-        "x42_text_diversity",
-        "x43_bm25_rank",
-        "x44_lang_temperature_mix",
-        "x45_ann_recall_eval",
-        "b37_time_range_window",
-        "a17_schema_evolution",
-        "s13_stream_schema_evolution",
-        "u6_grouped_map_applyinpandas",
-        "x46_dedup_est_quality",
-        "x47_contamination_score",
-        # events-load path changed this round: batch + streaming re-proof
-        # (f6/f7 read only event_id/props — ts never enters their plan, so
-        # their r3 proofs stand and their slots fund new operators)
-        "w6_win_sessionize",
-        "b14_join_asof",
-        "s1_stream_ingest_kafka",
-        "s2_checkpointed_offsets",
-        "s3_stream_tumbling_agg",
-        "s4_stream_sliding_agg",
-        "s5_stream_session_window",
-        "s6_watermark_late_drop",
-        "s7_stream_dedup",
-        "s8_stream_static_join",
-        "s9_stream_stream_join",
-        "s10_foreachbatch_upsert",
-        "s12_watermark_late_drop_observed",
-        "s11_stateful_running_state",
-        # CDC surface spot re-proof (the A group reads the STATIC golden
-        # capture, untouched by the round-4 events fixture change, so its
-        # r1 proofs stand; keep the flagship — the end-to-end composition
-        # — and fund the twelve operators added in round 5, below)
-        "flagship_cdc_materialize",
-        # added in round 5, never graded
-        "a18_point_in_time_replay",
-        "s14_stream_incremental_dedup",
-        "s15_stream_heavy_hitters",
-        "x48_quality_classifier",
-        "x49_token_budget_mix",
-        "x50_semdedup",
-        "x51_dsir_proxy",
-        "x52_tokenizer_fertility",
-        "x53_embed_quantize",
-        "x54_pq_ann",
-        "x55_source_drift",
-        "b38_funnel_conversion",
-        # last slot: x2's oracle changed this round (distinct-shingle
-        # hashing) — re-prove it. The other r2/r3-proven X headliners
-        # (x1/x3/x7/x16/x18/x20/x21, unchanged) and the trivial r1-proven
-        # A specs (CASE/union/concat projections over the unchanged golden
-        # fixture) stay rotated out.
-        "x2_dedup_fuzzy_minhash",
-        # slots 51+: past the observed 50-entry grading budget; ordered
-        # here so a looser budget grades them, else they head the r6
-        # rotation. Everything from o1 onward was added late in round 5
-        # (storage-layout O group; a21-a23 delivery-tolerance/DLQ/txn;
-        # s18-s20 batching-invariance/redelivery/lake-sink; b46-b51;
-        # w8/w9; u8/u9; f9; x74-x83) — all locally oracle-verified at
-        # sf0.001 AND sf0.01 (see git log), queued here for driver grading.
-        "b39_cohort_retention",
-        "a19_log_integrity_audit",
-        "x56_mixture_sample",
-        "x57_curation_report",
-        "x58_media_resize",
-        "x59_media_features",
-        "x60_snapshot_diff",
-        "x61_boilerplate_strip",
-        "x62_hard_negatives",
-        "x63_class_prototypes",
-        "b40_rfm_segmentation",
-        "b41_approx_quantile",
-        "s16_stream_quality_filter",
-        "u7_python_udtf",
-        "x64_length_histogram",
-        "x65_vocab_growth",
-        "b42_last_touch_attribution",
-        "b43_multiformat_scan",
-        "x66_countmin_sketch",
-        "x67_weighted_sample",
-        "x68_bpe_merge_apply",
-        "a20_incremental_mv",
-        "s17_stream_incremental_mv",
-        "f8_fn_binary",
-        "x69_collocation_lift",
-        "b44_q3_composite",
-        "x70_retrieval_mrr",
-        "b45_gap_fill",
-        "x71_centered_ann",
-        "x72_rank_fusion",
-        "x73_dataset_card",
-        "w7_session_window_native",
+        # ROUND 6 ROTATION (round-5 verdict directive): the 73 queries that
+        # have never appeared in a driver CORRECTNESS sample head the
+        # prefix — rounds 1-5 already certified the other 146 (see
+        # CORRECTNESS_r01-r05; zero failures ever recorded), so every one
+        # of the 50 graded slots this round buys NEW cumulative coverage.
+        # Slots 1-7: the O group — the only group with zero driver
+        # evidence so far.
         "o1_partitioned_write",
         "o2_compact_small_files",
         "o3_clustered_write",
         "o4_zorder_layout",
         "o5_dynamic_partition_overwrite",
+        "o6_schema_merge_read",
+        "o7_file_metadata_columns",
+        # slots 8-13: CDC surface added in rounds 4-5, never graded
+        "a19_log_integrity_audit",
+        "a20_incremental_mv",
         "a21_replay_idempotence",
-        "b46_agg_cube",
-        "f9_fn_url",
-        "u8_map_in_arrow",
-        "x74_graph_pagerank",
-        "x75_quantile_normalize",
+        "a22_dead_letter_split",
+        "a23_transaction_grouping",
+        "a24_snapshot_live_cutover",
+        # slots 14-18: streaming tail
+        "s16_stream_quality_filter",
+        "s17_stream_incremental_mv",
         "s18_stream_batch_invariance",
         "s19_stream_redelivery_dedup",
+        "s20_stream_partitioned_sink",
+        # slots 19-33: batch relational tail (composites b44/b47/b53 are
+        # the judge-named priorities; the whole range fits)
+        "b39_cohort_retention",
+        "b40_rfm_segmentation",
+        "b41_approx_quantile",
+        "b42_last_touch_attribution",
+        "b43_multiformat_scan",
+        "b44_q3_composite",
+        "b45_gap_fill",
+        "b46_agg_cube",
         "b47_subquery_family",
-        "w8_win_value_frames",
-        "x76_ngram_novelty",
         "b48_hll_sketch_union",
-        "x77_feature_hashing",
-        "a22_dead_letter_split",
-        "x78_ccnet_buckets",
+        "b49_bag_set_ops",
+        "b50_window_distinct_rewrite",
+        "b51_dq_report",
+        "b52_tablesample_envelope",
+        "b53_q5_composite",
+        # slots 34-43: window / UDX / scalar-function tails
+        "w7_session_window_native",
+        "w8_win_value_frames",
+        "w9_win_median_rewrite",
+        "u7_python_udtf",
+        "u8_map_in_arrow",
         "u9_pandas_udf_iterator",
-        "a23_transaction_grouping",
+        "u10_python_datasource",
+        "f8_fn_binary",
+        "f9_fn_url",
+        "f10_fn_bitwise",
+        # slots 44-50: the seven heaviest / most-novel X-group entries
+        # still ungraded (the other 23 queue directly below at 51+)
+        "x74_graph_pagerank",
+        "x61_boilerplate_strip",
+        "x66_countmin_sketch",
+        "x56_mixture_sample",
+        "x57_curation_report",
+        "x60_snapshot_diff",
+        "x83_bloom_prefilter",
+        # slots 51+: past the observed 50-entry grading budget; the rest
+        # of the never-graded X tail first (graded if the budget is ever
+        # looser, else they head the r7 rotation), then the 146 queries
+        # rounds 1-5 already certified.
+        "x58_media_resize",
+        "x59_media_features",
+        "x62_hard_negatives",
+        "x63_class_prototypes",
+        "x64_length_histogram",
+        "x65_vocab_growth",
+        "x67_weighted_sample",
+        "x68_bpe_merge_apply",
+        "x69_collocation_lift",
+        "x70_retrieval_mrr",
+        "x71_centered_ann",
+        "x72_rank_fusion",
+        "x73_dataset_card",
+        "x75_quantile_normalize",
+        "x76_ngram_novelty",
+        "x77_feature_hashing",
+        "x78_ccnet_buckets",
         "x79_blocklist_filter",
         "x80_length_bucketing",
-        "b49_bag_set_ops",
-        "s20_stream_partitioned_sink",
-        "o6_schema_merge_read",
-        "b50_window_distinct_rewrite",
         "x81_epoch_shuffle",
         "x82_content_defined_chunks",
-        "w9_win_median_rewrite",
-        "b51_dq_report",
-        "x83_bloom_prefilter",
         "x84_source_minhash_overlap",
-        "f10_fn_bitwise",
-        "b52_tablesample_envelope",
-        "a24_snapshot_live_cutover",
-        "b53_q5_composite",
-        "o7_file_metadata_columns",
-        "u10_python_datasource",
         "x85_dedup_method_report",
+        # previously certified, kept visible at the tail head for re-proof
+        # if anything upstream of them changes again
+        "flagship_cdc_materialize",
+        "x2_dedup_fuzzy_minhash",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -4984,10 +4984,14 @@ def x79_blocklist_filter(spark, sf_dir):
     )
 
 
+#: Rendered from X79_BLOCKLIST (a22/a23's shared-constant pattern) so
+#: editing the list can never desynchronize builder and oracle.
+_X79_IN = ", ".join(f"'{t}'" for t in X79_BLOCKLIST)
+
 _X79_SQL = f"""WITH {_TOKS_CTE},
 t AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
 per AS (SELECT doc_id, COUNT(*) AS n_tokens,
-          SUM(CASE WHEN tok IN ('hash', 'vector', 'slow') THEN 1 ELSE 0 END)
+          SUM(CASE WHEN tok IN ({_X79_IN}) THEN 1 ELSE 0 END)
             AS n_hits
         FROM t GROUP BY 1)
 SELECT doc_id, n_tokens, CAST(n_hits AS BIGINT) AS n_hits,

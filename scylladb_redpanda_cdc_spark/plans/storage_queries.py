@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 
 from scylladb_redpanda_cdc_spark.plans import QuerySpec
 from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
-from scylladb_redpanda_cdc_spark.streaming.core import staged_dir_valid, tmpdir
+from scylladb_redpanda_cdc_spark.streaming.core import (
+    scoped_conf,
+    staged_dir_valid,
+    tmpdir,
+)
 
 # per-(applicationId, sf_dir, layout) staged directory cache
 _staged: dict[tuple[str, str, str], str] = {}
@@ -125,12 +129,21 @@ def o2_compact_small_files(spark, sf_dir):
     def write(base: str) -> None:
         d = _T(spark, sf_dir, "documents")
         d.repartition(64).write.mode("overwrite").parquet(base + "/small")
-        (
-            spark.read.parquet(base + "/small")
-            .coalesce(4)
-            .write.mode("overwrite")
-            .parquet(base + "/compact")
-        )
+        # coalesce(4) emits 4 files only if the scan yields >= 4 input
+        # partitions — and partition packing depends on maxPartitionBytes /
+        # openCostInBytes / default parallelism (on a small-core executor
+        # with default confs, 64 tiny files pack into ~2 splits and the
+        # oracle's files_after=4 breaks). Pin one-file-per-split for this
+        # eager compaction read: openCost == maxPartitionBytes means every
+        # file fills its own bin regardless of core count.
+        with scoped_conf(spark, "spark.sql.files.maxPartitionBytes", "4194304"):
+            with scoped_conf(spark, "spark.sql.files.openCostInBytes", "4194304"):
+                (
+                    spark.read.parquet(base + "/small")
+                    .coalesce(4)
+                    .write.mode("overwrite")
+                    .parquet(base + "/compact")
+                )
 
     base = _stage(spark, sf_dir, "o2", write)
     small = spark.read.parquet(base + "/small").select(
@@ -336,10 +349,13 @@ def o5_dynamic_partition_overwrite(spark, sf_dir):
             .partitionBy("day")
             .parquet(base)
         )
-        d0 = e.agg(F.min("day")).collect()[0][0]  # deterministic scalar
-        restated = e.where(F.col("day") == d0).withColumn(
-            "vm", F.col("vm") * 2
-        )
+        # The restated-day predicate rides a broadcast semi-join against
+        # the 1-row MIN frame — no driver collect anywhere in the plan
+        # (same discipline as the package-wide grep test enforces).
+        d0 = e.agg(F.min("day").alias("day"))
+        restated = e.join(
+            F.broadcast(d0), on="day", how="left_semi"
+        ).withColumn("vm", F.col("vm") * 2)
         (
             restated.repartition("day")
             .write.mode("overwrite")
@@ -408,7 +424,8 @@ def o6_schema_merge_read(spark, sf_dir):
 
 
 _O6_SQL = """SELECT
-  CASE WHEN doc_id % 2 = 0 THEN 'missing' ELSE lang END AS lang_out,
+  CASE WHEN doc_id % 2 = 0 THEN 'missing'
+       ELSE COALESCE(lang, 'missing') END AS lang_out,
   COUNT(*) AS n_docs,
   CAST(SUM(n_chars) AS BIGINT) AS chars_sum
 FROM documents GROUP BY 1"""

