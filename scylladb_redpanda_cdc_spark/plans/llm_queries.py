@@ -117,10 +117,28 @@ def x1_dedup_exact(spark, sf_dir):
     )
 
 
+#: x2's per-(band, sig) bucket cap — the skew bound on the LSH candidate
+#: join. A band bucket holding m docs fans out to m(m-1)/2 candidate
+#: pairs INSIDE one join key, so one viral boilerplate template (or an
+#: exact-dup cluster that skipped x1) in a 100 TB crawl would land m²/2
+#: pairs on a single task. Buckets past the cap carry no pairwise
+#: near-dup signal worth enumerating — their members are either exact
+#: dups (x1's job, the mandatory precursor x85's datasheet records) or a
+#: degenerate template family better handled as a cluster — so they are
+#: dropped BEFORE the self-join, exactly x11's df<=50 discipline. The
+#: constant is rendered into the DuckDB twin so both engines apply the
+#: identical bound.
+X2_BUCKET_CAP = 50
+
+
 def x2_dedup_fuzzy_minhash(spark, sf_dir):
     """MinHash+LSH banding near-dup candidates: 16 band signatures per doc,
     candidate pair = docs sharing >= 4 band signatures. The join key is
-    (band, signature) — an equi-join, never a cross product. Strict
+    (band, signature) — an equi-join, never a cross product, and each
+    (band, sig) bucket is capped at ``X2_BUCKET_CAP`` members before the
+    self-join (a partial-agg frequency pass + semi-join, the same
+    hot-shingle bound x11 applies), so per-bucket pair fan-out is at most
+    CAP²/2 regardless of corpus skew. Strict
     oracle: the base shingle hash is the sha-prefix ``hash60`` and band
     signatures are a literal-constant universal-hash re-mix, so DuckDB
     recomputes identical signatures (engine-exact hex->int, memoized
@@ -160,6 +178,17 @@ def x2_dedup_fuzzy_minhash(spark, sf_dir):
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+    # Skew bound: drop buckets larger than X2_BUCKET_CAP before the
+    # self-join. The frequency frame is one partial agg over the same
+    # (band, sig) key the join shuffles on; the semi-join reuses that
+    # partitioning, so the bound costs no extra wide dependency class.
+    bucket_ok = (
+        bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("bucket_df"))
+        .filter(F.col("bucket_df") <= X2_BUCKET_CAP)
+        .select("band", "sig")
+    )
+    bands = bands.join(bucket_ok, ["band", "sig"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -3814,11 +3843,15 @@ bands(band, a, c) AS (VALUES
   {_X2_BANDS_VALUES}),
 sigs AS (SELECT doc_id, band,
            MIN(((h % {MINHASH_P}) * a + c) % {MINHASH_P}) AS sig
-         FROM hs CROSS JOIN bands GROUP BY doc_id, band)
+         FROM hs CROSS JOIN bands GROUP BY doc_id, band),
+kept AS (SELECT s.doc_id, s.band, s.sig FROM sigs s
+         JOIN (SELECT band, sig FROM sigs GROUP BY band, sig
+               HAVING COUNT(*) <= {X2_BUCKET_CAP}) ok
+           ON s.band = ok.band AND s.sig = ok.sig)
 SELECT doc_a, doc_b, n_shared_bands FROM (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-  FROM sigs x JOIN sigs y
+  FROM kept x JOIN kept y
     ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
   GROUP BY 1, 2)
 WHERE n_shared_bands >= 4"""
@@ -4334,10 +4367,14 @@ bands(band, a, c) AS (VALUES
 sigs AS (SELECT doc_id, band,
            MIN(((h % {MINHASH_P}) * a + c) % {MINHASH_P}) AS sig
          FROM hs CROSS JOIN bands GROUP BY doc_id, band),
+kept AS (SELECT s.doc_id, s.band, s.sig FROM sigs s
+         JOIN (SELECT band, sig FROM sigs GROUP BY band, sig
+               HAVING COUNT(*) <= {X2_BUCKET_CAP}) ok
+           ON s.band = ok.band AND s.sig = ok.sig),
 pairs AS (SELECT doc_a, doc_b, n_shared_bands FROM (
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-    FROM sigs x JOIN sigs y
+    FROM kept x JOIN kept y
       ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
     GROUP BY 1, 2)
   WHERE n_shared_bands >= 4),

@@ -910,3 +910,45 @@ def test_bloom_prefilter_is_sound(spark, sf_dir, specs):
     assert row["n_false_negatives"] == 0
     assert row["n_candidates"] == row["n_members"] + row["n_false_positives"]
     assert row["n_members"] > 0
+
+
+def test_x2_bucket_cap_bounds_hot_band_fanout(spark, tmp_path_factory, specs):
+    """x2's skew bound (the round-5 audit's one weak mark): a band bucket
+    holding more than X2_BUCKET_CAP docs is dropped BEFORE the candidate
+    self-join, so a viral template cluster of m docs can never enumerate
+    its m^2/2 pairs — while ordinary small buckets keep producing pairs.
+    Proven on a synthetic corpus (60 identical hot docs > cap, plus one
+    2-doc dup pair <= cap) with the DuckDB twin run on the same dir, so
+    builder and oracle apply the identical bound."""
+    import duckdb
+
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import X2_BUCKET_CAP
+
+    base = str(tmp_path_factory.mktemp("x2cap"))
+    hot = "the viral boilerplate template body repeated across the crawl " * 3
+    small = "a genuinely unique pair of documents that match each other " * 3
+    rows = [(i, hot, "en", "crawl", len(hot)) for i in range(60)]
+    rows += [(1000, small, "en", "crawl", len(small)),
+             (1001, small, "en", "crawl", len(small))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/documents.parquet")
+
+    assert len(rows) - 2 > X2_BUCKET_CAP  # the hot cluster exceeds the cap
+    spec = specs["x2_dedup_fuzzy_minhash"]
+    pdf = spec.build(spark, base).toPandas()
+    # the 60-doc hot cluster contributes ZERO pairs (1770 without the cap);
+    # the small pair survives with all 16 bands shared
+    assert set(zip(pdf["doc_a"], pdf["doc_b"])) == {(1000, 1001)}
+    assert pdf["n_shared_bands"].iloc[0] == 16
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{base}/documents.parquet/*.parquet')"
+    )
+    odf = con.sql(spec.oracle).df()
+    assert sorted(map(tuple, odf.values.tolist())) == sorted(
+        map(tuple, pdf[list(odf.columns)].values.tolist())
+    )
+    con.close()
