@@ -1,0 +1,127 @@
+"""The SG_* scale knobs must never change results — only physical shape.
+
+SURVEY §2 claims each knob (packing fan-out, CC loop shuffle width,
+stream-sink shuffle width, broadcast-vs-shuffle key cap) is a pure
+parallelism/strategy dial: cluster deployments size them, answers never
+move. This file proves that claim per knob by running the affected query
+under 2-3 settings and asserting identical results.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+from scylladb_redpanda_cdc_spark.plans import registry
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return registry()
+
+
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    return sorted(map(tuple, pdf[cols].astype(str).values.tolist()))
+
+
+def test_cc_loop_shuffle_width_is_result_invariant(
+    spark, sf_dir, specs, monkeypatch
+):
+    """x21's min-label loop scopes shuffle width to SG_CC_LOOP_SHUFFLE
+    (read per call): cluster labels are partitioning-invariant."""
+    outs = []
+    for width in ("2", "16"):
+        monkeypatch.setenv("SG_CC_LOOP_SHUFFLE", width)
+        outs.append(
+            _canon(specs["x21_dedup_cluster_cc"].build(spark, sf_dir).toPandas())
+        )
+    assert outs[0] == outs[1]
+    assert outs[0]  # non-vacuous: the fixture has near-dup clusters
+
+
+def test_stream_sink_shuffle_width_is_result_invariant(
+    spark, sf_dir, specs, monkeypatch
+):
+    """scoped_shuffle defaults to STREAM_SINK_SHUFFLE_PARTITIONS (read per
+    call from streaming.core): stateful-stream results are
+    partitioning-invariant — the knob trades state-store count for
+    per-store overhead, nothing else."""
+    from scylladb_redpanda_cdc_spark.streaming import core
+
+    outs = []
+    for width in (1, 4):
+        monkeypatch.setattr(core, "STREAM_SINK_SHUFFLE_PARTITIONS", width)
+        outs.append(
+            _canon(specs["s3_stream_tumbling_agg"].build(spark, sf_dir).toPandas())
+        )
+    assert outs[0] == outs[1]
+    assert outs[0]
+
+
+def test_broadcast_key_cap_strategy_flip_is_result_invariant(
+    spark, sf_dir, specs, monkeypatch
+):
+    """The incremental-merge paths (s10 upsert, x36/s14 standing-index
+    dedup) broadcast the batch key set only below BROADCAST_KEY_CAP; cap=0
+    forces every batch onto the shuffled-join fallback. Both strategies
+    must produce identical merges."""
+    from scylladb_redpanda_cdc_spark.streaming import ops
+
+    for qid in ("s10_foreachbatch_upsert", "x36_incremental_dedup"):
+        outs = []
+        for cap in (0, 2_000_000):
+            monkeypatch.setattr(ops, "BROADCAST_KEY_CAP", cap)
+            outs.append(_canon(specs[qid].build(spark, sf_dir).toPandas()))
+        assert outs[0] == outs[1], qid
+        assert outs[0], qid
+
+
+@pytest.mark.slow
+def test_pack_shards_setting_keeps_builder_oracle_agreement():
+    """SG_PACK_SHARDS is read once at import by BOTH x24's builder and its
+    DuckDB twin, so in-process monkeypatching cannot exercise it; a fresh
+    subprocess with a non-default setting proves the pair still agrees
+    (and that shard/seq addresses really are derived from the knob)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = """
+import duckdb
+from pyspark.sql import SparkSession
+from scylladb_redpanda_cdc_spark.plans import llm_queries
+from scylladb_redpanda_cdc_spark.plans import registry
+
+assert llm_queries.PACK_SHARDS == 7
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sf = "/root/testdata/sf0.001"
+spec = registry()["x24_seq_packing"]
+pdf = spec.build(spark, sf).toPandas()
+assert int(pdf["shard"].max()) == 6  # the knob reached the plan
+con = duckdb.connect()
+con.execute("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+odf = con.sql(spec.oracle).df()
+cols = sorted(pdf.columns)
+assert sorted(map(tuple, pdf[cols].astype(str).values.tolist())) == \\
+       sorted(map(tuple, odf[cols].astype(str).values.tolist()))
+print("PACK_SHARDS=7 parity OK")
+"""
+    env = dict(os.environ, SG_PACK_SHARDS="7")
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PACK_SHARDS=7 parity OK" in proc.stdout

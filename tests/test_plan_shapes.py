@@ -391,3 +391,29 @@ def test_subquery_family_decorrelates(spark, sf_dir, specs):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("LeftSemi") >= 2, plan
     assert plan.count("LeftAnti") >= 3, plan
+
+
+def test_no_driver_collect_anywhere_in_package():
+    """Round-5 verdict item 5: after o5's broadcast-join rewrite, NO code
+    path in the package materializes results on the driver — `.collect(`
+    and `.toPandas(` appear nowhere in package source (docstring mentions,
+    marked with `` markup, are allowed). An operator that iterates a
+    collect is not distributed; this pins the property repo-wide."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scylladb_redpanda_cdc_spark",
+    )
+    pat = re.compile(r"\.(collect|toPandas)\(")
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            for i, line in enumerate(open(path, encoding="utf-8"), 1):
+                if pat.search(line) and "``" not in line and not line.lstrip().startswith("#"):
+                    offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
