@@ -45,6 +45,17 @@ BASELINE_S = {
     "x16_text_token_count": 0.463,
     "x18_multimodal_decode": 0.454,
     "s10_foreachbatch_upsert": 2.209,
+    # Round-6 extension (BASELINE.md "Round-6 extension"): the heavy
+    # operators added in rounds 3-5, recorded at sf0.1 on the round-6 tree
+    # as their own contract floor.
+    "x54_pq_ann": 2.541,
+    "x74_graph_pagerank": 1.970,
+    "x61_boilerplate_strip": 1.050,
+    "x21_dedup_cluster_cc": 0.055,
+    "o1_partitioned_write": 0.180,
+    "o4_zorder_layout": 0.665,
+    "b53_q5_composite": 0.943,
+    "s14_stream_incremental_dedup": 1.216,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -66,6 +77,19 @@ HEADLINE = (
     "x16_text_token_count",
     "x18_multimodal_decode",
     "s10_foreachbatch_upsert",
+    # round-6 extension: the heavy operators the round-1 set predates —
+    # PQ/ADC ANN, iterative PageRank, boilerplate n-gram strip, CC
+    # clustering, two storage layouts (staged once per session; steady-
+    # state figure is the layout read-back), the six-table composite, and
+    # the standing-index incremental dedup stream.
+    "x54_pq_ann",
+    "x74_graph_pagerank",
+    "x61_boilerplate_strip",
+    "x21_dedup_cluster_cc",
+    "o1_partitioned_write",
+    "o4_zorder_layout",
+    "b53_q5_composite",
+    "s14_stream_incremental_dedup",
 )
 
 
