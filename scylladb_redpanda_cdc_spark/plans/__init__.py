@@ -181,6 +181,9 @@ def registry() -> dict[str, QuerySpec]:
         "x82_content_defined_chunks",
         "x84_source_minhash_overlap",
         "x85_dedup_method_report",
+        # added in round 6, never graded
+        "a25_cdc_lag_report",
+        "x86_minhash_dedup_e2e",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

@@ -966,6 +966,36 @@ def a21_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("customer_id", "order_id", "product")
 
 
+def a25_cdc_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25: end-to-end pipeline-lag report — the tutorial's ONLY
+    quantitative observable, made a first-class operator. Every captured
+    event carries three clocks (reference rpk_topic_consume.json:4-6):
+    the source commit (``payload.source.ts_ms``), the connector's
+    processing time (``payload.ts_ms``), and the broker append time (the
+    record ``timestamp``). Their differences are the per-leg latency the
+    tutorial's pacing exposes (~143/57/51/32 s insert→event across its
+    four CQL batches — BASELINE.md "observed insert→event lag"), and the
+    lag dashboard every production CDC deployment alarms on: a growing
+    commit→connect leg means the connector is falling behind the CDC log;
+    a growing connect→broker leg means the produce path is backed up.
+
+    Exactness: all three clocks are epoch-millis BIGINTs; lags are
+    integer subtractions. Scale: pure per-row projection over the decoded
+    stream — rides the scan, zero shuffles; at 100 TB this is a free
+    column set on the ingest pass feeding a windowed percentile alarm
+    (b21/s3's job, composable by construction)."""
+    df = _decoded_df(spark)
+    return df.select(
+        "offset",
+        F.col("source_ts_ms").alias("commit_ts_ms"),
+        F.col("ts_ms").alias("connect_ts_ms"),
+        F.col("timestamp").alias("broker_ts_ms"),
+        (F.col("ts_ms") - F.col("source_ts_ms")).alias("commit_to_connect_ms"),
+        (F.col("timestamp") - F.col("ts_ms")).alias("connect_to_broker_ms"),
+        (F.col("timestamp") - F.col("source_ts_ms")).alias("end_to_end_ms"),
+    )
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -1276,6 +1306,20 @@ FROM log GROUP BY topic""",
         "two-phase consumer bootstrap (snapshot then live) == one pass",
         a24_snapshot_live_cutover,
         _s("SELECT customer_id, order_id, product FROM state", extended=True),
+    ),
+    QuerySpec(
+        "a25_cdc_lag_report",
+        "A",
+        "per-leg pipeline lag (commit -> connector -> broker), exact ms",
+        a25_cdc_lag_report,
+        _g(
+            'SELECT "offset", source_ts_ms AS commit_ts_ms,'
+            " ts_ms AS connect_ts_ms,"
+            ' "timestamp" AS broker_ts_ms,'
+            " ts_ms - source_ts_ms AS commit_to_connect_ms,"
+            ' "timestamp" - ts_ms AS connect_to_broker_ms,'
+            ' "timestamp" - source_ts_ms AS end_to_end_ms FROM decoded'
+        ),
     ),
     QuerySpec(
         "a21_replay_idempotence",

@@ -3842,7 +3842,7 @@ def _lsh_bucket_sql(n_planes: int, emb: str = "embedding") -> str:
 _X2_BANDS_VALUES = ",\n  ".join(
     f"({b}, {a}, {c})" for b, (a, c) in enumerate(MINHASH_BANDS)
 )
-_X2_SQL = f"""WITH {_TOKS_CTE},
+_X2_CTES = f"""{_TOKS_CTE},
 {_SHINGLES_CTE},
 grams AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 hs AS (SELECT doc_id,
@@ -3856,14 +3856,18 @@ sigs AS (SELECT doc_id, band,
 kept AS (SELECT s.doc_id, s.band, s.sig FROM sigs s
          JOIN (SELECT band, sig FROM sigs GROUP BY band, sig
                HAVING COUNT(*) <= {X2_BUCKET_CAP}) ok
-           ON s.band = ok.band AND s.sig = ok.sig)
-SELECT doc_a, doc_b, n_shared_bands FROM (
+           ON s.band = ok.band AND s.sig = ok.sig)"""
+
+_X2_FINAL = """SELECT doc_a, doc_b, n_shared_bands FROM (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          CAST(COUNT(*) AS BIGINT) AS n_shared_bands
   FROM kept x JOIN kept y
     ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
   GROUP BY 1, 2)
 WHERE n_shared_bands >= 4"""
+
+_X2_SQL = f"""WITH {_X2_CTES}
+{_X2_FINAL}"""
 
 #: x10's SimHash twin: per-token sha16 hash, +1/-1 votes per bit, bit set
 #: iff the vote sum is positive. Docs with zero tokens get signature 0 via
@@ -5403,6 +5407,62 @@ SELECT 'ngram_jaccard', 'pairs',
   (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_X11_SQL}))"""
 
 
+def x86_minhash_dedup_e2e(spark, sf_dir):
+    """End-to-end MinHash fuzzy dedup KEEP-LIST — the composition a
+    production curation run actually executes (Lee et al. 2022 / RefinedWeb
+    discipline): x2's bucket-capped LSH candidates -> connected components
+    -> one survivor per component (min doc_id) -> per-doc verdict. Output:
+    (doc_id, cluster_id, keep, n_members) for EVERY document — the frame a
+    downstream filter joins against to drop near-dups in one pass. x21/x30
+    run the same shape over the n-gram Jaccard graph; x86 is the MinHash
+    path, the one that scales to corpora where exact shingle-set joins are
+    too wide.
+
+    Scale: candidate edges are x2's capped equi-join output (per-bucket
+    fan-out bounded by X2_BUCKET_CAP**2/2); CC iterates only docs-in-pairs
+    via the checkpointed min-label kernel (operators/llm.py); singletons
+    rejoin by anti-join without entering the loop; cluster sizes are one
+    labels-sized partial agg. Nothing corpus-wide is ever windowed or
+    cross-joined. Strict oracle: DuckDB recursive CTE over the identical
+    capped pair set."""
+    pairs = x2_dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = connected_components_min_label(edges).select(
+        F.col("doc_a").alias("doc_id"), "cluster_id"
+    )
+    singletons = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    lab = labels.unionByName(singletons)
+    edges.unpersist(blocking=False)
+    sz = lab.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return lab.join(sz, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("keep"),
+        "n_members",
+    )
+
+
+_X86_SQL = f"""WITH RECURSIVE {_X2_CTES},
+mpairs AS ({_X2_FINAL}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM mpairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM mpairs),
+reach AS (SELECT doc_id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.doc_id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+       FROM lab GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, l.cluster_id = l.doc_id AS keep, sz.n_members
+FROM lab l JOIN sz USING (cluster_id)"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -6057,5 +6117,12 @@ SPECS = [
         "exact / banding / Jaccard detectors summarized side by side",
         x85_dedup_method_report,
         _x85_sql(),
+    ),
+    QuerySpec(
+        "x86_minhash_dedup_e2e",
+        "X",
+        "MinHash candidates -> CC -> per-doc keep-list (fuzzy dedup e2e)",
+        x86_minhash_dedup_e2e,
+        _X86_SQL,
     ),
 ]
