@@ -125,3 +125,48 @@ print("PACK_SHARDS=7 parity OK")
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "PACK_SHARDS=7 parity OK" in proc.stdout
+
+
+@pytest.mark.slow
+def test_o2_compaction_file_count_survives_small_core_executor():
+    """The round-5 ADVICE failure scenario, run for real: on a 2-core
+    session with default split confs, 64 tiny files would pack into ~2
+    scan partitions and coalesce(4) would emit 2 files, breaking the
+    oracle's files_after=4. o2 pins openCost==maxPartitionBytes around
+    the compaction read, so the pair must hold even on local[2]."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = """
+import duckdb
+from pyspark.sql import SparkSession
+from scylladb_redpanda_cdc_spark.plans import registry
+
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sf = "/root/testdata/sf0.001"
+spec = registry()["o2_compact_small_files"]
+pdf = spec.build(spark, sf).toPandas()
+assert int(pdf["files_before"].iloc[0]) == 64, pdf
+assert int(pdf["files_after"].iloc[0]) == 4, pdf
+con = duckdb.connect()
+con.execute("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+odf = con.sql(spec.oracle).df()
+cols = sorted(pdf.columns)
+assert sorted(map(tuple, pdf[cols].astype(str).values.tolist())) == \\
+       sorted(map(tuple, odf[cols].astype(str).values.tolist()))
+print("o2 local[2] parity OK")
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "o2 local[2] parity OK" in proc.stdout
