@@ -5354,13 +5354,18 @@ FROM agree"""
 
 
 def x85_dedup_method_report(spark, sf_dir):
-    """Dedup-method datasheet: the three detector families run over the
-    same corpus and summarized side by side — exact (removable duplicate
+    """Dedup-method datasheet: the detector families run over the same
+    corpus and summarized side by side — exact (removable duplicate
     docs), MinHash banding (candidate pairs), n-gram Jaccard (verified
-    pairs ≥0.1). The tuning report every curation run reads before
-    choosing thresholds: exact is the floor, banding's recall-oriented
-    candidates sit above Jaccard's verified pairs, and drift between the
-    three across snapshots is the first sign a scrape changed character.
+    pairs ≥0.1), and the end-to-end fuzzy path's REMOVABLE-DOC count
+    (corpus minus one survivor per x86 component — the number a token
+    budget actually changes by). The tuning report every curation run
+    reads before choosing thresholds: exact is the floor, banding's
+    recall-oriented candidates sit above Jaccard's verified pairs, and
+    drift between the rows across snapshots is the first sign a scrape
+    changed character. x2's bucket cap means x1's exact stage is the
+    recorded precursor: past-cap buckets (exact-dup families) are
+    x1's/x86-cluster business, not pair enumeration's.
 
     Scale: reuses the production kernels verbatim (x2's banded join,
     x11's cached inverted index) — each summary is one COUNT over an
@@ -5392,7 +5397,21 @@ def x85_dedup_method_report(spark, sf_dir):
             "n_detected",
         )
     )
-    return exact.unionByName(mh).unionByName(nj)
+    # The number curation actually budgets on: docs the fuzzy path would
+    # REMOVE (corpus minus one survivor per x86 component) — the
+    # apples-to-apples companion of the exact row's removable-dup count.
+    mcc = (
+        x86_minhash_dedup_e2e(spark, sf_dir)
+        .agg(
+            (F.count("*") - F.countDistinct("cluster_id")).alias("n_detected")
+        )
+        .select(
+            F.lit("minhash_cc").alias("method"),
+            F.lit("dup_docs").alias("unit"),
+            "n_detected",
+        )
+    )
+    return exact.unionByName(mh).unionByName(nj).unionByName(mcc)
 
 
 def _x85_sql() -> str:
@@ -5404,7 +5423,11 @@ SELECT 'minhash_band', 'pairs',
   (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_X2_SQL}))
 UNION ALL
 SELECT 'ngram_jaccard', 'pairs',
-  (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_X11_SQL}))"""
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ({_X11_SQL}))
+UNION ALL
+SELECT 'minhash_cc', 'dup_docs',
+  (SELECT CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT)
+   FROM ({_X86_SQL}))"""
 
 
 def x86_minhash_dedup_e2e(spark, sf_dir):
@@ -6114,7 +6137,7 @@ SPECS = [
     QuerySpec(
         "x85_dedup_method_report",
         "X",
-        "exact / banding / Jaccard detectors summarized side by side",
+        "exact / banding / Jaccard / fuzzy-removable summarized side by side",
         x85_dedup_method_report,
         _x85_sql(),
     ),

@@ -417,3 +417,15 @@ def test_no_driver_collect_anywhere_in_package():
                 if pat.search(line) and "``" not in line and not line.lstrip().startswith("#"):
                     offenders.append(f"{path}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+def test_minhash_e2e_keeplist_shape(spark, sf_dir, specs):
+    """x86: the keep-list must stay bucketed/broadcast all the way —
+    no cartesian products or nested loops anywhere in candidate
+    generation, CC label join-back, or the cluster-size join; and no
+    Python evaluation (pure JVM pipeline)."""
+    plan = plan_of(spark, sf_dir, specs, "x86_minhash_dedup_e2e")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
