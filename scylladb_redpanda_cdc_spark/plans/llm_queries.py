@@ -4764,7 +4764,12 @@ def x74_graph_pagerank(spark, sf_dir):
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src")
+    # Materialize (edges ⋈ degree) once: all three unrolled iterations
+    # reference it, and without truncation each re-derives the degree agg
+    # from the pair graph inside one plan tree (3x the work, 3x the plan
+    # depth). The frame is pairs-sized — the checkpoint is tiny (same
+    # discipline as the CC kernel's per-round truncation).
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
     nodes = _T(spark, sf_dir, "documents").select("doc_id")
     ranks = nodes.select(
         "doc_id", F.lit(1_000_000).cast("long").alias("rank")
