@@ -5491,6 +5491,93 @@ SELECT l.doc_id, l.cluster_id, l.cluster_id = l.doc_id AS keep, sz.n_members
 FROM lab l JOIN sz USING (cluster_id)"""
 
 
+def x87_cdc_corpus_sync(spark, sf_dir):
+    """CDC-maintained training corpus — the composition this engine exists
+    for: a change stream of document events applied to the standing corpus
+    through the SAME offset-authority compaction kernel the CDC surface
+    uses (operators/cdc.py materialize_latest, A6/A9/A10 semantics), so a
+    crawl refresh becomes an incremental upsert instead of a corpus
+    rebuild. A deterministic changelog is synthesized from the fixture
+    (every 7th doc updated with an appended revision marker, every 13th
+    deleted, every 11th spawning a fresh doc at doc_id+1,000,000); the
+    output is the post-sync corpus state: per doc its lifecycle verdict
+    (inserted/updated/kept), current char count, and the portable content
+    hash downstream dedup (x1/x36) keys on.
+
+    Exactness: the changelog is pure doc_id arithmetic both engines
+    replay; compaction is ROW_NUMBER-by-offset in both; hash60 is the
+    engine-portable sha prefix.
+
+    Scale: base rides as the snapshot phase (A15/A24's lifecycle), the
+    delta unions in BEFORE the one PK-keyed compaction shuffle — delivery
+    cost is the delta's shuffle share, never a second corpus pass; the
+    verdict and hash are map-side projections on the survivor set."""
+    from scylladb_redpanda_cdc_spark.operators.cdc import materialize_latest
+
+    d = _T(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id", "text", F.lit("r").alias("op"), F.col("doc_id").alias("offset")
+    )
+    upd = (
+        d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0))
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+            F.lit("u").alias("op"),
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("offset"),
+        )
+    )
+    dele = d.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("d").alias("op"),
+        (F.col("doc_id") + F.lit(2_000_000_000)).alias("offset"),
+    )
+    ins = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("fresh crawl doc "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+        F.lit("c").alias("op"),
+        (F.col("doc_id") + F.lit(3_000_000_000)).alias("offset"),
+    )
+    log = base.unionByName(upd).unionByName(dele).unionByName(ins)
+    state = materialize_latest(log, ["doc_id"])
+    return state.select(
+        "doc_id",
+        F.when(F.col("op") == "c", "inserted")
+        .when(F.col("op") == "u", "updated")
+        .otherwise("kept")
+        .alias("verdict"),
+        F.length("text").cast("long").alias("n_chars"),
+        hash60(F.col("text")).alias("content_h"),
+    )
+
+
+_X87_SQL = """WITH d AS (SELECT doc_id, text FROM documents),
+log AS (
+  SELECT doc_id, text, 'r' AS op, doc_id AS off FROM d
+  UNION ALL
+  SELECT doc_id, text || ' [rev2]', 'u', doc_id + 1000000000
+  FROM d WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id, NULL, 'd', doc_id + 2000000000 FROM d WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'fresh crawl doc ' || CAST(doc_id AS VARCHAR),
+         'c', doc_id + 3000000000 FROM d WHERE doc_id % 11 = 0),
+state AS (
+  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY off DESC) AS rn
+                 FROM log)
+  WHERE rn = 1 AND op <> 'd')
+SELECT doc_id,
+  CASE WHEN op = 'c' THEN 'inserted'
+       WHEN op = 'u' THEN 'updated' ELSE 'kept' END AS verdict,
+  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+  CAST(concat('0x', substr(sha256(text), 1, 15)) AS BIGINT) AS content_h
+FROM state"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -6152,5 +6239,12 @@ SPECS = [
         "MinHash candidates -> CC -> per-doc keep-list (fuzzy dedup e2e)",
         x86_minhash_dedup_e2e,
         _X86_SQL,
+    ),
+    QuerySpec(
+        "x87_cdc_corpus_sync",
+        "X",
+        "CDC changelog applied to the standing corpus via offset compaction",
+        x87_cdc_corpus_sync,
+        _X87_SQL,
     ),
 ]
