@@ -185,6 +185,7 @@ def registry() -> dict[str, QuerySpec]:
         "a25_cdc_lag_report",
         "x86_minhash_dedup_e2e",
         "x87_cdc_corpus_sync",
+        "s21_stream_corpus_sync",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

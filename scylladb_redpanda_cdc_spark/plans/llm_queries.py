@@ -5514,6 +5514,15 @@ def x87_cdc_corpus_sync(spark, sf_dir):
     verdict and hash are map-side projections on the survivor set."""
     from scylladb_redpanda_cdc_spark.operators.cdc import materialize_latest
 
+    state = materialize_latest(x87_changelog(spark, sf_dir), ["doc_id"])
+    return x87_project_state(state)
+
+
+def x87_changelog(spark, sf_dir):
+    """x87's deterministic document changelog (base snapshot + the
+    update/delete/insert delta, all doc_id arithmetic) — shared by the
+    batch operator and S21's streaming twin so both apply the IDENTICAL
+    event set through the same compaction kernel."""
     d = _T(spark, sf_dir, "documents").select("doc_id", "text")
     base = d.select(
         "doc_id", "text", F.lit("r").alias("op"), F.col("doc_id").alias("offset")
@@ -5541,8 +5550,12 @@ def x87_cdc_corpus_sync(spark, sf_dir):
         F.lit("c").alias("op"),
         (F.col("doc_id") + F.lit(3_000_000_000)).alias("offset"),
     )
-    log = base.unionByName(upd).unionByName(dele).unionByName(ins)
-    state = materialize_latest(log, ["doc_id"])
+    return base.unionByName(upd).unionByName(dele).unionByName(ins)
+
+
+def x87_project_state(state):
+    """x87's output projection over a compacted corpus state (shared with
+    S21): lifecycle verdict + current char count + portable content hash."""
     return state.select(
         "doc_id",
         F.when(F.col("op") == "c", "inserted")

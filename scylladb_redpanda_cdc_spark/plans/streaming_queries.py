@@ -22,6 +22,7 @@ from scylladb_redpanda_cdc_spark.plans.cdc_queries import (
     EVOLUTION_SQL,
     _A20_SQL as _A20_ORACLE,
 )
+from scylladb_redpanda_cdc_spark.plans.llm_queries import _X87_SQL
 from scylladb_redpanda_cdc_spark.sources.changelog import CHANGELOG_SQL_CTE
 from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
 from scylladb_redpanda_cdc_spark.streaming.core import (
@@ -258,6 +259,45 @@ def s10_foreachbatch_upsert(spark, sf_dir):
     return state.select(
         "customer_id", "order_id", "totalprice", "orderstatus"
     )
+
+
+_x87_log_stage: dict[tuple[str, str], str] = {}
+
+
+def s21_stream_corpus_sync(spark, sf_dir):
+    """S21: x87's CDC-maintained corpus, arriving as a STREAM — the
+    document changelog drained one file per micro-batch through the same
+    incremental foreachBatch MERGE as S10 (full state never re-shuffled;
+    touched keys only), final corpus projected exactly like the batch
+    operator. The oracle is x87's batch recompute: equality across an
+    ARBITRARY micro-batch split is the offset-authority convergence
+    guarantee (SURVEY §4.4) applied to the engine's flagship composition —
+    a crawl refresh can stream in and the corpus still lands byte-exact.
+
+    Scale: delta files arrive bounded; each merge touches batch-sized
+    state; the corpus is never rebuilt. Same 100 TB shape as s10/x87."""
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import (
+        x87_changelog,
+        x87_project_state,
+    )
+    from scylladb_redpanda_cdc_spark.streaming.core import staged_dir_valid
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if not staged_dir_valid(_x87_log_stage.get(key)):
+        stage = tmpdir("x87log")
+        x87_changelog(spark, sf_dir).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        _x87_log_stage[key] = stage
+    changes = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, op string, offset bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_x87_log_stage[key])
+    )
+    state = foreachbatch_upsert(changes, ["doc_id"])
+    return x87_project_state(state)
 
 
 def s12_watermark_late_drop_observed(spark, sf_dir):
@@ -742,6 +782,13 @@ ORDER BY n DESC, tok ASC LIMIT 20""",
         "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids,\n"
         f"  CAST(SUM({_VAL_MICROS_SQL}) AS BIGINT) AS sum_value_micros\n"
         "FROM events",
+    ),
+    QuerySpec(
+        "s21_stream_corpus_sync",
+        "S",
+        "x87's corpus changelog streamed through incremental MERGE == batch",
+        s21_stream_corpus_sync,
+        _X87_SQL,  # the batch recompute IS the convergence oracle
     ),
     QuerySpec(
         "s20_stream_partitioned_sink",
