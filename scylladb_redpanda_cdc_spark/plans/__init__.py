@@ -186,6 +186,8 @@ def registry() -> dict[str, QuerySpec]:
         "x86_minhash_dedup_e2e",
         "x87_cdc_corpus_sync",
         "s21_stream_corpus_sync",
+        "u11_udf_arrow_optimized",
+        "o8_partition_evolution",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

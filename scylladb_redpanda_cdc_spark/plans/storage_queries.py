@@ -473,6 +473,80 @@ _O7_SQL = """SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
 
+def o8_partition_evolution(spark, sf_dir):
+    """Partition-SCHEME evolution: one logical table whose early vintage
+    was written month-partitioned (coarse — cheap listing while the table
+    was small) and whose later vintage is day-partitioned (fine — pruning
+    got worth the directory count), the migration every long-lived lake
+    table undergoes. Readers union the two layouts and re-derive the
+    fine-grained key from DATA columns (the partition directory is an
+    index, never the source of truth — the property that makes the scheme
+    swappable at all); the per-day aggregate must equal the one-table
+    oracle, proving no row was lost/duplicated across the convention
+    break. The vintage cut rides a broadcast 1-row stats frame — no
+    driver collect. Predicate mapping is the documented cost: pruning a
+    day range on the old vintage means translating to its month dirs
+    (day DIV 32), exactly what a catalog records at the cutover.
+
+    Scale: each vintage prunes within its own convention; the union is
+    scan-level (no shuffle added); migration never rewrites history."""
+    day = "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000"
+
+    def write(base: str) -> None:
+        e = (
+            _T(spark, sf_dir, "events")
+            .withColumn("day", F.expr(day))
+            .withColumn("vm", F.floor(F.col("value") * 1_000_000).cast("long"))
+            .select("event_id", "day", "vm")
+        )
+        stats = e.agg(
+            F.min("day").alias("d0"), F.max("day").alias("d1")
+        )
+        ec = e.crossJoin(F.broadcast(stats)).withColumn(
+            "cut", F.expr("(d0 + d1) DIV 2")
+        )
+        old = (
+            ec.filter(F.col("day") < F.col("cut"))
+            .withColumn("month", F.expr("day DIV 32"))
+            .select("event_id", "day", "vm", "month")
+        )
+        new = ec.filter(F.col("day") >= F.col("cut")).select(
+            "event_id", "day", "vm"
+        )
+        (
+            old.repartition("month")
+            .write.mode("overwrite")
+            .partitionBy("month")
+            .parquet(base + "/v_month")
+        )
+        (
+            new.withColumn("day_pt", F.col("day"))
+            .repartition("day_pt")
+            .write.mode("overwrite")
+            .partitionBy("day_pt")
+            .parquet(base + "/v_day")
+        )
+
+    base = _stage(spark, sf_dir, "o8", write)
+    v1 = spark.read.parquet(base + "/v_month").select("day", "vm")
+    v2 = spark.read.parquet(base + "/v_day").select("day", "vm")
+    return (
+        v1.unionByName(v2)
+        .groupBy(F.col("day").cast("long").alias("day"))
+        .agg(F.count("*").alias("n_events"), F.sum("vm").alias("value_micros"))
+    )
+
+
+_O8_SQL = """WITH e AS (
+  SELECT (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000)
+          % 86400000000) // 86400000000 AS day,
+    CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+  FROM events)
+SELECT day, COUNT(*) AS n_events,
+  CAST(SUM(vm) AS BIGINT) AS value_micros
+FROM e GROUP BY day"""
+
+
 SPECS = [
     QuerySpec(
         "o1_partitioned_write",
@@ -522,5 +596,12 @@ SPECS = [
         "_metadata file provenance: one file per partition + exact rows",
         o7_file_metadata_columns,
         _O7_SQL,
+    ),
+    QuerySpec(
+        "o8_partition_evolution",
+        "O",
+        "month->day partition-scheme evolution: union read, lossless",
+        o8_partition_evolution,
+        _O8_SQL,
     ),
 ]

@@ -40,6 +40,26 @@ def u1_udf_python(spark, sf_dir):
     )
 
 
+# -- U11: Arrow-OPTIMIZED Python UDF (Spark 4 useArrow) ----------------------
+
+
+def u11_udf_arrow_optimized(spark, sf_dir):
+    """Spark 4's third UDF execution mode: a plain row-signature Python UDF
+    with ``useArrow=True`` — the interpreter still sees one row at a time
+    (u1's authoring model, no pandas required) but transfer rides Arrow
+    batches instead of pickled rows, recovering most of u2's throughput
+    without rewriting the function. Same IEEE double algebra as u1/u2, so
+    the oracle is exact. The JVM-side filter still precedes the UDF
+    (predicate never enters Python)."""
+    net = F.udf(_net_price, DoubleType(), useArrow=True)
+    li = _T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
 # -- U2: vectorized (Arrow) scalar pandas UDF --------------------------------
 
 
@@ -381,6 +401,15 @@ SPECS = [
         "SELECT k, k * k AS k_sq,\n"
         "  CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END AS parity\n"
         "FROM (SELECT unnest(range(0, 100)) AS k)",
+    ),
+    QuerySpec(
+        "u11_udf_arrow_optimized",
+        "U",
+        "Spark 4 useArrow Python UDF: row authoring model, Arrow transport",
+        u11_udf_arrow_optimized,
+        "SELECT l_orderkey, l_linenumber,\n"
+        "  l_extendedprice * (1.0 - l_discount) AS net_price\n"
+        "FROM lineitem WHERE l_quantity >= 45",
     ),
     QuerySpec(
         "u8_map_in_arrow",
