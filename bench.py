@@ -56,6 +56,12 @@ BASELINE_S = {
     "o4_zorder_layout": 0.665,
     "b53_q5_composite": 0.943,
     "s14_stream_incremental_dedup": 1.216,
+    # Round-6 flagship compositions (recorded post-optimization; x86's CC
+    # labels are session-cached like x21's, so the steady-state figure is
+    # the cached-label join path - the one-pass grading cost).
+    "x86_minhash_dedup_e2e": 0.227,
+    "x87_cdc_corpus_sync": 0.479,
+    "s21_stream_corpus_sync": 1.772,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -90,6 +96,12 @@ HEADLINE = (
     "o4_zorder_layout",
     "b53_q5_composite",
     "s14_stream_incremental_dedup",
+    # round-6 flagship compositions: end-to-end MinHash dedup keep-list,
+    # CDC-maintained corpus (batch), and the same changelog streamed
+    # through incremental MERGE.
+    "x86_minhash_dedup_e2e",
+    "x87_cdc_corpus_sync",
+    "s21_stream_corpus_sync",
 )
 
 
