@@ -188,6 +188,7 @@ def registry() -> dict[str, QuerySpec]:
         "s21_stream_corpus_sync",
         "u11_udf_arrow_optimized",
         "o8_partition_evolution",
+        "b54_join_asof_forward_tolerance",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

@@ -275,6 +275,57 @@ def b14_join_asof(spark, sf_dir):
     )
 
 
+def b54_join_asof_forward_tolerance(spark, sf_dir):
+    """As-of join, FORWARD direction with a tolerance window (the pandas
+    ``merge_asof(direction='forward', tolerance=...)`` semantics b14's
+    backward form doesn't cover): for each click, the EARLIEST purchase by
+    the same user strictly after the click and within 24 h — attribution
+    with an expiry, left-preserving so unconverted clicks survive with
+    NULLs. Same scale shape as b14: equi-join on user (the natural stream
+    partitioning), the time predicates ride the join filter, one
+    per-click window picks the first qualifying purchase — never a cross
+    product, and the tolerance bound caps the per-key fan-out a hot user
+    could otherwise produce (the skew story b14 leaves implicit)."""
+    e = _T(spark, sf_dir, "events")
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    tol_us = 86_400_000_000  # 24 h in micros
+    j = clk.join(
+        pur,
+        (clk.user_id == pur.p_user_id)
+        & (pur.purchase_ts > clk.click_ts)
+        & (
+            F.unix_micros(pur.purchase_ts.cast("timestamp"))
+            - F.unix_micros(clk.click_ts.cast("timestamp"))
+            <= tol_us
+        ),
+        "left",
+    )
+    w = Window.partitionBy("click_id").orderBy(
+        F.col("purchase_ts").asc_nulls_last(), F.col("purchase_id").asc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            F.unix_micros(F.col("purchase_ts").cast("timestamp")).alias(
+                "purchase_ts_us"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # B15-B21 aggregation
 # ---------------------------------------------------------------------------
@@ -1781,6 +1832,27 @@ SPECS = [
         "           FROM pur JOIN clk ON pur.user_id = clk.user_id\n"
         "                AND clk.click_ts <= pur.purchase_ts)\n"
         "SELECT purchase_id, user_id, click_id, epoch_us(click_ts) AS click_ts_us\n"
+        "FROM j WHERE rn = 1",
+    ),
+    QuerySpec(
+        "b54_join_asof_forward_tolerance",
+        "B",
+        "forward as-of join with 24h tolerance, left-preserving",
+        b54_join_asof_forward_tolerance,
+        "WITH clk AS (SELECT event_id AS click_id, user_id, ts AS click_ts\n"
+        "             FROM events WHERE event_type = 'click'),\n"
+        "     pur AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts\n"
+        "             FROM events WHERE event_type = 'purchase'),\n"
+        "     j AS (SELECT click_id, clk.user_id, purchase_id, purchase_ts,\n"
+        "                  ROW_NUMBER() OVER (PARTITION BY click_id\n"
+        "                    ORDER BY purchase_ts ASC NULLS LAST,\n"
+        "                             purchase_id ASC NULLS LAST) AS rn\n"
+        "           FROM clk LEFT JOIN pur ON clk.user_id = pur.user_id\n"
+        "                AND pur.purchase_ts > clk.click_ts\n"
+        "                AND epoch_us(pur.purchase_ts) - epoch_us(clk.click_ts)\n"
+        "                    <= 86400000000)\n"
+        "SELECT click_id, user_id, purchase_id,\n"
+        "  epoch_us(purchase_ts) AS purchase_ts_us\n"
         "FROM j WHERE rn = 1",
     ),
     QuerySpec(

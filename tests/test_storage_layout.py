@@ -185,3 +185,37 @@ def test_zorder_bucket_is_single_tile():
         for y in range(0, 256, 3):
             tiles[z(x, y) // 4096].add((x >> 6, y >> 6))
     assert all(len(t) == 1 for t in tiles.values())
+
+
+def test_o8_both_vintages_keep_their_own_pruning(spark, sf_dir):
+    """Partition-scheme evolution must not cost pruning: a day filter on
+    the new (day-partitioned) vintage is a PartitionFilter, and the SAME
+    logical day range prunes the old vintage after translating to its
+    month convention (day DIV 32) — the predicate mapping a catalog
+    records at the cutover."""
+    SQ.o8_partition_evolution(spark, sf_dir).collect()
+    base = SQ._staged[(spark.sparkContext.applicationId, sf_dir, "o8")]
+
+    # new vintage: native day pruning
+    v2 = spark.read.parquet(base + "/v_day")
+    some_day = v2.select(F.min("day_pt").alias("d")).collect()[0]["d"]
+    plan = (
+        v2.where(F.col("day_pt") == some_day)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "day_pt" in pf, plan
+
+    # old vintage: the translated month predicate prunes directories
+    v1 = spark.read.parquet(base + "/v_month")
+    some_month = v1.select(F.min("month").alias("m")).collect()[0]["m"]
+    plan = (
+        v1.where(F.col("month") == some_month)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "month" in pf, plan
