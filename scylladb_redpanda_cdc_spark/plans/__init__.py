@@ -189,6 +189,7 @@ def registry() -> dict[str, QuerySpec]:
         "u11_udf_arrow_optimized",
         "o8_partition_evolution",
         "b54_join_asof_forward_tolerance",
+        "f11_fn_collation",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

@@ -244,6 +244,59 @@ _F10_SQL = """SELECT p_brand,
 FROM part GROUP BY p_brand"""
 
 
+def f11_fn_collation(spark, sf_dir):
+    """Spark 4 collation family: grouping and equality under the
+    ``UTF8_LCASE`` collation — the engine-level case-insensitivity that
+    replaces scattering ``lower()`` into every predicate (and, unlike
+    lower(), is locale-correct for non-ASCII in the full collation set).
+    A mixed-case column is synthesized deterministically from
+    ``c_mktsegment`` (initcap on odd keys, lower on key%3==0), grouped on
+    its collated form; per group the output carries a deterministic
+    lowercase representative, the count of distinct raw casings folded
+    together, and the count of rows matching a collated equality literal.
+    The fixture is ASCII, so DuckDB's twin is exact via lower() — the
+    documented mapping; the Spark side genuinely exercises the collation
+    expression (``collate`` in the grouping key and the comparison).
+
+    Scale: one partial-agg shuffle on the collated key, identical to any
+    groupBy — collation changes the comparator, not the shape."""
+    c = _T(spark, sf_dir, "customer")
+    mixed = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 2 == 1, F.initcap(F.lower("c_mktsegment")))
+        .otherwise(F.col("c_mktsegment"))
+    )
+    t = c.select(mixed.alias("seg"))
+    coll = F.collate(F.col("seg"), "UTF8_LCASE")
+    return (
+        t.groupBy(coll.alias("k"))
+        .agg(
+            F.lower(F.min("seg")).alias("segment"),
+            F.countDistinct("seg").alias("n_casings"),
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (coll == F.lit("building")).cast("long")
+            ).alias("n_eq_building"),
+        )
+        .drop("k")
+    )
+
+
+_F11_SQL = """WITH t AS (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+              WHEN c_custkey % 2 = 1 THEN
+                upper(substr(lower(c_mktsegment), 1, 1))
+                  || substr(lower(c_mktsegment), 2)
+              ELSE c_mktsegment END AS seg
+  FROM customer)
+SELECT lower(MIN(seg)) AS segment,
+  COUNT(DISTINCT seg) AS n_casings,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_eq_building
+FROM t GROUP BY lower(seg)"""
+
+
 SPECS = [
     QuerySpec(
         "f1_fn_string",
@@ -366,5 +419,12 @@ SPECS = [
         "BIT_AND/OR/XOR aggregates + scalar shifts (bitmap algebra)",
         f10_fn_bitwise,
         _F10_SQL,
+    ),
+    QuerySpec(
+        "f11_fn_collation",
+        "F",
+        "Spark 4 UTF8_LCASE collation: collated groupBy + equality",
+        f11_fn_collation,
+        _F11_SQL,
     ),
 ]
