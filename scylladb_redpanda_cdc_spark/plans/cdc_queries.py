@@ -996,6 +996,57 @@ def a25_cdc_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a26_cql_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: CQL DDL -> engine schema. The reference defines its source
+    table in CQL (scylladb_cql_statements.md:9-13), and a migrating user
+    brings CREATE TABLE statements, not StructTypes; this runs the
+    engine's DDL bridge (sources/cql_ddl.py) on the reference's literal
+    statement and emits the translation table — per column its CQL type,
+    Spark type, key role (partition / clustering / regular, the split
+    that decides Kafka partitioning and A3's key schema), nullability
+    (PK components non-null, regular columns Cell-absent-able), plus the
+    table's cdc option. The oracle pins the expected translation row for
+    row, so a parser regression can never silently ship a wrong schema.
+
+    Scale: metadata-only (a 3-row frame) — the value is the contract,
+    exercised by the same registry machinery as every data operator."""
+    from scylladb_redpanda_cdc_spark.sources.cql_ddl import (
+        REFERENCE_ORDERS_DDL,
+        parse_create_table,
+    )
+
+    pt = parse_create_table(REFERENCE_ORDERS_DDL)
+    schema = pt.spark_schema()
+    rows = [
+        (
+            i,
+            name,
+            cql,
+            schema[name].dataType.simpleString(),
+            pt.pk_role(name),
+            schema[name].nullable,
+            pt.options.get("cdc", ""),
+        )
+        for i, (name, cql) in enumerate(pt.columns)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "ordinal long, col_name string, cql_type string, spark_type string,"
+        " pk_role string, nullable boolean, cdc_option string",
+    )
+
+
+_A26_SQL = """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'customer_id', 'int', 'int', 'partition',
+   false, '{''enabled'': true}'),
+  (CAST(1 AS BIGINT), 'order_id', 'int', 'int', 'clustering',
+   false, '{''enabled'': true}'),
+  (CAST(2 AS BIGINT), 'product', 'text', 'string', 'regular',
+   true, '{''enabled'': true}'))
+AS t(ordinal, col_name, cql_type, spark_type, pk_role, nullable,
+     cdc_option)"""
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -1306,6 +1357,13 @@ FROM log GROUP BY topic""",
         "two-phase consumer bootstrap (snapshot then live) == one pass",
         a24_snapshot_live_cutover,
         _s("SELECT customer_id, order_id, product FROM state", extended=True),
+    ),
+    QuerySpec(
+        "a26_cql_schema_translate",
+        "A",
+        "CQL CREATE TABLE -> Spark schema: types, key roles, nullability",
+        a26_cql_schema_translate,
+        _A26_SQL,
     ),
     QuerySpec(
         "a25_cdc_lag_report",
