@@ -191,6 +191,7 @@ def registry() -> dict[str, QuerySpec]:
         "b54_join_asof_forward_tolerance",
         "f11_fn_collation",
         "a26_cql_schema_translate",
+        "b55_recursive_cte",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

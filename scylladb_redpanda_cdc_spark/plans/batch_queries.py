@@ -326,6 +326,37 @@ def b54_join_asof_forward_tolerance(spark, sf_dir):
     )
 
 
+_B55_BODY = """WITH RECURSIVE h(s_suppkey, depth, root_key) AS (
+  SELECT s_suppkey, 0 AS depth, s_suppkey AS root_key
+  FROM supplier WHERE s_suppkey <= 9
+  UNION ALL
+  SELECT s.s_suppkey, h.depth + 1, h.root_key
+  FROM supplier s JOIN h ON s.s_suppkey {div} 10 = h.s_suppkey
+  WHERE s.s_suppkey > 9)
+SELECT s_suppkey, CAST(depth AS BIGINT) AS depth,
+  CAST(root_key AS BIGINT) AS root_key
+FROM h"""
+
+
+def b55_recursive_cte(spark, sf_dir):
+    """Native recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497 — the
+    SQL-standard fixpoint iteration x21/x74 hand-roll with DataFrame
+    loops): a deterministic supplier hierarchy (parent = s_suppkey DIV
+    10, a complete 10-ary tree by arithmetic — no fixture column games)
+    walked from the roots, emitting each supplier's depth and root. The
+    engine-native counterpart to the hand-rolled iteration family:
+    Catalyst owns the loop, per-step plans stay shallow, and termination
+    is the standard no-new-rows fixpoint.
+
+    Scale: each recursion step is one equi-join of the frontier against
+    supplier (frontier-sized, never all-pairs); depth = log10(|supplier|)
+    steps. The DataFrame-loop operators remain the right tool when a step
+    needs non-SQL logic (checkpointing policy, convergence flags) —
+    having BOTH forms is the point."""
+    _T(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_B55_BODY.format(div="DIV"))
+
+
 # ---------------------------------------------------------------------------
 # B15-B21 aggregation
 # ---------------------------------------------------------------------------
@@ -1854,6 +1885,13 @@ SPECS = [
         "SELECT click_id, user_id, purchase_id,\n"
         "  epoch_us(purchase_ts) AS purchase_ts_us\n"
         "FROM j WHERE rn = 1",
+    ),
+    QuerySpec(
+        "b55_recursive_cte",
+        "B",
+        "native WITH RECURSIVE: arithmetic supplier tree depth/root walk",
+        b55_recursive_cte,
+        _B55_BODY.format(div="//"),
     ),
     QuerySpec(
         "b15_agg_basic",
