@@ -328,10 +328,10 @@ def b54_join_asof_forward_tolerance(spark, sf_dir):
 
 _B55_BODY = """WITH RECURSIVE h(s_suppkey, depth, root_key) AS (
   SELECT s_suppkey, 0 AS depth, s_suppkey AS root_key
-  FROM supplier WHERE s_suppkey <= 9
+  FROM {tbl} WHERE s_suppkey <= 9
   UNION ALL
   SELECT s.s_suppkey, h.depth + 1, h.root_key
-  FROM supplier s JOIN h ON s.s_suppkey {div} 10 = h.s_suppkey
+  FROM {tbl} s JOIN h ON s.s_suppkey {div} 10 = h.s_suppkey
   WHERE s.s_suppkey > 9)
 SELECT s_suppkey, CAST(depth AS BIGINT) AS depth,
   CAST(root_key AS BIGINT) AS root_key
@@ -353,8 +353,8 @@ def b55_recursive_cte(spark, sf_dir):
     steps. The DataFrame-loop operators remain the right tool when a step
     needs non-SQL logic (checkpointing policy, convergence flags) —
     having BOTH forms is the point."""
-    _T(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
-    return spark.sql(_B55_BODY.format(div="DIV"))
+    _T(spark, sf_dir, "supplier").createOrReplaceTempView("sg_b55_supplier")
+    return spark.sql(_B55_BODY.format(div="DIV", tbl="sg_b55_supplier"))
 
 
 # ---------------------------------------------------------------------------
@@ -1891,7 +1891,7 @@ SPECS = [
         "B",
         "native WITH RECURSIVE: arithmetic supplier tree depth/root walk",
         b55_recursive_cte,
-        _B55_BODY.format(div="//"),
+        _B55_BODY.format(div="//", tbl="supplier"),
     ),
     QuerySpec(
         "b15_agg_basic",
