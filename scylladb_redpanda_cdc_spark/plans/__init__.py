@@ -192,6 +192,7 @@ def registry() -> dict[str, QuerySpec]:
         "f11_fn_collation",
         "a26_cql_schema_translate",
         "b55_recursive_cte",
+        "x88_gopher_gates",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

@@ -5607,6 +5607,98 @@ SELECT doc_id,
 FROM state"""
 
 
+def x88_gopher_gates(spark, sf_dir):
+    """Gopher-style heuristic gate suite (Rae et al. 2021 §A1.1; the rule
+    family FineWeb/RefinedWeb re-derive): per document every gate's
+    individual verdict plus the conjunction — the curation-DEBUGGING view
+    (which rule killed this doc?) that a single blended score (x15) or a
+    learned margin (x48) cannot give. Gates, all exact integer/boolean
+    algebra: word-count window (5..100k), alphabetic-character majority
+    (ppm), >=2 distinct common-word hits (the 'has stop words' English
+    prior), and duplicate-bigram repetition <=20% (x22's signal as a
+    gate). keep = AND of all four.
+
+    Scale: map-only expression algebra over the token array — zero
+    shuffles, rides the same tokenize pass as x15/x16/x48 (one scan fuses
+    them at 100 TB)."""
+    d = _T(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n_words = F.size(ws).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_alpha = F.length(
+        F.regexp_replace(F.lower("text"), "[^a-z]", "")
+    ).cast("long")
+    t = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        (n_alpha * F.lit(1_000_000)).alias("_alpha_num"),
+        F.size(
+            F.array_distinct(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+        ).cast("long").alias("n_stop_distinct"),
+        F.size(word_grams(ws, 2)).cast("long").alias("_bg_total"),
+        F.size(F.array_distinct(word_grams(ws, 2))).cast("long").alias(
+            "_bg_distinct"
+        ),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.when(
+            F.col("n_chars") > 0, F.expr("_alpha_num DIV n_chars")
+        ).otherwise(F.lit(0).cast("long")).alias("alpha_ppm"),
+        "n_stop_distinct",
+        "_bg_total",
+        "_bg_distinct",
+    )
+    g_len = (F.col("n_words") >= 5) & (F.col("n_words") <= 100_000)
+    g_alpha = F.col("alpha_ppm") >= 500_000
+    g_stop = F.col("n_stop_distinct") >= 2
+    g_rep = (
+        F.lit(5) * (F.col("_bg_total") - F.col("_bg_distinct"))
+        <= F.col("_bg_total")
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "alpha_ppm",
+        "n_stop_distinct",
+        g_len.alias("g_len"),
+        g_alpha.alias("g_alpha"),
+        g_stop.alias("g_stop"),
+        g_rep.alias("g_rep"),
+        (g_len & g_alpha & g_stop & g_rep).alias("keep"),
+    )
+
+
+_X88_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_X88_SQL = f"""WITH {_TOKS_CTE},
+base AS (SELECT d.doc_id, CAST(len(t.ws) AS BIGINT) AS n_words,
+    CAST(LENGTH(d.text) AS BIGINT) AS n_chars,
+    CAST(LENGTH(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))
+         AS BIGINT) AS n_alpha,
+    CAST(len(list_distinct(list_filter(t.ws,
+         w -> w IN ({_X88_STOP_IN})))) AS BIGINT) AS n_stop_distinct,
+    CAST(GREATEST(len(t.ws) - 1, 0) AS BIGINT) AS bg_total,
+    CAST(len(list_distinct(list_transform(range(1, len(t.ws)),
+         i -> t.ws[i] || ' ' || t.ws[i+1]))) AS BIGINT) AS bg_distinct
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+g AS (SELECT doc_id, n_words,
+    CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars
+         ELSE 0 END AS alpha_ppm,
+    n_stop_distinct,
+    (n_words >= 5 AND n_words <= 100000) AS g_len,
+    CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars
+         ELSE 0 END >= 500000 AS g_alpha,
+    n_stop_distinct >= 2 AS g_stop,
+    5 * (bg_total - bg_distinct) <= bg_total AS g_rep
+  FROM base)
+SELECT doc_id, n_words, alpha_ppm, n_stop_distinct,
+  g_len, g_alpha, g_stop, g_rep,
+  (g_len AND g_alpha AND g_stop AND g_rep) AS keep
+FROM g"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -6275,5 +6367,12 @@ SPECS = [
         "CDC changelog applied to the standing corpus via offset compaction",
         x87_cdc_corpus_sync,
         _X87_SQL,
+    ),
+    QuerySpec(
+        "x88_gopher_gates",
+        "X",
+        "Gopher heuristic gate suite: per-gate verdicts + conjunction",
+        x88_gopher_gates,
+        _X88_SQL,
     ),
 ]
