@@ -64,3 +64,23 @@ def test_grading_prefix_names_only_registered_queries():
         warnings.simplefilter("error")
         r = registry()
     assert len(r) == len(set(r))
+
+
+def test_round6_prefix_head_is_entirely_never_graded():
+    """The rotation claim, mechanically: every query in the 50-slot
+    grading prefix head must be absent from ALL prior driver CORRECTNESS
+    artifacts — a graded query in the head would waste a slot that could
+    certify new coverage (the round-5 verdict's top directive)."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-5].json")):
+        graded.update(json.load(open(path)))
+    assert graded, "no prior correctness artifacts found"
+    head = list(registry())[:50]
+    already = [q for q in head if q in graded]
+    assert not already, (
+        f"grading prefix head re-grades already-certified queries: {already}"
+    )
