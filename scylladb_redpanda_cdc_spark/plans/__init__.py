@@ -193,6 +193,7 @@ def registry() -> dict[str, QuerySpec]:
         "a26_cql_schema_translate",
         "b55_recursive_cte",
         "x88_gopher_gates",
+        "b56_lateral_topk",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

@@ -357,6 +357,31 @@ def b55_recursive_cte(spark, sf_dir):
     return spark.sql(_B55_BODY.format(div="DIV", tbl="sg_b55_supplier"))
 
 
+_B56_BODY = """SELECT n.n_name, l.c_custkey, l.c_acctbal
+FROM {nation} n,
+LATERAL (SELECT c_custkey, c_acctbal FROM {customer} c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) l"""
+
+
+def b56_lateral_topk(spark, sf_dir):
+    """LATERAL correlated subquery (SQL-standard per-row subplan): per
+    nation its top-2 customers by account balance — the decorrelation
+    path the optimizer must rewrite into a ranked join (b24 expresses the
+    identical semantics with an explicit window; having BOTH proves the
+    engine covers how users actually write it). Catalyst decorrelates
+    the LATERAL into a window-over-join — per-group state, never a
+    per-nation re-scan of customer.
+
+    Scale: the rewritten plan shuffles once on nationkey and ranks
+    within groups; deterministic tiebreak (custkey) pins the oracle."""
+    _T(spark, sf_dir, "nation").createOrReplaceTempView("sg_b56_nation")
+    _T(spark, sf_dir, "customer").createOrReplaceTempView("sg_b56_customer")
+    return spark.sql(
+        _B56_BODY.format(nation="sg_b56_nation", customer="sg_b56_customer")
+    )
+
+
 # ---------------------------------------------------------------------------
 # B15-B21 aggregation
 # ---------------------------------------------------------------------------
@@ -1892,6 +1917,13 @@ SPECS = [
         "native WITH RECURSIVE: arithmetic supplier tree depth/root walk",
         b55_recursive_cte,
         _B55_BODY.format(div="//", tbl="supplier"),
+    ),
+    QuerySpec(
+        "b56_lateral_topk",
+        "B",
+        "LATERAL correlated subquery: per-nation top-2 customers",
+        b56_lateral_topk,
+        _B56_BODY.format(nation="nation", customer="customer"),
     ),
     QuerySpec(
         "b15_agg_basic",
