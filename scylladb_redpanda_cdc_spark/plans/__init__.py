@@ -194,6 +194,7 @@ def registry() -> dict[str, QuerySpec]:
         "b55_recursive_cte",
         "x88_gopher_gates",
         "b56_lateral_topk",
+        "o9_stats_skipping_report",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

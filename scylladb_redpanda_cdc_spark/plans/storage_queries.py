@@ -547,6 +547,61 @@ SELECT day, COUNT(*) AS n_events,
 FROM e GROUP BY day"""
 
 
+#: o9's declared probe range (epoch days; TPC-H ship dates span ~8035-10560,
+#: so this ~100-day slice overlaps a single 64-day bucket or two).
+_O9_Q_LO = 8_500
+_O9_Q_HI = 8_600
+
+
+def o9_stats_skipping_report(spark, sf_dir):
+    """Data-skipping observability over o3's clustered layout: per physical
+    FILE (one per 64-day bucket — grouped by ``_metadata.file_path``, so
+    the report derives from the real file boundaries, not the logical
+    bucket column) its min/max day and whether a declared probe range
+    [8500, 8600] can SKIP it on parquet min/max alone — the report a lake
+    operator reads to answer 'is my clustering still earning its keep?'.
+    Skip rate degrading toward zero is the signal to re-cluster (o2/o3's
+    job). Oracle-checkable because o3's file↔bucket mapping is
+    deterministic (arithmetic bucketing, one file per bucket).
+
+    Scale: one pass over footer-cheap columns + a files-sized agg; the
+    report is bucket-count rows regardless of data volume."""
+    o3_clustered_write(spark, sf_dir)  # ensures the o3 layout is staged
+    base = _staged[(spark.sparkContext.applicationId, sf_dir, "o3")]
+    us = "unix_micros(cast(l_shipdate as timestamp))"
+    day = f"({us} - pmod({us}, 86400000000)) DIV 86400000000"
+    back = spark.read.parquet(base).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.expr(day).alias("day"),
+        F.col("_metadata.file_path").alias("fp"),
+    )
+    per_file = back.groupBy("fp", "bucket").agg(
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.count("*").alias("n_rows"),
+    )
+    skippable = ~(
+        (F.col("min_day") <= F.lit(_O9_Q_HI))
+        & (F.col("max_day") >= F.lit(_O9_Q_LO))
+    )
+    return per_file.select(
+        "bucket", "min_day", "max_day", "n_rows", skippable.alias("skippable")
+    )
+
+
+_O9_SQL = f"""WITH d AS (
+  SELECT (epoch_us(l_shipdate)
+     - ((epoch_us(l_shipdate) % 86400000000) + 86400000000) % 86400000000)
+     // 86400000000 AS day
+  FROM lineitem),
+f AS (SELECT CAST(FLOOR(day / 64.0) AS BIGINT) AS bucket,
+        MIN(day) AS min_day, MAX(day) AS max_day, COUNT(*) AS n_rows
+      FROM d GROUP BY 1)
+SELECT bucket, min_day, max_day, n_rows,
+  NOT (min_day <= {_O9_Q_HI} AND max_day >= {_O9_Q_LO}) AS skippable
+FROM f"""
+
+
 SPECS = [
     QuerySpec(
         "o1_partitioned_write",
@@ -603,5 +658,12 @@ SPECS = [
         "month->day partition-scheme evolution: union read, lossless",
         o8_partition_evolution,
         _O8_SQL,
+    ),
+    QuerySpec(
+        "o9_stats_skipping_report",
+        "O",
+        "per-file min/max + range-skip verdict over the clustered layout",
+        o9_stats_skipping_report,
+        _O9_SQL,
     ),
 ]
