@@ -103,3 +103,15 @@ class Engine:
         return materialize_latest(
             changes, key_cols or ["customer_id", "order_id"]
         )
+
+    # -- migration ---------------------------------------------------------
+    @staticmethod
+    def schema_from_cql(ddl: str):
+        """CQL ``CREATE TABLE`` -> (ParsedTable, Spark StructType): the
+        migration entry point for a reference user bringing CQL DDL
+        (A26, sources/cql_ddl.py). Unsupported constructs raise rather
+        than mis-parse."""
+        from scylladb_redpanda_cdc_spark.sources.cql_ddl import parse_create_table
+
+        pt = parse_create_table(ddl)
+        return pt, pt.spark_schema()

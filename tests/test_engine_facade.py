@@ -28,3 +28,14 @@ def test_engine_runs_registry_query(spark, sf_dir):
         "l_linenumber",
         "l_quantity",
     ]
+
+
+def test_engine_schema_from_cql():
+    from scylladb_redpanda_cdc_spark.engine import Engine
+    from scylladb_redpanda_cdc_spark.sources.cql_ddl import REFERENCE_ORDERS_DDL
+
+    pt, schema = Engine.schema_from_cql(REFERENCE_ORDERS_DDL)
+    assert pt.table == "orders"
+    assert [f.name for f in schema.fields] == [
+        "customer_id", "order_id", "product",
+    ]
