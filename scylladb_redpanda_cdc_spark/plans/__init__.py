@@ -195,6 +195,7 @@ def registry() -> dict[str, QuerySpec]:
         "x88_gopher_gates",
         "b56_lateral_topk",
         "o9_stats_skipping_report",
+        "x89_incremental_minhash",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

@@ -5699,6 +5699,86 @@ SELECT doc_id, n_words, alpha_ppm, n_stop_distinct,
 FROM g"""
 
 
+def x89_incremental_minhash(spark, sf_dir):
+    """INCREMENTAL near-dup detection — x36's standing-index discipline
+    applied to the FUZZY path (how production fuzzy dedup actually runs:
+    the corpus's banded MinHash index is maintained state, and each
+    arriving shard probes it; the corpus is never re-banded per batch).
+    Docs with doc_id % 10 == 7 play the arriving shard; the rest are the
+    standing corpus whose (band, sig) index — bucket-capped exactly like
+    x2, with a min-doc_id representative per bucket — is the state a
+    100 TB pipeline carries between batches. Every shard doc reports how
+    many of its 16 band signatures hit the standing index, the >= 4-band
+    candidate verdict (x2's threshold), and the minimum corpus
+    representative among its hit buckets (the doc to verify against).
+
+    Scale shape: the probe is shard-bands ⋈ index — an equi-join whose
+    build side is the bounded index, broadcast-able when the shard is
+    small; nothing corpus-sized moves per batch. Strict oracle: the
+    identical banding CTE chain recomputed by DuckDB."""
+    d = _docs_fanned(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
+    ).select("doc_id", hash60(F.col("s")).alias("h"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_remix(F.col("h"), b)).alias(f"sig_{b}")
+            for b in range(16)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")
+                    )
+                    for b in range(16)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    idx = (
+        bands.filter(F.col("doc_id") % 10 != 7)
+        .groupBy("band", "sig")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("rep"))
+        .filter(F.col("n") <= X2_BUCKET_CAP)
+        .select("band", "sig", "rep")
+    )
+    shard = bands.filter(F.col("doc_id") % 10 == 7)
+    hits = (
+        shard.join(idx, ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_bands"),
+            F.min("rep").alias("nearest_rep"),
+        )
+    )
+    base = shard.select("doc_id").distinct()
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hit_bands", F.lit(0)).cast("long").alias("n_hit_bands"),
+        (F.coalesce("n_hit_bands", F.lit(0)) >= 4).alias("is_candidate"),
+        "nearest_rep",
+    )
+
+
+_X89_SQL = f"""WITH {_X2_CTES},
+idx AS (SELECT band, sig, MIN(doc_id) AS rep FROM sigs
+        WHERE doc_id % 10 <> 7 GROUP BY 1, 2
+        HAVING COUNT(*) <= {X2_BUCKET_CAP}),
+shard AS (SELECT doc_id, band, sig FROM sigs WHERE doc_id % 10 = 7),
+hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_bands,
+           MIN(i.rep) AS nearest_rep
+         FROM shard s JOIN idx i ON s.band = i.band AND s.sig = i.sig
+         GROUP BY 1)
+SELECT b.doc_id, COALESCE(h.n_hit_bands, 0) AS n_hit_bands,
+  COALESCE(h.n_hit_bands, 0) >= 4 AS is_candidate, h.nearest_rep
+FROM (SELECT DISTINCT doc_id FROM shard) b
+LEFT JOIN hits h ON b.doc_id = h.doc_id"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -6374,5 +6454,12 @@ SPECS = [
         "Gopher heuristic gate suite: per-gate verdicts + conjunction",
         x88_gopher_gates,
         _X88_SQL,
+    ),
+    QuerySpec(
+        "x89_incremental_minhash",
+        "X",
+        "arriving shard probes the standing banded MinHash index",
+        x89_incremental_minhash,
+        _X89_SQL,
     ),
 ]
