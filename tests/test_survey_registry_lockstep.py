@@ -66,17 +66,19 @@ def test_grading_prefix_names_only_registered_queries():
     assert len(r) == len(set(r))
 
 
-def test_round6_prefix_head_is_entirely_never_graded():
+def test_prefix_head_is_entirely_never_graded():
     """The rotation claim, mechanically: every query in the 50-slot
     grading prefix head must be absent from ALL prior driver CORRECTNESS
     artifacts — a graded query in the head would waste a slot that could
-    certify new coverage (the round-5 verdict's top directive)."""
+    certify new coverage (the round-5 verdict's top directive). Globbing
+    every artifact keeps this self-maintaining: when a new round's
+    artifact lands, the NEXT rotation must avoid it too."""
     import glob
     import json
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     graded: set[str] = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-5].json")):
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         graded.update(json.load(open(path)))
     assert graded, "no prior correctness artifacts found"
     head = list(registry())[:50]
