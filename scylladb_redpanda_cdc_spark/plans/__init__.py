@@ -196,6 +196,8 @@ def registry() -> dict[str, QuerySpec]:
         "b56_lateral_topk",
         "o9_stats_skipping_report",
         "x89_incremental_minhash",
+        "f12_fn_try_safe",
+        "f13_fn_variant",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

@@ -297,6 +297,79 @@ SELECT lower(MIN(seg)) AS segment,
 FROM t GROUP BY lower(seg)"""
 
 
+def f12_fn_try_safe(spark, sf_dir):
+    """ANSI-safe ``try_*`` family (Spark 4's error-free arithmetic/cast
+    surface — the functions that make ANSI mode deployable: instead of a
+    task-killing exception, malformed input yields NULL a downstream
+    filter can audit): try_divide (zero divisor), try_multiply (int32
+    overflow), try_cast (non-numeric string), try_element_at
+    (out-of-range index). Each exercised with BOTH a failing and a
+    succeeding case per row so the NULL/value split is data-derived, not
+    constant-folded.
+
+    Scale: map-only row expressions — zero shuffles."""
+    li = _T(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 4)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), (F.col("l_linenumber") - 1).cast("double")
+        ).alias("safe_div"),
+        F.try_multiply(
+            F.lit(2_000_000_000).cast("int"), F.col("l_linenumber").cast("int")
+        ).alias("safe_mul"),
+        F.expr("try_cast(l_returnflag AS int)").alias("cast_bad"),
+        F.expr("try_cast(cast(l_linenumber AS string) AS int)").alias("cast_ok"),
+        F.try_element_at(
+            F.array(F.col("l_orderkey")), F.col("l_linenumber").cast("int")
+        ).alias("elem"),
+    )
+
+
+_F12_SQL = """SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_linenumber = 1 THEN NULL
+       ELSE l_extendedprice / CAST(l_linenumber - 1 AS DOUBLE) END AS safe_div,
+  CASE WHEN l_linenumber >= 2 THEN NULL
+       ELSE CAST(2000000000 * l_linenumber AS INTEGER) END AS safe_mul,
+  TRY_CAST(l_returnflag AS INTEGER) AS cast_bad,
+  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS cast_ok,
+  CASE WHEN l_linenumber = 1 THEN l_orderkey ELSE NULL END AS elem
+FROM lineitem WHERE l_linenumber <= 4"""
+
+
+def f13_fn_variant(spark, sf_dir):
+    """Spark 4 VARIANT type: semi-structured data carried as a typed
+    binary variant instead of a string — ``parse_json`` into VARIANT,
+    ``variant_get`` typed path extraction (present and absent paths),
+    ``schema_of_variant`` introspection, and ``try_parse_json`` absorbing
+    planted corruption (every 5th event's props mangled) as NULL instead
+    of a task failure. The engine-level replacement for
+    string-JSON + get_json_object hot paths (parse once, extract many).
+
+    Scale: map-only; variant parse happens once per row and every
+    extraction reads the binary form — no re-parsing per path."""
+    e = _T(spark, sf_dir, "events").select("event_id", "props")
+    corrupted = F.when(
+        F.col("event_id") % 5 == 0, F.concat(F.lit("[["), F.col("props"))
+    ).otherwise(F.col("props"))
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.variant_get(v, "$.missing", "long").alias("k_missing"),
+        F.schema_of_variant(v).alias("vtype"),
+        F.try_parse_json(corrupted).isNotNull().alias("parse_ok"),
+    )
+
+
+_F13_SQL = """SELECT event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+  CAST(NULL AS BIGINT) AS k_missing,
+  'OBJECT<k: BIGINT>' AS vtype,
+  event_id % 5 <> 0 AS parse_ok
+FROM events"""
+
+
 SPECS = [
     QuerySpec(
         "f1_fn_string",
@@ -426,5 +499,19 @@ SPECS = [
         "Spark 4 UTF8_LCASE collation: collated groupBy + equality",
         f11_fn_collation,
         _F11_SQL,
+    ),
+    QuerySpec(
+        "f12_fn_try_safe",
+        "F",
+        "try_divide/multiply/cast/element_at: ANSI-safe NULL error family",
+        f12_fn_try_safe,
+        _F12_SQL,
+    ),
+    QuerySpec(
+        "f13_fn_variant",
+        "F",
+        "VARIANT: parse_json/variant_get/schema_of_variant/try_parse_json",
+        f13_fn_variant,
+        _F13_SQL,
     ),
 ]
