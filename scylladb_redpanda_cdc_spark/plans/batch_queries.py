@@ -523,6 +523,51 @@ def b24_topk_per_group(spark, sf_dir):
     )
 
 
+def b57_join_null_safe(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) — the one
+    equi-join variant where NULL keys MATCH each other instead of
+    vanishing (dimension keys that are legitimately absent on both sides:
+    'unknown bucket' joins 'unknown bucket'). Keys are derived with
+    NULLIF so the fixture exercises real NULL groups: urgent orders get a
+    NULL priority-key on both sides and must still pair up. Output is the
+    per-key match count, NULL group included — a plain equi-join would
+    silently drop it (the classic silent-data-loss bug this operator
+    exists to name).
+
+    Scale: Spark plans ``<=>`` as a hash join on a null-coalesced key —
+    same single shuffle as any equi-join, no nested-loop fallback (the
+    registry plan sweep enforces it)."""
+    o = _T(spark, sf_dir, "orders")
+    a = o.select(
+        F.expr("nullif(o_orderpriority, '1-URGENT')").alias("k"),
+        F.col("o_orderkey").alias("left_key"),
+    ).filter(F.col("o_orderkey") % 100 == 0)
+    b = o.select(
+        F.expr("nullif(o_orderpriority, '1-URGENT')").alias("k2"),
+        F.col("o_orderkey").alias("right_key"),
+    ).filter(F.col("o_orderkey") % 100 == 50)
+    j = a.join(b, a.k.eqNullSafe(b.k2), "inner")
+    return j.groupBy(F.coalesce("k", F.lit("<null>")).alias("prio_key")).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("left_key").alias("n_left"),
+        F.countDistinct("right_key").alias("n_right"),
+    )
+
+
+_B57_SQL = """WITH a AS (
+  SELECT NULLIF(o_orderpriority, '1-URGENT') AS k, o_orderkey AS left_key
+  FROM orders WHERE o_orderkey % 100 = 0),
+b AS (
+  SELECT NULLIF(o_orderpriority, '1-URGENT') AS k2, o_orderkey AS right_key
+  FROM orders WHERE o_orderkey % 100 = 50)
+SELECT COALESCE(a.k, '<null>') AS prio_key,
+  COUNT(*) AS n_pairs,
+  COUNT(DISTINCT left_key) AS n_left,
+  COUNT(DISTINCT right_key) AS n_right
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # B25-B29 set operations
 # ---------------------------------------------------------------------------
@@ -1924,6 +1969,13 @@ SPECS = [
         "LATERAL correlated subquery: per-nation top-2 customers",
         b56_lateral_topk,
         _B56_BODY.format(nation="nation", customer="customer"),
+    ),
+    QuerySpec(
+        "b57_join_null_safe",
+        "B",
+        "null-safe equality join: NULL keys pair instead of vanishing",
+        b57_join_null_safe,
+        _B57_SQL,
     ),
     QuerySpec(
         "b15_agg_basic",
