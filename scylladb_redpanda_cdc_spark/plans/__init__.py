@@ -199,6 +199,7 @@ def registry() -> dict[str, QuerySpec]:
         "f12_fn_try_safe",
         "f13_fn_variant",
         "b57_join_null_safe",
+        "u12_udtf_polymorphic",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

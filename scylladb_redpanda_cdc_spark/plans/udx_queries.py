@@ -160,6 +160,56 @@ def u7_python_udtf(spark, sf_dir):
     )
 
 
+def u12_udtf_polymorphic(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4's ``analyze`` static method): the
+    output schema is computed from the call-site arguments at plan time —
+    here an n-gram splitter whose column set (w0..w{k-1}, idx) is derived
+    from the literal k=2, so ``sg_u12_ngrams(p_name, 3)`` would plan a
+    three-word schema with NO code change. u7 is the fixed-schema UDTF;
+    u12 is the schema-from-arguments form that makes table functions
+    reusable across shapes (the Spark-native answer to generic
+    flatten/explode helpers). `split(' ')` mirrors the oracle's
+    `string_split` exactly.
+
+    Scale: partition-local row generator (the declared slow path, same
+    budget as u1/u7); the feature under test is the PLANNING surface."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(name: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            width = int(k.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"w{i}", StringType()) for i in range(width)]
+                    + [StructField("idx", IntegerType())]
+                )
+            )
+
+        def eval(self, name: str, k: int):
+            toks = name.split(" ")
+            for i in range(len(toks) - k + 1):
+                yield (*toks[i : i + k], i)
+
+    spark.udtf.register("sg_u12_ngrams", NGrams)
+    _T(spark, sf_dir, "part").select("p_partkey", "p_name").createOrReplaceTempView(
+        "u12_part"
+    )
+    return spark.sql(
+        "SELECT p_partkey, t.w0, t.w1, t.idx "
+        "FROM u12_part, LATERAL sg_u12_ngrams(p_name, 2) t"
+    )
+
+
+_U12_SQL = """WITH t AS (
+  SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part)
+SELECT p_partkey, ws[i] AS w0, ws[i+1] AS w1, CAST(i - 1 AS INTEGER) AS idx
+FROM t, UNNEST(range(1, len(ws))) AS u(i)"""
+
+
 # -- U6: applyInPandas grouped-map (whole group in, whole group out) ----------
 
 _U6_SCHEMA = "user_id long, event_id long, ts_us long, seq long, gap_us long"
@@ -410,6 +460,13 @@ SPECS = [
         "SELECT l_orderkey, l_linenumber,\n"
         "  l_extendedprice * (1.0 - l_discount) AS net_price\n"
         "FROM lineitem WHERE l_quantity >= 45",
+    ),
+    QuerySpec(
+        "u12_udtf_polymorphic",
+        "U",
+        "analyze-based UDTF: output schema computed from call-site args",
+        u12_udtf_polymorphic,
+        _U12_SQL,
     ),
     QuerySpec(
         "u8_map_in_arrow",

@@ -201,6 +201,7 @@ _INTENDED_PYTHON = {
     "u8_map_in_arrow",  # declared Arrow batch API (pure Arrow kernels)
     "u9_pandas_udf_iterator",  # declared SCALAR_ITER pandas UDF
     "u11_udf_arrow_optimized",  # declared Spark 4 useArrow Python UDF
+    "u12_udtf_polymorphic",  # declared polymorphic Python UDTF
     "x18_multimodal_decode",
     "x58_media_resize",  # mapInPandas resize-geometry stage
     "x59_media_features",  # mapInPandas byte-histogram feature stage
