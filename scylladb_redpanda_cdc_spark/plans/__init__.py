@@ -200,6 +200,8 @@ def registry() -> dict[str, QuerySpec]:
         "f13_fn_variant",
         "b57_join_null_safe",
         "u12_udtf_polymorphic",
+        "a27_wire_overhead_report",
+        "w10_win_ignore_nulls",
         # previously certified, kept visible at the tail head for re-proof
         # if anything upstream of them changes again
         "flagship_cdc_materialize",

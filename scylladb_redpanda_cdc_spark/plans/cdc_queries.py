@@ -1047,6 +1047,58 @@ AS t(ordinal, col_name, cql_type, spark_type, pk_role, nullable,
      cdc_option)"""
 
 
+def a27_wire_overhead_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: the wire-format overhead the reference itself calls out —
+    ``schemas.enable=true`` embeds the full JSON schema in EVERY key and
+    value (connect-standalone.properties:2-3; BASELINE.md records the
+    consequence: ~3.3 KB value for a 3-column row). Per event: exact byte
+    lengths of key and value, the schema block's share of each (the
+    embedded ``schema`` object's serialized length), and the payload's —
+    the accounting that justifies a schema-registry migration (the schema
+    bytes are >90% of every message and identical across events).
+
+    Exactness: lengths of the canonical re-serialized schema/payload
+    blocks (DuckDB's ``json_extract`` emits compact JSON; Spark's
+    ``to_json(from_json(...))``... avoids engine-specific re-encoding by
+    measuring SUBSTRING positions instead: the value is
+    ``{"schema":X,"payload":Y}``, so X spans from byte 11 to the
+    ``,"payload":`` marker — pure string algebra both engines run
+    byte-identically on the identical wire bytes).
+
+    Scale: map-only length/position arithmetic on the raw frame — rides
+    the scan; at 100 TB this is the ingest-side bytes dashboard."""
+    raw = golden_stream_df(spark)
+    kv = raw.select(
+        "offset",
+        F.length("key").cast("long").alias("key_bytes"),
+        F.length("value").cast("long").alias("value_bytes"),
+        F.instr(F.col("value"), ',"payload":').cast("long").alias("_vp"),
+        F.instr(F.col("key"), ',"payload":').cast("long").alias("_kp"),
+    )
+    # schema block spans ["schema": .. payload marker); 11 = len('{"schema":')
+    return kv.select(
+        "offset",
+        "key_bytes",
+        "value_bytes",
+        (F.col("_kp") - 11).alias("key_schema_bytes"),
+        (F.col("_vp") - 11).alias("value_schema_bytes"),
+        F.expr("((_vp - 11) * 1000000) DIV value_bytes").alias(
+            "value_schema_ppm"
+        ),
+    )
+
+
+_A27_SQL = """SELECT "offset",
+  CAST(LENGTH("key") AS BIGINT) AS key_bytes,
+  CAST(LENGTH("value") AS BIGINT) AS value_bytes,
+  CAST(POSITION(',"payload":' IN "key") - 11 AS BIGINT) AS key_schema_bytes,
+  CAST(POSITION(',"payload":' IN "value") - 11 AS BIGINT)
+    AS value_schema_bytes,
+  CAST(((POSITION(',"payload":' IN "value") - 11) * 1000000)
+       // LENGTH("value") AS BIGINT) AS value_schema_ppm
+FROM raw"""
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -1364,6 +1416,13 @@ FROM log GROUP BY topic""",
         "CQL CREATE TABLE -> Spark schema: types, key roles, nullability",
         a26_cql_schema_translate,
         _A26_SQL,
+    ),
+    QuerySpec(
+        "a27_wire_overhead_report",
+        "A",
+        "schemas.enable byte accounting: schema share of every message",
+        a27_wire_overhead_report,
+        f"WITH {golden_raw_cte()}\n{_A27_SQL}",
     ),
     QuerySpec(
         "a25_cdc_lag_report",

@@ -296,6 +296,59 @@ _W9_SQL = """SELECT o_custkey, o_orderkey,
 FROM orders"""
 
 
+def w10_win_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS window family — the sparse-series navigation variant
+    (sensor/price series where most rows carry no reading): lag/lead skip
+    to the nearest NON-NULL neighbor and nth_value picks the k-th
+    non-null of the partition, where the plain forms (w2/w8) would just
+    return the adjacent NULL. The reading column is deterministically
+    sparsified (value only on event_id % 3 == 0) so every navigation
+    crosses real gaps. b45's gap-fill uses last(ignorenulls) for spine
+    filling; w10 pins the rest of the family.
+
+    Scale: one window partitioned on the user key — same single-shuffle
+    shape as every W op; IGNORE NULLS changes the frame scan, not the
+    distribution."""
+    e = _T(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.floor(F.col("value") * 1_000_000).cast("long"),
+        ).alias("vm"),
+    )
+    base.createOrReplaceTempView("sg_w10_events")
+    return spark.sql(
+        """SELECT event_id, user_id, vm,
+  lag(vm) IGNORE NULLS OVER w AS prev_reading,
+  lead(vm) IGNORE NULLS OVER w AS next_reading,
+  nth_value(vm, 2) IGNORE NULLS OVER (PARTITION BY user_id
+    ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS second_reading
+FROM sg_w10_events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""
+    )
+
+
+_W10_SQL = """WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+    CASE WHEN event_id % 3 = 0
+         THEN CAST(FLOOR(value * 1000000) AS BIGINT) END AS vm
+  FROM events)
+SELECT event_id, user_id, vm,
+  lag(vm IGNORE NULLS) OVER w AS prev_reading,
+  lead(vm IGNORE NULLS) OVER w AS next_reading,
+  nth_value(vm, 2 IGNORE NULLS) OVER (PARTITION BY user_id
+    ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS second_reading
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""
+
+
 SPECS = [
     QuerySpec(
         "w1_win_ranking",
@@ -392,5 +445,12 @@ SPECS = [
         "rolling median via bounded-frame collect rewrite (2x-cents exact)",
         w9_win_median_rewrite,
         _W9_SQL,
+    ),
+    QuerySpec(
+        "w10_win_ignore_nulls",
+        "W",
+        "IGNORE NULLS lag/lead/nth_value over a sparsified reading series",
+        w10_win_ignore_nulls,
+        _W10_SQL,
     ),
 ]
