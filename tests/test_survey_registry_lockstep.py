@@ -86,3 +86,20 @@ def test_prefix_head_is_entirely_never_graded():
     assert not already, (
         f"grading prefix head re-grades already-certified queries: {already}"
     )
+
+
+def test_bench_headline_and_floors_are_in_lockstep():
+    """bench.py's HEADLINE set and BASELINE_S floors must name the same
+    queries, and every one must exist in the registry — a renamed or
+    removed operator must fail the suite before it fails the driver's
+    BENCH run (the round-4 drift class, applied to the bench surface)."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+    head = set(bench.HEADLINE)
+    floors = set(bench.BASELINE_S)
+    assert head == floors, (
+        f"HEADLINE vs BASELINE_S drift: {head ^ floors}"
+    )
+    missing = head - set(registry())
+    assert not missing, f"bench names unregistered queries: {missing}"
