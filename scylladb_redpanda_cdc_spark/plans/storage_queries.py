@@ -146,20 +146,33 @@ def o2_compact_small_files(spark, sf_dir):
                 )
 
     base = _stage(spark, sf_dir, "o2", write)
+    # Before/after stats in ONE aggregation over a side-tagged union — no
+    # join of any kind (the former 1-row x 1-row crossJoin planned as a
+    # BroadcastNestedLoopJoin and needed a plan-sweep exemption). Partial
+    # aggregation folds each side map-side; one 1-row shuffle total.
     small = spark.read.parquet(base + "/small").select(
-        F.input_file_name().alias("f")
+        F.input_file_name().alias("f"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("n_chars"),
     )
-    compact = spark.read.parquet(base + "/compact")
-    n_before = small.agg(F.countDistinct("f").alias("files_before"))
-    stats = compact.select(
-        F.input_file_name().alias("f"), "doc_id", "n_chars"
-    ).agg(
-        F.countDistinct("f").alias("files_after"),
-        F.count("*").alias("n_docs"),
+    compact = spark.read.parquet(base + "/compact").select(
+        F.input_file_name().alias("f"),
+        F.lit(1).alias("side"),
+        "doc_id",
+        "n_chars",
+    )
+    return small.unionAll(compact).agg(
+        F.countDistinct(F.when(F.col("side") == 0, F.col("f"))).alias(
+            "files_before"
+        ),
+        F.countDistinct(F.when(F.col("side") == 1, F.col("f"))).alias(
+            "files_after"
+        ),
+        F.count(F.when(F.col("side") == 1, F.lit(1))).alias("n_docs"),
         F.sum("doc_id").alias("docid_sum"),
         F.sum("n_chars").alias("chars_sum"),
     )
-    return n_before.crossJoin(stats)
 
 
 _O2_SQL = """SELECT 64 AS files_before, 4 AS files_after,

@@ -22,7 +22,11 @@ from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
 # -- U1: row-at-a-time Python UDF -------------------------------------------
 
 
-def _net_price(price: float, discount: float) -> float:
+def _net_price(price, discount):
+    # Deliberately UNhinted: row-kind Python UDFs carry their return type in
+    # the F.udf(..., DoubleType()) declaration, and pyspark 4 warns ("Cannot
+    # infer the eval type from type hints") when scalar hints are present on
+    # a non-pandas signature.
     return price * (1.0 - discount)
 
 

@@ -180,7 +180,6 @@ _INTENDED_NESTED_LOOP = {
     "x70_retrieval_mrr",  # broadcast query batch (x32's evaluation twin)
     "x71_centered_ann",  # broadcast 1-row mean vector + 1-row query
     "x73_dataset_card",  # broadcast 1-row vocab + dup-stats cards
-    "o2_compact_small_files",  # broadcast 1-row file-count x 1-row stats
     "b48_hll_sketch_union",  # broadcast 1-row merged-sketch x 1-row exact
     "b49_bag_set_ops",  # broadcast 1-row exceptAll x 1-row intersectAll
     "b51_dq_report",  # broadcast 1-row checks x 1-row orphan count

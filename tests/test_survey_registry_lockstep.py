@@ -1,4 +1,4 @@
-"""SURVEY.md §2 <-> registry() lockstep.
+r"""SURVEY.md §2 <-> registry() lockstep.
 
 The judge audits SURVEY §2's operator inventory line by line against the
 registry, and round 4 died to exactly this drift class (a prefix naming
