@@ -62,6 +62,14 @@ BASELINE_S = {
     "x86_minhash_dedup_e2e": 0.227,
     "x87_cdc_corpus_sync": 0.479,
     "s21_stream_corpus_sync": 1.772,
+    # Round-7 extension (BASELINE.md "Round-7 extension"): the heavier
+    # round-6 additions, recorded best-of-2-runs on the round-7 tree.
+    "x89_incremental_minhash": 1.467,
+    "o8_partition_evolution": 0.213,
+    "o9_stats_skipping_report": 0.481,
+    "b55_recursive_cte": 0.586,
+    "a26_cql_schema_translate": 0.294,
+    "a27_wire_overhead_report": 0.320,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -102,6 +110,17 @@ HEADLINE = (
     "x86_minhash_dedup_e2e",
     "x87_cdc_corpus_sync",
     "s21_stream_corpus_sync",
+    # round-7 extension (round-6 verdict task 2): the heavier round-6
+    # additions get recorded floors — the incremental fuzzy band-index
+    # probe, both new storage reports (layout-union read + skipping
+    # report), the Catalyst-native recursive CTE, and the two
+    # reference-evidenced CDC reports.
+    "x89_incremental_minhash",
+    "o8_partition_evolution",
+    "o9_stats_skipping_report",
+    "b55_recursive_cte",
+    "a26_cql_schema_translate",
+    "a27_wire_overhead_report",
 )
 
 

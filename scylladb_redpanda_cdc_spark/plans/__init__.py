@@ -146,10 +146,21 @@ def registry() -> dict[str, QuerySpec]:
         "x82_content_defined_chunks",
         "x84_source_minhash_overlap",
         "x85_dedup_method_report",
-        # slots 44-50: every never-graded query is above this line, so the
-        # remaining budget buys the highest-value RE-proofs (verdict's own
-        # shortlist): the flagship, the dedup/stream/CDC kernels most
-        # other queries compose, and the judge-named composites.
+        # slots 44-50: the seven operators ADDED in round 7 (never graded
+        # by construction) — the head is now exactly the 50 queries with
+        # no driver evidence, so a green r07 artifact completes 246/246
+        # cumulative driver coverage.
+        "x90_ivf_pq_ann",
+        "x91_shard_pack",
+        "a28_flush_batch_report",
+        "b58_group_by_all",
+        "o10_compaction_planner",
+        "u13_pandas_udaf_window",
+        "f14_fn_interval",
+        # slots 51+: every query above is ungraded; from here down the
+        # highest-value RE-proofs queue in case the budget is ever looser
+        # (the flagship, the dedup/stream/CDC kernels most other queries
+        # compose, and the judge-named composites).
         "flagship_cdc_materialize",
         "x2_dedup_fuzzy_minhash",
         "s10_foreachbatch_upsert",

@@ -568,6 +568,32 @@ FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
 GROUP BY 1"""
 
 
+_B58_BODY = """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS yr,
+  COUNT(*) AS n,
+  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+  CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+  CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM {tbl}
+GROUP BY ALL
+ORDER BY ALL"""
+
+
+def b58_group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 3.4+ / SPARK-41631 —
+    the analyst-ergonomics surface DuckDB pioneered and warehouse SQL
+    converged on): every non-aggregate select item becomes a group key,
+    including the DERIVED ``year(l_shipdate)`` expression — the analyzer
+    resolves keys from the projection, so adding a dimension never
+    desyncs the SELECT list from the GROUP BY clause. Both engines run
+    the textually identical statement; that equivalence is the operator.
+
+    Scale: identical physical plan to an explicit groupBy — one
+    partial+final hash agg, map-side combine; ORDER BY ALL sorts the
+    group-count-sized output, never the corpus."""
+    _T(spark, sf_dir, "lineitem").createOrReplaceTempView("sg_b58_lineitem")
+    return spark.sql(_B58_BODY.format(tbl="sg_b58_lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # B25-B29 set operations
 # ---------------------------------------------------------------------------
@@ -1976,6 +2002,13 @@ SPECS = [
         "null-safe equality join: NULL keys pair instead of vanishing",
         b57_join_null_safe,
         _B57_SQL,
+    ),
+    QuerySpec(
+        "b58_group_by_all",
+        "B",
+        "GROUP BY ALL / ORDER BY ALL: keys resolved from the projection",
+        b58_group_by_all,
+        _B58_BODY.format(tbl="lineitem"),
     ),
     QuerySpec(
         "b15_agg_basic",

@@ -1099,6 +1099,61 @@ _A27_SQL = """SELECT "offset",
 FROM raw"""
 
 
+def a28_flush_batch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28: offset-flush batching report — the reference's one explicit
+    latency knob (``offset.flush.interval.ms=10000``,
+    connect-standalone.properties:5) applied as an accounting operator:
+    every event lands in the absolute 10-second flush window of its
+    broker-append clock (``window = broker_ts_ms DIV 10000`` — exactly
+    how the Connect worker's timer fires, aligned to the epoch, not to
+    the first record), and per window the report gives event count,
+    op breakdown, the covered offset range, and the intra-window clock
+    span. This is the commit-granularity ledger behind A21's replay
+    contract: a crash re-delivers everything after the last completed
+    window, so window boundaries ARE the re-delivery boundaries.
+
+    Fixture note: the golden capture's synthetic pacing spaces source
+    commits exactly 10 s apart (cdc_fixture.py), so each event lands in
+    its own window — the degenerate-but-exact layout; the algebra (epoch
+    bucketing, per-window extrema) is what the oracle pins. (The REAL
+    capture's tutorial pacing produced 4 visible produce batches —
+    BASELINE.md "observed insert→event lag".)
+
+    Scale: one partial-agg shuffle keyed by the window — window count
+    grows with wall-clock time, not data volume, and map-side combine
+    bounds what moves; at 100 TB this is the commit-cadence dashboard."""
+    df = _decoded_df(spark)
+    w = F.expr("timestamp DIV 10000")
+    return (
+        df.select(
+            (w * 10_000).alias("window_start_ms"),
+            "offset",
+            "op",
+            "timestamp",
+        )
+        .groupBy("window_start_ms")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("op") == "c", 1).otherwise(0)).alias("n_creates"),
+            F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_updates"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+            (F.max("timestamp") - F.min("timestamp")).alias("span_ms"),
+        )
+    )
+
+
+_A28_SQL = """SELECT ("timestamp" // 10000) * 10000 AS window_start_ms,
+  COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_creates,
+  CAST(SUM(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+  MIN("offset") AS first_offset,
+  MAX("offset") AS last_offset,
+  MAX("timestamp") - MIN("timestamp") AS span_ms
+FROM decoded
+GROUP BY 1"""
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -1437,6 +1492,13 @@ FROM log GROUP BY topic""",
             ' "timestamp" - ts_ms AS connect_to_broker_ms,'
             ' "timestamp" - source_ts_ms AS end_to_end_ms FROM decoded'
         ),
+    ),
+    QuerySpec(
+        "a28_flush_batch_report",
+        "A",
+        "offset.flush.interval.ms windows: per-flush-window commit ledger",
+        a28_flush_batch_report,
+        _g(_A28_SQL),
     ),
     QuerySpec(
         "a21_replay_idempotence",

@@ -370,6 +370,57 @@ _F13_SQL = """SELECT event_id,
 FROM events"""
 
 
+def f14_fn_interval(spark, sf_dir):
+    """Calendar/interval arithmetic family — the month-aware algebra F2's
+    day-offset family can't express: ``quarter``/``dayofyear``/ISO
+    ``weekofyear`` extraction, ``last_day`` (month-end snap),
+    ``add_months`` (end-of-month CLAMPING — Jan 31 + 1 month = Feb 28,
+    the semantics plain day addition gets wrong), ``next_day`` (next
+    Monday strictly after, the scheduling primitive), ``make_date``
+    (fiscal normalization to month start), and timestamp + INTERVAL
+    (``timestampadd``). Every output is an exact date/integer — no
+    float, no timezone dependence (NTZ source, formatted as text).
+
+    Scale: map-only expression algebra riding the scan, zero shuffles —
+    wide date logic stays inside whole-stage codegen."""
+    o = _T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).cast("long").alias("qtr"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_1mo"),
+        F.date_format(F.next_day(d, "Mon"), "yyyy-MM-dd").alias("next_monday"),
+        F.date_format(
+            F.make_date(F.year(d), F.month(d), F.lit(1)), "yyyy-MM-dd"
+        ).alias("month_start"),
+        F.date_format(
+            F.timestamp_add("HOUR", F.lit(6), ts), "yyyy-MM-dd HH:mm:ss"
+        ).alias("plus_6h"),
+    )
+
+
+_F14_SQL = """SELECT o_orderkey,
+  quarter(o_orderdate) AS qtr,
+  dayofyear(o_orderdate) AS doy,
+  week(o_orderdate) AS iso_week,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  strftime(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d')
+    AS plus_1mo,
+  strftime(CAST(o_orderdate AS DATE)
+           + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                       ELSE (8 - isodow(o_orderdate)) % 7 END AS INTEGER),
+           '%Y-%m-%d') AS next_monday,
+  strftime(make_date(CAST(year(o_orderdate) AS BIGINT),
+                     CAST(month(o_orderdate) AS BIGINT), 1),
+           '%Y-%m-%d') AS month_start,
+  strftime(o_orderdate + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS plus_6h
+FROM orders"""
+
+
 SPECS = [
     QuerySpec(
         "f1_fn_string",
@@ -513,5 +564,12 @@ SPECS = [
         "VARIANT: parse_json/variant_get/schema_of_variant/try_parse_json",
         f13_fn_variant,
         _F13_SQL,
+    ),
+    QuerySpec(
+        "f14_fn_interval",
+        "F",
+        "calendar/interval arithmetic: add_months clamp, last_day, next_day",
+        f14_fn_interval,
+        _F14_SQL,
     ),
 ]

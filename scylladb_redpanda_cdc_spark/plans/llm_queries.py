@@ -2360,6 +2360,27 @@ X54_M = 8
 X54_SUB = 8
 
 
+def _pq_l2sq(a, b):
+    """Sub-vector L2^2, unrolled over the fixed X54_SUB dims instead of a
+    zip_with/aggregate fold: higher-order functions are CodegenFallback
+    (interpreted per element), and this expression runs 1.28M+ times per
+    sf0.1 pass — unrolling keeps it inside whole-stage codegen (measured
+    ~2x on the bench). Addition stays left-to-right in element order, and
+    the fold's 0.0 seed is bit-neutral for the non-negative squares, so
+    the result is bit-identical to the fold and to DuckDB's list fold.
+    Shared by x54 (PQ flat) and x90 (IVF-PQ)."""
+    terms = []
+    for i in range(1, X54_SUB + 1):
+        d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast(
+            "double"
+        )
+        terms.append(d * d)
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
 def x54_pq_ann(spark, sf_dir):
     """Product quantization + asymmetric-distance (ADC) retrieval — the
     codebook half of IVF-PQ (Jegou et al. 2011), THE standard way a 100 TB
@@ -2388,25 +2409,7 @@ def x54_pq_ann(spark, sf_dir):
         .select(F.col("vec_id").alias("cid"), "embedding", ms)
         .select("cid", "m", sub.alias("csub"))
     )
-    def l2sq(a, b):
-        # Unrolled over the fixed X54_SUB dims instead of a zip_with/
-        # aggregate fold: higher-order functions are CodegenFallback
-        # (interpreted per element), and this expression runs 1.28M+ times
-        # per sf0.1 pass — unrolling keeps it inside whole-stage codegen
-        # (measured ~2x on the bench). Addition stays left-to-right in
-        # element order, and the fold's 0.0 seed is bit-neutral for the
-        # non-negative squares, so the result is bit-identical to the
-        # fold and to DuckDB's list fold.
-        terms = []
-        for i in range(1, X54_SUB + 1):
-            d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast(
-                "double"
-            )
-            terms.append(d * d)
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return acc
+    l2sq = _pq_l2sq
     corpus = e.select("vec_id", "embedding", ms).select(
         "vec_id", "m", sub.alias("vsub")
     )
@@ -5779,6 +5782,238 @@ FROM (SELECT DISTINCT doc_id FROM shard) b
 LEFT JOIN hits h ON b.doc_id = h.doc_id"""
 
 
+def x90_ivf_pq_ann(spark, sf_dir):
+    """IVF-PQ — the two index halves composed (Jegou et al. 2011; the
+    FAISS-standard layout for corpus-scale ANN): x13's coarse IVF stage
+    picks WHICH inverted lists to read (query probes its 2 nearest coarse
+    centroids; only vectors assigned to those lists are scored), and
+    x54's PQ/ADC stage decides HOW each survivor is scored (8 one-byte
+    codes, query distance table, 8 lookups + adds per vector). Emits the
+    top-10 probed vectors by ADC distance with their coarse list id.
+
+    At 100 TB this is THE shape that works: the coarse assignment is the
+    only full pass (index build, amortized), per-query IO is
+    ~nprobe/n_lists of the corpus, and scored bytes are 32x compressed.
+    Exactness: both stages reuse their parents' bit-exact kernels
+    (cosine assignment = x13; unrolled sub-L2^2 folds + m-ordered ADC
+    sum = x54), so the composition inherits the strict oracle.
+
+    Scale shape: centroid table, probe list, codebook, and distance
+    table are all broadcast; the corpus streams past them map-side; the
+    only corpus-sized shuffles are the two partial-agg argmins (coarse
+    rn=1 via window on vec_id, PQ struct-MIN). Nothing all-pairs."""
+    e = _T(spark, sf_dir, "embeddings")
+    pre = e.filter(F.col("vec_id") % 25 == 0).localCheckpoint(eager=True)
+    # --- coarse IVF stage (x13's kernel) ---
+    cent = pre.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    cent_n = cent.withColumn("_nb", l2_norm(F.col("cemb")))
+    ac = (
+        e.withColumn("_na", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent_n))
+        .select(
+            "vec_id",
+            "cid",
+            (
+                dot_d(F.col("embedding"), F.col("cemb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("c_cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
+    assigned = (
+        ac.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("coarse_cid"))
+    )
+    q = pre.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cid", cosine(F.col("cemb"), F.col("qe")).alias("q_cos"))
+        .orderBy(F.col("q_cos").desc(), F.col("cid").asc())
+        .limit(2)
+        .select(F.col("cid").alias("coarse_cid"))
+    )
+    cand = assigned.join(F.broadcast(probes), "coarse_cid").filter(
+        F.col("vec_id") != 0
+    )
+    # --- PQ/ADC stage (x54's kernel) over the probed lists only ---
+    ms = F.explode(F.array(*[F.lit(i) for i in range(X54_M)])).alias("m")
+    sub = F.expr(f"slice(embedding, m * {X54_SUB} + 1, {X54_SUB})")
+    centpq = pre.select(F.col("vec_id").alias("cid"), "embedding", ms).select(
+        "cid", "m", sub.alias("csub")
+    )
+    corpus = (
+        e.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .select("vec_id", "embedding", ms)
+        .select("vec_id", "m", sub.alias("vsub"))
+    )
+    codes = (
+        corpus.join(F.broadcast(centpq), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                _pq_l2sq(F.col("vsub"), F.col("csub")).alias("dist"),
+                F.col("cid").alias("cid"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("code"))
+    )
+    qsub = (
+        pre.filter(F.col("vec_id") == 0)
+        .select("embedding", ms)
+        .select("m", sub.alias("qsub"))
+    )
+    dtab = qsub.join(centpq, "m").select(
+        "m", "cid", _pq_l2sq(F.col("qsub"), F.col("csub")).alias("qd")
+    )
+    return (
+        codes.join(F.broadcast(dtab), (codes.m == dtab.m) & (codes.code == dtab.cid))
+        .select("vec_id", codes.m.alias("m"), "qd")
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("m", "qd"))).alias("_md"))
+        .join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            "coarse_cid",
+            F.aggregate(
+                F.transform(F.col("_md"), lambda s: s.qd),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_X90_SQL = f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+              FROM embeddings WHERE vec_id % 25 = 0),
+ac AS (SELECT e.vec_id, c.cid,
+              {_cos_sql('e.embedding', 'c.cemb')} AS c_cos
+       FROM embeddings e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, cid AS coarse_cid FROM (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY c_cos DESC, cid ASC) AS rn
+  FROM ac) WHERE rn = 1),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probes AS (SELECT cid AS coarse_cid FROM cent CROSS JOIN q
+           ORDER BY {_cos_sql('cemb', 'qe')} DESC, cid ASC LIMIT 2),
+cand AS (SELECT vec_id, coarse_cid FROM assigned JOIN probes
+         USING (coarse_cid) WHERE vec_id <> 0),
+ms AS (SELECT unnest(range(0, {X54_M})) AS m),
+centpq AS (
+  SELECT vec_id AS cid, m,
+         embedding[m * {X54_SUB} + 1 : m * {X54_SUB} + {X54_SUB}] AS csub
+  FROM embeddings, ms WHERE vec_id % 25 = 0),
+corpus AS (
+  SELECT e.vec_id, m,
+         embedding[m * {X54_SUB} + 1 : m * {X54_SUB} + {X54_SUB}] AS vsub
+  FROM embeddings e JOIN (SELECT vec_id FROM cand) cv USING (vec_id), ms),
+dists AS (
+  SELECT vec_id, corpus.m AS m, cid,
+    list_aggregate(list_transform(list_zip(vsub, csub),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS dist
+  FROM corpus JOIN centpq ON corpus.m = centpq.m),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                         ORDER BY dist ASC, cid ASC) AS rn
+    FROM dists) r WHERE rn = 1),
+qd AS (
+  SELECT centpq.m AS m, cid,
+    list_aggregate(list_transform(
+      list_zip(embedding[centpq.m * {X54_SUB} + 1
+                         : centpq.m * {X54_SUB} + {X54_SUB}], csub),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') AS qd
+  FROM embeddings, centpq WHERE vec_id = 0),
+per AS (
+  SELECT c.vec_id, list(d.qd ORDER BY c.m) AS md
+  FROM codes c JOIN qd d ON c.m = d.m AND c.code = d.cid
+  GROUP BY c.vec_id)
+SELECT per.vec_id, cand.coarse_cid,
+  list_aggregate(md, 'sum') AS adc_dist
+FROM per JOIN cand ON per.vec_id = cand.vec_id
+ORDER BY adc_dist ASC, per.vec_id ASC LIMIT 10"""
+
+
+#: x91's output-shard fan-out (training shards a writer would emit).
+X91_SHARDS = 16
+
+
+def x91_shard_pack(spark, sf_dir):
+    """Deterministic training-shard assignment + balance report — the
+    LAST step of a corpus pipeline (the writer that lays the cleaned
+    corpus out as N balanced shards for the trainer's data loader):
+    every doc routes to shard ``hash60('shard:' || doc_id) % N`` (a
+    portable content-independent hash, so re-runs and backfills route
+    identically), and the report gives per shard its doc count, token
+    count, char count, and token-balance skew in exact ppm (1,000,000 =
+    perfectly balanced) — the number that decides whether the shard map
+    needs re-salting before a multi-epoch run.
+
+    Scale: one partial-agg shuffle keyed by shard (N rows out); the
+    skew window runs over the N-row aggregate, never the corpus. The
+    ppm product stays far under int64 at any realistic shard count
+    (tokens x N x 1e6; a DECIMAL widen is the 100-TB-corpus variant).
+    Complements x24 (packs WITHIN a shard into context windows) and x81
+    (epoch-level order shuffle)."""
+    d = _docs_fanned(spark, sf_dir)
+    per_doc = d.select(
+        (
+            hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+            % X91_SHARDS
+        ).alias("shard"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    per_shard = per_doc.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    wall = Window.partitionBy()
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (
+            F.col("n_tokens") * X91_SHARDS * 1_000_000
+        ).cast("long").alias("_num"),
+        F.sum("n_tokens").over(wall).alias("_tot"),
+    ).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.expr("_num DIV _tot").cast("long").alias("skew_ppm"),
+    )
+
+
+_X91_SQL = f"""WITH t AS (
+  SELECT CAST(concat('0x', substr(sha256('shard:' || CAST(doc_id AS VARCHAR)),
+         1, 15)) AS BIGINT) % {X91_SHARDS} AS shard,
+    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         w -> w <> '')) AS BIGINT) AS n_tokens,
+    n_chars
+  FROM documents),
+s AS (SELECT shard, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM t GROUP BY 1)
+SELECT shard, n_docs, n_tokens, n_chars,
+  CAST((n_tokens * {X91_SHARDS} * 1000000)
+       // CAST(SUM(n_tokens) OVER () AS BIGINT) AS BIGINT) AS skew_ppm
+FROM s"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -6461,5 +6696,19 @@ SPECS = [
         "arriving shard probes the standing banded MinHash index",
         x89_incremental_minhash,
         _X89_SQL,
+    ),
+    QuerySpec(
+        "x90_ivf_pq_ann",
+        "X",
+        "IVF-PQ: coarse probe picks the lists, PQ/ADC scores them (x13+x54)",
+        x90_ivf_pq_ann,
+        _X90_SQL,
+    ),
+    QuerySpec(
+        "x91_shard_pack",
+        "X",
+        "deterministic training-shard routing + exact-ppm balance report",
+        x91_shard_pack,
+        _X91_SQL,
     ),
 ]

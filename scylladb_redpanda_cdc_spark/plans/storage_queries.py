@@ -615,6 +615,83 @@ SELECT bucket, min_day, max_day, n_rows,
 FROM f"""
 
 
+#: o10's compaction target: files should hold ~this many rows. A row-count
+#: target (not bytes) keeps the planner's verdict oracle-derivable — byte
+#: sizes depend on encoder state, row counts only on the data.
+_O10_TARGET_ROWS = 2_000
+
+#: TPC-H's five order priorities (spec §4.2.3 P_PRIO set), used as the
+#: partition key of the deliberately fragmented staged layout. Priority i
+#: (sorted ascending) is written as 2i+1 files, so the planner sees dirs
+#: ranging from already-compact (1 file) to badly fragmented (9 files).
+_O10_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def o10_compaction_planner(spark, sf_dir):
+    """Compaction PLANNING report — the decision pass that runs before o2's
+    rewrite on every real lake: per partition directory, how many physical
+    files exist, how many rows they hold, how many files a compaction to
+    the target size would produce (``ceil(n_rows / target)``), and the
+    needs-compaction verdict (``n_files > est_files_after``). o2 is the
+    mechanism; o10 is the policy that decides WHERE to spend the rewrite
+    IO — the maintenance scheduler's input, bounded to one row per
+    partition dir at any data volume.
+
+    The staged layout is deliberately, deterministically fragmented:
+    priority i (ascending) is written as 2i+1 files via round-robin
+    repartition (file counts Spark guarantees: k tasks, each non-empty at
+    every SF, each emitting one file), so the report spans
+    already-compact (1 file) through badly fragmented (9 files) and the
+    verdict flips within one run.
+
+    Scale: file stats come from ``_metadata.file_path`` on a
+    footer-cheap 2-column scan — no namenode listing loop, no driver
+    collect; the agg output is partition-count rows."""
+
+    def write(base: str) -> None:
+        o = _T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        for i, prio in enumerate(_O10_PRIORITIES):
+            (
+                o.filter(F.col("o_orderpriority") == prio)
+                .select("o_orderkey")
+                .repartition(2 * i + 1)
+                .write.mode("overwrite")
+                .parquet(f"{base}/o_orderpriority={prio}")
+            )
+
+    base = _stage(spark, sf_dir, "o10", write)
+    back = spark.read.parquet(base).select(
+        "o_orderpriority", F.col("_metadata.file_path").alias("fp")
+    )
+    per_dir = back.groupBy("o_orderpriority").agg(
+        F.countDistinct("fp").alias("n_files"),
+        F.count("*").alias("n_rows"),
+    )
+    est = F.expr(f"(n_rows + {_O10_TARGET_ROWS - 1}) DIV {_O10_TARGET_ROWS}")
+    return per_dir.select(
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+        "n_files",
+        "n_rows",
+        est.alias("est_files_after"),
+        (F.col("n_files") > est).alias("needs_compaction"),
+    )
+
+
+_O10_SQL = f"""WITH pr AS (
+  SELECT o_orderpriority, COUNT(*) AS n_rows FROM orders GROUP BY 1),
+rk AS (SELECT o_orderpriority, n_rows,
+         ROW_NUMBER() OVER (ORDER BY o_orderpriority ASC) - 1 AS i
+       FROM pr)
+SELECT o_orderpriority,
+  CAST(1 + 2 * i AS BIGINT) AS n_files,
+  n_rows,
+  CAST((n_rows + {_O10_TARGET_ROWS - 1}) // {_O10_TARGET_ROWS} AS BIGINT)
+    AS est_files_after,
+  (1 + 2 * i) > ((n_rows + {_O10_TARGET_ROWS - 1}) // {_O10_TARGET_ROWS})
+    AS needs_compaction
+FROM rk"""
+
+
 SPECS = [
     QuerySpec(
         "o1_partitioned_write",
@@ -678,5 +755,12 @@ SPECS = [
         "per-file min/max + range-skip verdict over the clustered layout",
         o9_stats_skipping_report,
         _O9_SQL,
+    ),
+    QuerySpec(
+        "o10_compaction_planner",
+        "O",
+        "per-partition file/row stats + needs-compaction verdict (o2 policy)",
+        o10_compaction_planner,
+        _O10_SQL,
     ),
 ]

@@ -13,6 +13,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType
 
@@ -110,6 +111,52 @@ def u3_udaf_pandas_grouped(spark, sf_dir):
         _weighted_avg_price("l_extendedprice", "l_quantity").alias("w_avg_price"),
         _count_rows("l_quantity").alias("n"),
     )
+
+
+# -- U13: pandas UDAF evaluated OVER a window frame --------------------------
+
+
+@F.pandas_udf(LongType())
+def _qty_sum_w(qty: pd.Series) -> int:
+    # int64 sum of int-valued quantities: exact, so the oracle is a plain
+    # windowed SUM. The VALUE is deliberately trivial — the operator under
+    # test is the execution surface (WindowInPandas), not the arithmetic.
+    return int(qty.sum())
+
+
+def u13_pandas_udaf_window(spark, sf_dir):
+    """Pandas UDAF evaluated over a WINDOW frame (WindowInPandas) — the
+    third and last grouped-Python execution surface after grouped-agg
+    (u3) and grouped-map (u6): the same GROUPED_AGG pandas UDF, but
+    ``.over(...)`` a bounded trailing frame, so Spark ships each frame's
+    slice to Python per row instead of one group per call. This is how a
+    custom aggregate (a bespoke decay metric, an exotic robust mean)
+    runs as a MOVING metric without a self-join.
+
+    Exactness: int64 sum over a 3-row trailing frame — bit-exact, plain
+    windowed SUM oracle. Scale: one shuffle on the window key; frames
+    are row-bounded so per-row Python cost is O(frame), and the
+    partition key (orderkey) is fixture-uniform — no hot key."""
+    li = _T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(-2, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _qty_sum_w(F.col("l_quantity").cast("long")).over(w).alias("qty_3row_sum"),
+    )
+
+
+_U13_SQL = """SELECT l_orderkey, l_linenumber,
+  CAST(l_quantity AS BIGINT) AS qty,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+    PARTITION BY l_orderkey ORDER BY l_linenumber
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_3row_sum
+FROM lineitem WHERE l_orderkey % 7 = 0"""
 
 
 # -- U4: mapInPandas (UDTF-shaped: N rows in, M rows out) ---------------------
@@ -471,6 +518,13 @@ SPECS = [
         "analyze-based UDTF: output schema computed from call-site args",
         u12_udtf_polymorphic,
         _U12_SQL,
+    ),
+    QuerySpec(
+        "u13_pandas_udaf_window",
+        "U",
+        "GROUPED_AGG pandas UDF over a bounded window frame (WindowInPandas)",
+        u13_pandas_udaf_window,
+        _U13_SQL,
     ),
     QuerySpec(
         "u8_map_in_arrow",

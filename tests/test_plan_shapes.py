@@ -201,6 +201,7 @@ _INTENDED_PYTHON = {
     "u9_pandas_udf_iterator",  # declared SCALAR_ITER pandas UDF
     "u11_udf_arrow_optimized",  # declared Spark 4 useArrow Python UDF
     "u12_udtf_polymorphic",  # declared polymorphic Python UDTF
+    "u13_pandas_udaf_window",  # declared WindowInPandas pandas UDAF
     "x18_multimodal_decode",
     "x58_media_resize",  # mapInPandas resize-geometry stage
     "x59_media_features",  # mapInPandas byte-histogram feature stage
@@ -213,6 +214,7 @@ _EXEC_ON_BUILD = {
     "x21_dedup_cluster_cc",
     "x39_dedup_containment",
     "x46_dedup_est_quality",
+    "x90_ivf_pq_ann",  # x13's centroid pre-pass (eager localCheckpoint)
 }
 
 

@@ -101,6 +101,29 @@ def test_prefix_head_is_entirely_never_graded():
     )
 
 
+def test_baseline_md_floors_match_bench_constants():
+    """BASELINE.md's recorded per-query floor tables and bench.py's
+    BASELINE_S dict must agree float-for-float (round-6 verdict task 7):
+    a floor edited in one place but not the other silently changes the
+    2x contract the judge grades against. Parses every `| query | N |`
+    row from the markdown tables and asserts exact equality both ways
+    (markdown is the record; BASELINE_S is the executable copy)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import importlib
+
+    bench = importlib.import_module("bench")
+    text = open(os.path.join(repo, "BASELINE.md"), encoding="utf-8").read()
+    row = re.compile(r"^\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|", re.M)
+    md = {name: float(val) for name, val in row.findall(text)}
+    assert md, "BASELINE.md floor-table parse produced no rows"
+    missing_in_md = sorted(set(bench.BASELINE_S) - set(md))
+    missing_in_bench = sorted(set(md) - set(bench.BASELINE_S))
+    assert not missing_in_md, f"floors in bench.py but not BASELINE.md: {missing_in_md}"
+    assert not missing_in_bench, f"floors in BASELINE.md but not bench.py: {missing_in_bench}"
+    drift = {q: (md[q], bench.BASELINE_S[q]) for q in md if md[q] != bench.BASELINE_S[q]}
+    assert not drift, f"BASELINE.md vs BASELINE_S float drift: {drift}"
+
+
 def test_bench_headline_and_floors_are_in_lockstep():
     """bench.py's HEADLINE set and BASELINE_S floors must name the same
     queries, and every one must exist in the registry — a renamed or
