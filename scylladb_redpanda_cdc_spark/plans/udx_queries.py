@@ -134,13 +134,18 @@ def u13_pandas_udaf_window(spark, sf_dir):
     runs as a MOVING metric without a self-join.
 
     Exactness: int64 sum over a 3-row trailing frame — bit-exact, plain
-    windowed SUM oracle. Scale: one shuffle on the window key; frames
-    are row-bounded so per-row Python cost is O(frame), and the
-    partition key (orderkey) is fixture-uniform — no hot key."""
+    windowed SUM oracle. The frame order carries a quantity tiebreaker
+    because the fixture has duplicate (orderkey, linenumber) pairs with
+    DIFFERENT quantities: a ROWS frame over a non-total order is
+    engine-nondeterministic (sf0.1 exposed this; sf0.01 didn't), while
+    rows tied on (linenumber, quantity) are output-identical, making
+    every trailing sum order-invariant. Scale: one shuffle on the window
+    key; frames are row-bounded so per-row Python cost is O(frame), and
+    the partition key (orderkey) is fixture-uniform — no hot key."""
     li = _T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy("l_linenumber", "l_quantity")
         .rowsBetween(-2, 0)
     )
     return li.select(
@@ -154,7 +159,7 @@ def u13_pandas_udaf_window(spark, sf_dir):
 _U13_SQL = """SELECT l_orderkey, l_linenumber,
   CAST(l_quantity AS BIGINT) AS qty,
   CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
-    PARTITION BY l_orderkey ORDER BY l_linenumber
+    PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_3row_sum
 FROM lineitem WHERE l_orderkey % 7 = 0"""
 
