@@ -70,6 +70,15 @@ BASELINE_S = {
     "b55_recursive_cte": 0.586,
     "a26_cql_schema_translate": 0.294,
     "a27_wire_overhead_report": 0.320,
+    # Round-7 additions, floored in the same round (best of the valid
+    # back-to-back runs; u13 over its final %63 slice only).
+    "x90_ivf_pq_ann": 1.940,
+    "x91_shard_pack": 0.337,
+    "a28_flush_batch_report": 0.111,
+    "b58_group_by_all": 0.330,
+    "o10_compaction_planner": 0.212,
+    "u13_pandas_udaf_window": 2.473,
+    "f14_fn_interval": 0.558,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -121,6 +130,18 @@ HEADLINE = (
     "b55_recursive_cte",
     "a26_cql_schema_translate",
     "a27_wire_overhead_report",
+    # round-7 additions, floored in the same round they landed (no
+    # coverage-gap generation this time): the IVF-PQ composition, the
+    # shard-balance writer report, the flush-window ledger, the GROUP BY
+    # ALL surface, the compaction planner, the window pandas UDAF, and
+    # the calendar-interval family.
+    "x90_ivf_pq_ann",
+    "x91_shard_pack",
+    "a28_flush_batch_report",
+    "b58_group_by_all",
+    "o10_compaction_planner",
+    "u13_pandas_udaf_window",
+    "f14_fn_interval",
 )
 
 

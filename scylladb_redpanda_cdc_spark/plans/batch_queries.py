@@ -594,6 +594,39 @@ def b58_group_by_all(spark, sf_dir):
     return spark.sql(_B58_BODY.format(tbl="sg_b58_lineitem"))
 
 
+def b59_parameterized_sql(spark, sf_dir):
+    """Named-parameter-marker SQL (Spark 3.4+ ``spark.sql(text, args)``,
+    SPARK-41271 — the injection-safe templating surface every SQL
+    gateway needs): the statement carries ``:since`` / ``:cap`` markers
+    and the VALUES arrive out-of-band as typed args, never string-spliced
+    into the text. The oracle inlines the same literals, proving marker
+    binding changes nothing about semantics.
+
+    Scale: parameters bind at parse time — the plan is identical to the
+    literal form, including partition/predicate pushdown of the bound
+    filters."""
+    _T(spark, sf_dir, "orders").createOrReplaceTempView("sg_b59_orders")
+    return spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n,"
+        " CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS total_cents"
+        " FROM sg_b59_orders"
+        " WHERE CAST(o_orderdate AS DATE) >= CAST(:since AS DATE)"
+        " AND o_totalprice < :cap"
+        " GROUP BY o_orderpriority",
+        args={"since": "1995-01-01", "cap": 200000.0},
+    )
+
+
+_B59_SQL = """SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS total_cents
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+  AND o_totalprice < 200000.0
+GROUP BY o_orderpriority"""
+
+
 # ---------------------------------------------------------------------------
 # B25-B29 set operations
 # ---------------------------------------------------------------------------
@@ -2009,6 +2042,13 @@ SPECS = [
         "GROUP BY ALL / ORDER BY ALL: keys resolved from the projection",
         b58_group_by_all,
         _B58_BODY.format(tbl="lineitem"),
+    ),
+    QuerySpec(
+        "b59_parameterized_sql",
+        "B",
+        "named parameter markers: typed args bound out-of-band at parse",
+        b59_parameterized_sql,
+        _B59_SQL,
     ),
     QuerySpec(
         "b15_agg_basic",

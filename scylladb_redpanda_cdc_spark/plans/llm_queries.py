@@ -155,6 +155,13 @@ def x2_dedup_fuzzy_minhash(spark, sf_dir):
     array transforms — was 20x slower at sf0.1. Deployments that don't
     need the cross-engine oracle should use ``operators.llm
     .shingle_hashes``, the xxhash64 fast path, as the base hash.)"""
+    return _x2_pairs(spark, sf_dir).filter(F.col("n_shared_bands") >= 4)
+
+
+def _x2_pairs(spark, sf_dir):
+    """x2's candidate-pair chain WITHOUT the >=4-band threshold:
+    (doc_a, doc_b, n_shared_bands) over the bucket-capped banding. Shared
+    by x2 (threshold applied) and x92 (threshold SWEPT)."""
     d = _docs_fanned(spark, sf_dir)
     sh = d.select(
         "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
@@ -191,7 +198,7 @@ def x2_dedup_fuzzy_minhash(spark, sf_dir):
     bands = bands.join(bucket_ok, ["band", "sig"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -203,7 +210,6 @@ def x2_dedup_fuzzy_minhash(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_shared_bands"))
     )
-    return pairs.filter(F.col("n_shared_bands") >= 4)
 
 
 def x10_dedup_simhash(spark, sf_dir):
@@ -6014,6 +6020,105 @@ SELECT shard, n_docs, n_tokens, n_chars,
 FROM s"""
 
 
+def x92_band_threshold_sweep(spark, sf_dir):
+    """Banding-threshold S-curve, MEASURED on the corpus (the tuning run
+    behind x2's ``>= 4`` constant and x46's calibration): for every
+    observed shared-band count, how many capped candidate pairs sit at
+    exactly that agreement and how many a threshold set THERE would admit
+    (the cumulative count a pipeline operator actually reads off), plus
+    the banding similarity estimate in exact ppm (bands/16 — 62,500 ppm
+    per band, integer algebra). Turning the threshold knob re-reads this
+    table instead of re-running the corpus.
+
+    Scale: reuses x2's capped pair chain verbatim (`_x2_pairs`); the
+    sweep itself is a <=16-row histogram + a running sum over it — free
+    at any corpus size."""
+    pairs = _x2_pairs(spark, sf_dir)
+    hist = pairs.groupBy("n_shared_bands").agg(F.count("*").alias("n_pairs"))
+    w = Window.orderBy(F.col("n_shared_bands").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        "n_shared_bands",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_threshold"),
+        (F.col("n_shared_bands") * 62_500).cast("long").alias("est_jaccard_ppm"),
+    )
+
+
+_X92_SQL = f"""WITH {_X2_CTES},
+p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM kept x JOIN kept y
+        ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+h AS (SELECT n_shared_bands, COUNT(*) AS n_pairs FROM p GROUP BY 1)
+SELECT n_shared_bands, n_pairs,
+  CAST(SUM(n_pairs) OVER (ORDER BY n_shared_bands DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_pairs_at_threshold,
+  CAST(n_shared_bands * 62500 AS BIGINT) AS est_jaccard_ppm
+FROM h"""
+
+
+#: x93's vocabulary budget: ids 1..X93_VOCAB are in-vocab, everything else
+#: is OOV — the fixed-budget tokenizer scenario x35's full-rank coding
+#: never hits.
+X93_VOCAB = 1024
+
+
+def x93_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate under a FIXED vocabulary budget — the
+    decision metric for the x34/x35 tokenizer family (x34 reports the
+    coverage curve; x93 applies a concrete ``top-1024`` cut and charges
+    every doc its miss rate in exact ppm): per doc its token count, OOV
+    token count, and OOV ppm. The per-doc view is the point — corpus
+    coverage can look fine while specific sources/languages drown in
+    UNK, and this is the frame that catches it (joined to ``source`` or
+    ``lang`` downstream).
+
+    Scale: the vocab cut is x34's ranked frame (one corpus-sized
+    partial agg + a vocabulary-sized window), the kept vocab is
+    BROADCAST (1024 rows), and the per-doc rollup is one doc-keyed
+    partial agg — the corpus never joins anything corpus-sized."""
+    kept = (
+        _vocab_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= X93_VOCAB)
+        .select("token", F.lit(1).alias("_in"))
+    )
+    d = _docs_fanned(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    per = (
+        tok.join(F.broadcast(kept), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)").alias("oov_ppm"),
+    )
+
+
+_X93_SQL = f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+vc AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+rk AS (SELECT token,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank FROM vc),
+kept AS (SELECT token FROM rk WHERE rank <= {X93_VOCAB}),
+per AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN k.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oov
+        FROM tok t LEFT JOIN kept k ON t.token = k.token GROUP BY 1)
+SELECT doc_id, n_tokens, n_oov,
+  CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+FROM per WHERE n_tokens > 0"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -6710,5 +6815,19 @@ SPECS = [
         "deterministic training-shard routing + exact-ppm balance report",
         x91_shard_pack,
         _X91_SQL,
+    ),
+    QuerySpec(
+        "x92_band_threshold_sweep",
+        "X",
+        "measured banding S-curve: pairs admitted at every threshold",
+        x92_band_threshold_sweep,
+        _X92_SQL,
+    ),
+    QuerySpec(
+        "x93_oov_rate",
+        "X",
+        "per-doc OOV count + exact ppm under a top-1024 vocabulary budget",
+        x93_oov_rate,
+        _X93_SQL,
     ),
 ]

@@ -141,8 +141,13 @@ def u13_pandas_udaf_window(spark, sf_dir):
     rows tied on (linenumber, quantity) are output-identical, making
     every trailing sum order-invariant. Scale: one shuffle on the window
     key; frames are row-bounded so per-row Python cost is O(frame), and
-    the partition key (orderkey) is fixture-uniform — no hot key."""
-    li = _T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    the partition key (orderkey) is fixture-uniform — no hot key. The
+    slice is deliberately narrow (%63, ~1.6% of lineitem): WindowInPandas
+    pays one Python aggregate call PER ROW-FRAME (measured ~0.2 ms/row —
+    17.7 s over the 14% slice at sf0.1), which is the surface's real
+    cost profile; the operator pins the surface, and anything hot enough
+    to matter belongs in a built-in or u2's vectorized form."""
+    li = _T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 63 == 0)
     w = (
         Window.partitionBy("l_orderkey")
         .orderBy("l_linenumber", "l_quantity")
@@ -161,7 +166,40 @@ _U13_SQL = """SELECT l_orderkey, l_linenumber,
   CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
     PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_3row_sum
-FROM lineitem WHERE l_orderkey % 7 = 0"""
+FROM lineitem WHERE l_orderkey % 63 = 0"""
+
+
+# -- U14: SQL-language scalar UDF (Spark 4 CREATE FUNCTION ... RETURN) -------
+
+
+def u14_sql_udf(spark, sf_dir):
+    """SQL-language scalar UDF (Spark 4's ``CREATE FUNCTION ... RETURN
+    <expr>``, SPARK-46246): the same net-price contract as u1/u2/u11,
+    but the function BODY is SQL, so the analyzer INLINES it into the
+    plan — no Python worker, no serialization boundary, full
+    whole-stage codegen (the plan sweep proves no Python node appears).
+    This is the form a shared business-logic library should take before
+    anyone reaches for a Python UDF; u1/u11/u2 exist for logic SQL
+    can't express.
+
+    Exactness: IEEE double algebra identical to u1's oracle. Scale:
+    indistinguishable from writing the expression inline — the function
+    is a naming layer, not an execution layer."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sg_u14_net(price DOUBLE,"
+        " disc DOUBLE) RETURNS DOUBLE RETURN price * (1.0 - disc)"
+    )
+    _T(spark, sf_dir, "lineitem").createOrReplaceTempView("sg_u14_lineitem")
+    return spark.sql(
+        "SELECT l_orderkey, l_linenumber,"
+        " sg_u14_net(l_extendedprice, l_discount) AS net_price"
+        " FROM sg_u14_lineitem WHERE l_quantity >= 35"
+    )
+
+
+_U14_SQL = """SELECT l_orderkey, l_linenumber,
+  l_extendedprice * (1.0 - l_discount) AS net_price
+FROM lineitem WHERE l_quantity >= 35"""
 
 
 # -- U4: mapInPandas (UDTF-shaped: N rows in, M rows out) ---------------------
@@ -530,6 +568,13 @@ SPECS = [
         "GROUPED_AGG pandas UDF over a bounded window frame (WindowInPandas)",
         u13_pandas_udaf_window,
         _U13_SQL,
+    ),
+    QuerySpec(
+        "u14_sql_udf",
+        "U",
+        "SQL-language scalar UDF: analyzer-inlined, zero Python, codegen",
+        u14_sql_udf,
+        _U14_SQL,
     ),
     QuerySpec(
         "u8_map_in_arrow",
