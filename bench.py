@@ -79,6 +79,16 @@ BASELINE_S = {
     "o10_compaction_planner": 0.212,
     "u13_pandas_udaf_window": 2.473,
     "f14_fn_interval": 0.558,
+    # Round-7 batch 2/3, same method (f15 over its final %3 slice only).
+    "u14_sql_udf": 0.148,
+    "u15_udtf_table_arg": 0.270,
+    "b59_parameterized_sql": 0.130,
+    "b60_transpose": 0.172,
+    "b61_session_variables": 0.215,
+    "f15_fn_xml": 2.031,
+    "x92_band_threshold_sweep": 1.630,
+    "x93_oov_rate": 0.608,
+    "x94_semdedup_sweep": 1.881,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -142,6 +152,17 @@ HEADLINE = (
     "o10_compaction_planner",
     "u13_pandas_udaf_window",
     "f14_fn_interval",
+    # round-7 batch 2/3: SQL-surface and tuning-sweep operators, floored
+    # the round they landed.
+    "u14_sql_udf",
+    "u15_udtf_table_arg",
+    "b59_parameterized_sql",
+    "b60_transpose",
+    "b61_session_variables",
+    "f15_fn_xml",
+    "x92_band_threshold_sweep",
+    "x93_oov_rate",
+    "x94_semdedup_sweep",
 )
 
 

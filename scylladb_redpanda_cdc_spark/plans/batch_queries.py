@@ -627,6 +627,79 @@ WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
 GROUP BY o_orderpriority"""
 
 
+def b60_transpose(spark, sf_dir):
+    """``DataFrame.transpose`` (Spark 4.0, SPARK-47541 — the matrix flip
+    the report layer otherwise hand-rolls with unpivot+pivot): a
+    per-returnflag metrics frame (3 rows x 2 metric columns) transposed
+    so METRICS become rows and FLAGS become columns — the orientation a
+    dashboard table wants. Index values become column names sorted
+    ascending; metrics are pre-cast to double (transpose requires a
+    common value type). Sums are integral-valued doubles (< 2^53), so
+    addition order cannot perturb them and the oracle is exact.
+
+    Scale: transpose is a REPORT-layer operator — it must enumerate the
+    index column's values to name output columns, so it belongs on
+    aggregate-sized frames exactly like this (group-count rows), never
+    on a corpus."""
+    li = _T(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("double").alias("qty_sum"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return agg.transpose("l_returnflag")
+
+
+_B60_SQL = """SELECT 'qty_sum' AS key,
+  (SELECT CAST(SUM(l_quantity) AS DOUBLE) FROM lineitem
+   WHERE l_returnflag = 'A') AS "A",
+  (SELECT CAST(SUM(l_quantity) AS DOUBLE) FROM lineitem
+   WHERE l_returnflag = 'N') AS "N",
+  (SELECT CAST(SUM(l_quantity) AS DOUBLE) FROM lineitem
+   WHERE l_returnflag = 'R') AS "R"
+UNION ALL
+SELECT 'n_rows',
+  (SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem WHERE l_returnflag = 'A'),
+  (SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem WHERE l_returnflag = 'N'),
+  (SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem WHERE l_returnflag = 'R')"""
+
+
+def b61_session_variables(spark, sf_dir):
+    """SQL session variables (Spark 4 ``DECLARE VARIABLE`` /
+    ``SET VAR``, SPARK-46908): a query parameter COMPUTED by one
+    statement and consumed by the next — the multi-statement session
+    state that scripts and notebooks otherwise thread through driver
+    Python. The variable is set from a scalar subquery (half the max
+    order price) and read inside the analytic query's predicate; the
+    oracle inlines the identical subquery, proving variable indirection
+    changes nothing. MAX (order-insensitive) keeps the computed bound
+    engine-exact where AVG's float summation order would not be.
+
+    Scale: the variable is driver-session state holding ONE value; the
+    consuming query plans exactly as if the literal were inline,
+    including predicate pushdown."""
+    _T(spark, sf_dir, "orders").createOrReplaceTempView("sg_b61_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE sg_b61_cap DOUBLE")
+    spark.sql(
+        "SET VAR sg_b61_cap ="
+        " (SELECT MAX(o_totalprice) * 0.5 FROM sg_b61_orders)"
+    )
+    return spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n,"
+        " CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS total_cents"
+        " FROM sg_b61_orders WHERE o_totalprice > sg_b61_cap"
+        " GROUP BY o_orderstatus"
+    )
+
+
+_B61_SQL = """SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS total_cents
+FROM orders
+WHERE o_totalprice > (SELECT MAX(o_totalprice) * 0.5 FROM orders)
+GROUP BY o_orderstatus"""
+
+
 # ---------------------------------------------------------------------------
 # B25-B29 set operations
 # ---------------------------------------------------------------------------
@@ -2049,6 +2122,20 @@ SPECS = [
         "named parameter markers: typed args bound out-of-band at parse",
         b59_parameterized_sql,
         _B59_SQL,
+    ),
+    QuerySpec(
+        "b60_transpose",
+        "B",
+        "DataFrame.transpose: metrics to rows, index values to columns",
+        b60_transpose,
+        _B60_SQL,
+    ),
+    QuerySpec(
+        "b61_session_variables",
+        "B",
+        "DECLARE/SET VAR session variables: computed bound, inlined plan",
+        b61_session_variables,
+        _B61_SQL,
     ),
     QuerySpec(
         "b15_agg_basic",

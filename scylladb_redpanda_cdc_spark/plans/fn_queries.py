@@ -421,6 +421,56 @@ _F14_SQL = """SELECT o_orderkey,
 FROM orders"""
 
 
+def f15_fn_xml(spark, sf_dir):
+    """XML family (Spark 4 native XML, SPARK-44265): an XML fragment
+    CONSTRUCTED from event fields must be inverted by ``from_xml``
+    (typed struct extraction, absent element → NULL), probed by the
+    Hive ``xpath_long`` path form, and introspected by
+    ``schema_of_xml`` — f9's URL-inversion oracle trick applied to XML,
+    so no DuckDB XML parser is needed: the oracle rebuilds every output
+    from the same source fields, and equality proves the parse inverts
+    the construction. Fields are integers/enum strings (no XML-escaping
+    edge cases), so construction is injective.
+
+    Scale: map-only; one parse per row serving all typed extractions.
+    The slice is %3-bounded: XML row parsing measured ~50 us/row (StAX,
+    no codegen — 5 s for the full 100k-row fixture), which is the cost
+    profile this family exists to demonstrate; parse-once-into-VARIANT
+    (f13) is the hot-path form."""
+    ev = _T(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    xml = F.concat(
+        F.lit("<e><id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id><ty>"),
+        F.col("event_type"),
+        F.lit("</ty><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u></e>"),
+    )
+    p = F.from_xml(xml, "id BIGINT, ty STRING, u BIGINT, zz STRING")
+    return ev.select(
+        "event_id",
+        p.getField("id").alias("rt_id"),
+        p.getField("ty").alias("rt_ty"),
+        p.getField("u").alias("rt_u"),
+        p.getField("zz").isNull().alias("absent_null"),
+        F.xpath_long(xml, F.lit("/e/u")).alias("xp_u"),
+        F.schema_of_xml(
+            F.lit("<e><id>5</id><ty>click</ty><u>77</u></e>")
+        ).alias("xsch"),
+    )
+
+
+_F15_SQL = """SELECT event_id,
+  event_id AS rt_id,
+  event_type AS rt_ty,
+  user_id AS rt_u,
+  TRUE AS absent_null,
+  user_id AS xp_u,
+  'STRUCT<id: BIGINT, ty: STRING, u: BIGINT>' AS xsch
+FROM events WHERE event_id % 3 = 0"""
+
+
 SPECS = [
     QuerySpec(
         "f1_fn_string",
@@ -571,5 +621,12 @@ SPECS = [
         "calendar/interval arithmetic: add_months clamp, last_day, next_day",
         f14_fn_interval,
         _F14_SQL,
+    ),
+    QuerySpec(
+        "f15_fn_xml",
+        "F",
+        "XML family: from_xml inversion, xpath probe, schema_of_xml",
+        f15_fn_xml,
+        _F15_SQL,
     ),
 ]

@@ -2074,6 +2074,21 @@ def x50_semdedup(spark, sf_dir):
     Exactness: assignment uses the shared bit-exact cosine fold with
     (cos DESC, cid ASC) tie-break; the removal bit compares a
     deterministic double to a literal — both engines see identical bits."""
+    out = _x50_prior(spark, sf_dir)
+    return out.select(
+        "vec_id",
+        "cid",
+        "max_prior_cos",
+        F.coalesce(F.col("max_prior_cos") >= X50_TAU, F.lit(False)).alias(
+            "is_removed"
+        ),
+    )
+
+
+def _x50_prior(spark, sf_dir):
+    """x50's threshold-free core: per vector its cluster and the max
+    cosine to any LOWER-id vector in the same cluster (NULL for cluster
+    heads). Shared by x50 (one tau applied) and x94 (tau SWEPT)."""
     e = _T(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
@@ -2115,15 +2130,7 @@ def x50_semdedup(spark, sf_dir):
         .groupBy("vec_id")
         .agg(F.max("cos").alias("max_prior_cos"))
     )
-    out = assigned.select("vec_id", "cid").join(prior, "vec_id", "left")
-    return out.select(
-        "vec_id",
-        "cid",
-        "max_prior_cos",
-        F.coalesce(F.col("max_prior_cos") >= X50_TAU, F.lit(False)).alias(
-            "is_removed"
-        ),
-    )
+    return assigned.select("vec_id", "cid").join(prior, "vec_id", "left")
 
 
 def x51_dsir_proxy(spark, sf_dir):
@@ -6119,6 +6126,80 @@ SELECT doc_id, n_tokens, n_oov,
 FROM per WHERE n_tokens > 0"""
 
 
+#: x94's swept thresholds in exact ppm (x50's production point 250000
+#: sits mid-sweep). Integer ppm literals divided by 1e6 as a double give
+#: both engines the identical IEEE threshold.
+X94_TAUS = [150_000, 200_000, 250_000, 300_000, 350_000]
+
+
+def x94_semdedup_sweep(spark, sf_dir):
+    """SemDeDup threshold sweep — x92's tuning discipline applied to the
+    EMBEDDING dedup path (Abbas et al. 2023 pick eps by exactly this
+    curve): for each candidate tau, how many vectors the per-cluster
+    max-prior-cosine rule would remove, how many survive, and the removal
+    share in exact ppm. x50 applies one tau; x94 measures the whole knob
+    so the tau choice is a table lookup, not a recompute.
+
+    Scale: the expensive part (assignment + per-cluster prior-cos) is
+    x50's kernel, computed ONCE (`_x50_prior`); the sweep explodes each
+    vector's verdict across the 5-literal tau axis map-side and
+    partial-aggs per tau — 5 rows out at any corpus size."""
+    pr = _x50_prior(spark, sf_dir)
+    per = pr.select(
+        "max_prior_cos",
+        F.explode(F.array(*[F.lit(t) for t in X94_TAUS])).alias("tau_ppm"),
+    )
+    removed = F.coalesce(
+        F.col("max_prior_cos")
+        >= F.col("tau_ppm").cast("double") / F.lit(1_000_000.0),
+        F.lit(False),
+    )
+    agg = per.groupBy("tau_ppm").agg(
+        F.sum(F.when(removed, 1).otherwise(0)).alias("n_removed"),
+        F.count("*").alias("n_total"),
+    )
+    return agg.select(
+        F.col("tau_ppm").cast("long").alias("tau_ppm"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        (F.col("n_total") - F.col("n_removed")).cast("long").alias("n_kept"),
+        F.expr("CAST(n_removed * 1000000 DIV n_total AS BIGINT)").alias(
+            "removed_ppm"
+        ),
+    )
+
+
+_X94_SQL = f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+              FROM embeddings WHERE vec_id % 25 = 0),
+ac AS (SELECT e.vec_id, e.embedding, c.cid,
+              {_cos_sql('e.embedding', 'c.cemb')} AS c_cos
+       FROM embeddings e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, embedding, cid FROM (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY c_cos DESC, cid ASC) AS rn
+  FROM ac) WHERE rn = 1),
+prior AS (SELECT a.vec_id,
+                 MAX({_cos_sql('a.embedding', 'b.embedding')}) AS max_prior_cos
+          FROM assigned a JOIN assigned b
+            ON a.cid = b.cid AND b.vec_id < a.vec_id
+          GROUP BY 1),
+pr AS (SELECT a.vec_id, p.max_prior_cos
+       FROM assigned a LEFT JOIN prior p USING (vec_id)),
+taus AS (SELECT unnest([{', '.join(str(t) for t in X94_TAUS)}]) AS tau_ppm),
+per AS (SELECT tau_ppm,
+          COALESCE(max_prior_cos >= tau_ppm / 1000000.0, FALSE) AS removed
+        FROM pr CROSS JOIN taus),
+agg AS (SELECT tau_ppm,
+          CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_removed,
+          CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM per GROUP BY 1)
+SELECT CAST(tau_ppm AS BIGINT) AS tau_ppm, n_removed,
+  n_total - n_removed AS n_kept,
+  CAST(n_removed * 1000000 // n_total AS BIGINT) AS removed_ppm
+FROM agg"""
+
+
 _X75_SQL = """WITH t AS (
   SELECT doc_id, source, n_chars,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
@@ -6829,5 +6910,12 @@ SPECS = [
         "per-doc OOV count + exact ppm under a top-1024 vocabulary budget",
         x93_oov_rate,
         _X93_SQL,
+    ),
+    QuerySpec(
+        "x94_semdedup_sweep",
+        "X",
+        "SemDeDup tau sweep: removal counts per threshold, x50 kernel once",
+        x94_semdedup_sweep,
+        _X94_SQL,
     ),
 ]

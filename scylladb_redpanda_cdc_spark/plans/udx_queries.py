@@ -202,6 +202,47 @@ _U14_SQL = """SELECT l_orderkey, l_linenumber,
 FROM lineitem WHERE l_quantity >= 35"""
 
 
+# -- U15: UDTF with a TABLE argument (whole-relation input) ------------------
+
+
+def u15_udtf_table_arg(spark, sf_dir):
+    """Python UDTF invoked with a TABLE(...) ARGUMENT (Spark 4,
+    SPARK-44503): the function consumes a whole RELATION instead of
+    per-call scalars — ``SELECT * FROM f(TABLE(v))`` — the form
+    user-defined relational transforms (sessionizers, format shredders)
+    take when their input is a query, not a column. Each input row's
+    priority string is shredded into indexed pieces; the oracle is the
+    same shred via lateral unnest. u7 is the scalar-LATERAL form; u15 is
+    the relation-passing form.
+
+    Scale: rows stream through the UDTF partition-local (no shuffle
+    introduced by TABLE passing without PARTITION BY); per-row Python is
+    the declared slow path, bounded here by the %50 keyslice."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, part_idx int, piece string")
+    class PrioritySplit:
+        def eval(self, row):
+            for i, piece in enumerate(row["o_orderpriority"].split("-")):
+                yield row["o_orderkey"], i, piece
+
+    spark.udtf.register("sg_u15_split", PrioritySplit)
+    (
+        _T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_orderpriority")
+        .createOrReplaceTempView("sg_u15_orders")
+    )
+    return spark.sql("SELECT * FROM sg_u15_split(TABLE(sg_u15_orders))")
+
+
+_U15_SQL = """WITH s AS (
+  SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts
+  FROM orders WHERE o_orderkey % 50 = 0)
+SELECT o_orderkey, CAST(i - 1 AS INTEGER) AS part_idx, parts[i] AS piece
+FROM s, unnest(range(1, len(parts) + 1)) AS t(i)"""
+
+
 # -- U4: mapInPandas (UDTF-shaped: N rows in, M rows out) ---------------------
 
 _U4_SCHEMA = "p_partkey long, word string, word_len int"
@@ -575,6 +616,13 @@ SPECS = [
         "SQL-language scalar UDF: analyzer-inlined, zero Python, codegen",
         u14_sql_udf,
         _U14_SQL,
+    ),
+    QuerySpec(
+        "u15_udtf_table_arg",
+        "U",
+        "UDTF consuming a TABLE(...) argument: whole-relation input",
+        u15_udtf_table_arg,
+        _U15_SQL,
     ),
     QuerySpec(
         "u8_map_in_arrow",

@@ -202,6 +202,7 @@ _INTENDED_PYTHON = {
     "u11_udf_arrow_optimized",  # declared Spark 4 useArrow Python UDF
     "u12_udtf_polymorphic",  # declared polymorphic Python UDTF
     "u13_pandas_udaf_window",  # declared WindowInPandas pandas UDAF
+    "u15_udtf_table_arg",  # declared Python UDTF (TABLE-argument form)
     "x18_multimodal_decode",
     "x58_media_resize",  # mapInPandas resize-geometry stage
     "x59_media_features",  # mapInPandas byte-histogram feature stage
