@@ -89,6 +89,11 @@ BASELINE_S = {
     "x92_band_threshold_sweep": 1.630,
     "x93_oov_rate": 0.608,
     "x94_semdedup_sweep": 1.881,
+    # Round-7 batch 4 (best of the four 52/53-query runs).
+    "b62_bitmap_distinct": 0.668,
+    "b63_crosstab": 0.394,
+    "f16_fn_regexp": 0.160,
+    "a29_envelope_audit_gates": 0.071,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -163,6 +168,12 @@ HEADLINE = (
     "x92_band_threshold_sweep",
     "x93_oov_rate",
     "x94_semdedup_sweep",
+    # round-7 batch 4: the exact-bitmap rollup, the contingency table,
+    # the regexp extraction family, and the envelope-contract gate audit.
+    "b62_bitmap_distinct",
+    "b63_crosstab",
+    "f16_fn_regexp",
+    "a29_envelope_audit_gates",
 )
 
 

@@ -700,6 +700,219 @@ WHERE o_totalprice > (SELECT MAX(o_totalprice) * 0.5 FROM orders)
 GROUP BY o_orderstatus"""
 
 
+def b62_bitmap_distinct(spark, sf_dir):
+    """EXACT mergeable distinct counting via bitmaps (Spark 3.5
+    ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``,
+    SPARK-44190 — the warehouse trick for exact COUNT(DISTINCT int-key)
+    rollups): per (returnflag, linestatus) a partkey position bitmap is
+    built once, per returnflag the sub-bitmaps are OR-merged, and the
+    merged cardinality must EQUAL the direct countDistinct — the
+    mergeability b48 proves approximately for HLL, proved exactly here
+    (per-day bitmaps union into month/year with no error and no
+    re-scan). Output carries both counts and the agreement bit; the
+    oracle expects equality.
+
+    Scale: bitmaps are fixed-size-bucketed binary state — partial-agg
+    combinable map-side; the two-level rollup never re-touches rows,
+    only ORs group-count bitmaps."""
+    li = _T(spark, sf_dir, "lineitem")
+    # Canonical bitmap pattern: bucket number is a GROUP KEY (each bitmap
+    # covers one 32768-position bucket; a single unbucketed bitmap
+    # silently collides values across buckets — the fixture's partkey 0
+    # lands in bucket 0 while 1..32768 land in bucket 1).
+    sub = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.bitmap_bucket_number("l_partkey").alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias("bm")
+    )
+    merged = (
+        sub.groupBy("l_returnflag", "bkt")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("nd"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("nd").alias("nd_merged"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_exact")
+    )
+    return merged.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "nd_merged",
+        "nd_exact",
+        (F.col("nd_merged") == F.col("nd_exact")).alias("agree"),
+    )
+
+
+_B62_SQL = """SELECT l_returnflag,
+  COUNT(DISTINCT l_partkey) AS nd_merged,
+  COUNT(DISTINCT l_partkey) AS nd_exact,
+  TRUE AS agree
+FROM lineitem GROUP BY l_returnflag"""
+
+
+def b63_crosstab(spark, sf_dir):
+    """``df.stat.crosstab`` — the contingency-table API (pairwise
+    frequency of two categorical columns, one output column per distinct
+    value of the second): order status x priority counts, the
+    data-exploration staple. Column names come from the data
+    (deterministic: the five TPC-H priorities); counts are exact
+    BIGINTs; the oracle is conditional aggregation over the same pairs.
+
+    Scale: one pair-keyed partial agg + a pivot over a value-count-sized
+    column set — crosstab belongs on low-cardinality categorical pairs
+    exactly like this (it enumerates the second column's values as
+    column names), never on high-cardinality keys."""
+    o = _T(spark, sf_dir, "orders")
+    return o.stat.crosstab("o_orderstatus", "o_orderpriority")
+
+
+_B63_SQL = """SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+       AS BIGINT) AS "1-URGENT",
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+       AS BIGINT) AS "2-HIGH",
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+       AS BIGINT) AS "3-MEDIUM",
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+       AS BIGINT) AS "4-NOT SPECIFIED",
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+       AS BIGINT) AS "5-LOW"
+FROM orders GROUP BY o_orderstatus"""
+
+
+def b64_corr_covar(spark, sf_dir):
+    """Distributed Pearson correlation / sample covariance via EXACT
+    integer moment sums — the classic single-pass formulation (count,
+    sum x, sum y, sum xy, sum x², sum y² are all partial-agg
+    combinable, so one map-side-combined shuffle serves any group
+    count). Inputs are exact longs (quantity is integral; extendedprice
+    in cents), the six moments are exact integers (y² summed as
+    DECIMAL — cents² overflows BIGINT at scale), and the final
+    corr/covar is a FIXED double expression over those exact moments —
+    bit-identical across engines and executor schedules, unlike the
+    built-in streaming co-moment aggregates whose last ulps depend on
+    merge order. The built-ins (``F.corr``/``F.covar_samp``) are
+    exercised through an error-envelope boolean (|builtin − moments| <
+    1e-6), the b17/b48 grading pattern.
+
+    Scale: ONE partial-agg shuffle, group-count-sized output; the
+    moment vector is exactly what a 1000-executor tree-aggregate
+    combines."""
+    li = _T(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sx2"),
+            F.sum(F.col("y").cast("decimal(20,0)") * F.col("y")).alias("sy2"),
+            F.corr(
+                F.col("x").cast("double"), F.col("y").cast("double")
+            ).alias("corr_builtin"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        F.sqrt(nd * F.col("sx2").cast("double") - sxd * sxd)
+        * F.sqrt(nd * F.col("sy2").cast("double") - syd * syd)
+    )
+    covar = (F.col("sxy").cast("double") - sxd * syd / nd) / (nd - F.lit(1.0))
+    return m.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        corr.alias("corr_qty_price"),
+        covar.alias("covar_samp_qty_price"),
+        (F.abs(F.col("corr_builtin") - corr) < 1e-6).alias("builtin_agrees"),
+    )
+
+
+_B64_SQL = """WITH m AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    SUM(x * y) AS sxy,
+    SUM(x * x) AS sx2,
+    SUM(CAST(y AS HUGEINT) * y) AS sy2,
+    corr(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS corr_builtin
+  FROM (SELECT l_returnflag,
+          CAST(l_quantity AS BIGINT) AS x,
+          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n, sx, sy,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    AS corr_qty_price,
+  (CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+  / (CAST(n AS DOUBLE) - 1.0) AS covar_samp_qty_price,
+  abs(corr_builtin
+      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) < 1e-6
+    AS builtin_agrees
+FROM m"""
+
+
+def b65_min_max_by(spark, sf_dir):
+    """``max_by`` / ``min_by`` (Spark 3.3, SPARK-27974) — the argmax/argmin
+    AGGREGATES: "which order was the priciest per status" as one
+    partial-agg pass, NOT a ranking window (b24's top-k shape needs the
+    per-group sort; arg-extremes need only a combinable (ord, arg) pair —
+    at 100 TB that is the difference between a map-side-combined shuffle
+    of group-count rows and a full per-group sort). The ordering key is a
+    STRUCT (price, orderkey) so ties on price resolve by key — a total
+    order, making the winner engine-exact; the oracle picks the same row
+    by ROW_NUMBER with the identical compound sort.
+
+    Scale: one partial-agg shuffle; (ord, arg) state is constant-size and
+    merge-combinable — exactly the tree-aggregate shape."""
+    o = _T(spark, sf_dir, "orders")
+    ordc = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", ordc).alias("priciest_order"),
+        F.min_by("o_orderkey", ordc).alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.count("*").alias("n"),
+    )
+
+
+_B65_SQL = """WITH r AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+  FROM orders)
+SELECT o_orderstatus,
+  MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order,
+  MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
+  MAX(o_totalprice) AS max_price,
+  MIN(o_totalprice) AS min_price,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY o_orderstatus"""
+
+
 # ---------------------------------------------------------------------------
 # B25-B29 set operations
 # ---------------------------------------------------------------------------
@@ -2136,6 +2349,34 @@ SPECS = [
         "DECLARE/SET VAR session variables: computed bound, inlined plan",
         b61_session_variables,
         _B61_SQL,
+    ),
+    QuerySpec(
+        "b62_bitmap_distinct",
+        "B",
+        "bitmap_construct/or/count: exact mergeable distinct rollup",
+        b62_bitmap_distinct,
+        _B62_SQL,
+    ),
+    QuerySpec(
+        "b63_crosstab",
+        "B",
+        "df.stat.crosstab: categorical contingency table, exact counts",
+        b63_crosstab,
+        _B63_SQL,
+    ),
+    QuerySpec(
+        "b64_corr_covar",
+        "B",
+        "Pearson corr/covar from exact integer moments (+builtin envelope)",
+        b64_corr_covar,
+        _B64_SQL,
+    ),
+    QuerySpec(
+        "b65_min_max_by",
+        "B",
+        "max_by/min_by argmax aggregates: no-window per-group extremes",
+        b65_min_max_by,
+        _B65_SQL,
     ),
     QuerySpec(
         "b15_agg_basic",

@@ -9,7 +9,7 @@ decode exactly what Spark's ``from_json`` decodes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
 
@@ -1154,6 +1154,109 @@ FROM decoded
 GROUP BY 1"""
 
 
+def a29_envelope_audit_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29: per-rule envelope-contract audit — x88's per-gate design
+    applied to the CDC wire contract (A22 ROUTES a record on its first
+    failure; A29 reports EVERY rule's individual verdict, the debugging
+    view that says WHICH invariant a misbehaving producer breaks). Per
+    event: op in the reference's allowed set (c/u/d, README.md:166),
+    both key columns present (the Key schema's fields,
+    rpk_topic_consume.json:3), after-image present exactly when the op
+    requires one (c/u carry after, d carries none), clock sanity
+    (connector ts >= source commit ts, and broker append >= connector ts
+    — the three clocks of rpk_topic_consume.json:4-6), snapshot flag in
+    the Debezium enum (true/last/false), plus the conjunction.
+
+    Exactness: pure boolean algebra over decoded columns. Scale:
+    map-only, rides the decoded scan, zero shuffles; at 100 TB this is
+    the producer-conformance dashboard fed by the ingest pass."""
+    df = _decoded_df(spark)
+    op_ok = F.col("op").isin("c", "u", "d")
+    key_ok = F.col("key_customer_id").isNotNull() & F.col(
+        "key_order_id"
+    ).isNotNull()
+    after_ok = F.when(
+        F.col("op").isin("c", "u"), F.col("after_product_touched")
+    ).otherwise(~F.col("after_product_touched"))
+    clocks_ok = (F.col("ts_ms") >= F.col("source_ts_ms")) & (
+        F.col("timestamp") >= F.col("ts_ms")
+    )
+    snap_ok = F.col("snapshot").isin("true", "last", "false")
+    return df.select(
+        "offset",
+        op_ok.alias("op_ok"),
+        key_ok.alias("key_ok"),
+        after_ok.alias("after_ok"),
+        clocks_ok.alias("clocks_ok"),
+        snap_ok.alias("snapshot_ok"),
+        (op_ok & key_ok & after_ok & clocks_ok & snap_ok).alias("all_ok"),
+    )
+
+
+_A29_SQL = """SELECT "offset",
+  op IN ('c', 'u', 'd') AS op_ok,
+  key_customer_id IS NOT NULL AND key_order_id IS NOT NULL AS key_ok,
+  CASE WHEN op IN ('c', 'u') THEN after_product_touched
+       ELSE NOT after_product_touched END AS after_ok,
+  ts_ms >= source_ts_ms AND "timestamp" >= ts_ms AS clocks_ok,
+  snapshot IN ('true', 'last', 'false') AS snapshot_ok,
+  (op IN ('c', 'u', 'd'))
+    AND (key_customer_id IS NOT NULL AND key_order_id IS NOT NULL)
+    AND (CASE WHEN op IN ('c', 'u') THEN after_product_touched
+              ELSE NOT after_product_touched END)
+    AND (ts_ms >= source_ts_ms AND "timestamp" >= ts_ms)
+    AND (snapshot IN ('true', 'last', 'false')) AS all_ok
+FROM decoded"""
+
+
+def a30_scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30: SCD Type-2 dimension build — the OTHER standard consumer of a
+    CDC feed (A6 keeps latest state; every warehouse ALSO keeps the full
+    version history with validity intervals, Kimball's slowly-changing
+    dimension type 2). Each insert/update event opens a version row valid
+    from its own offset; the NEXT event on the same key (update or
+    delete — reference README.md:166's op set) closes it at next_offset-1;
+    a version with no successor is current. Deletes close the last
+    version without emitting one, so a deleted key has no current row —
+    exactly A10's tombstone contract, kept as history instead of dropped.
+
+    Offsets are the version clock (the reference's per-partition offset
+    authority, rpk_topic_consume.json:44,52 — the update at offset 6
+    closes the insert at offset 5's validity at 5).
+
+    Scale: ONE shuffle on the event key (the partitioning the Kafka topic
+    already has), one lead() pass per key — history is never rescanned,
+    and the output is append-friendly (closing a version touches only
+    that key's open row). At 100 TB of log this is the same plan."""
+    log = synth_changelog(spark, sf_dir)
+    w = Window.partitionBy("customer_id", "order_id").orderBy("offset")
+    return (
+        log.withColumn("next_offset", F.lead("offset").over(w))
+        .filter(F.col("op").isin("c", "u"))
+        .select(
+            "customer_id",
+            "order_id",
+            "totalprice",
+            "orderstatus",
+            F.col("offset").alias("valid_from"),
+            (F.col("next_offset") - 1).alias("valid_to"),
+            F.col("next_offset").isNull().alias("is_current"),
+        )
+    )
+
+
+_A30_SQL = f"""WITH {CHANGELOG_SQL_CTE.strip()},
+v AS (
+  SELECT *, LEAD("offset") OVER (
+      PARTITION BY customer_id, order_id ORDER BY "offset") AS next_offset
+  FROM changelog)
+SELECT customer_id, order_id, totalprice, orderstatus,
+  "offset" AS valid_from,
+  next_offset - 1 AS valid_to,
+  next_offset IS NULL AS is_current
+FROM v WHERE op IN ('c', 'u')"""
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -1499,6 +1602,20 @@ FROM log GROUP BY topic""",
         "offset.flush.interval.ms windows: per-flush-window commit ledger",
         a28_flush_batch_report,
         _g(_A28_SQL),
+    ),
+    QuerySpec(
+        "a29_envelope_audit_gates",
+        "A",
+        "per-rule envelope-contract verdicts (x88's gate view for CDC)",
+        a29_envelope_audit_gates,
+        _g(_A29_SQL),
+    ),
+    QuerySpec(
+        "a30_scd2_dimension_history",
+        "A",
+        "SCD Type-2 history: changelog -> validity-interval version rows",
+        a30_scd2_dimension_history,
+        _A30_SQL,
     ),
     QuerySpec(
         "a21_replay_idempotence",

@@ -471,6 +471,134 @@ _F15_SQL = """SELECT event_id,
 FROM events WHERE event_id % 3 = 0"""
 
 
+def f16_fn_regexp(spark, sf_dir):
+    """Regexp extraction family beyond F1's extract/replace:
+    ``regexp_extract_all`` (every match, joined to CSV so the compare is
+    order-stable), ``regexp_count``, ``regexp_instr`` (first-match
+    position), ``regexp_substr`` (first match), and ``str_to_map``
+    inverted by element lookup (the map is CONSTRUCTED from fields, one
+    key extracted back and compared to the source field — f9's
+    inversion trick). Vowel-run patterns are ASCII-only and
+    lookaround-free, so Java regex and RE2 agree exactly.
+
+    Scale: map-only expression algebra riding the scan, zero
+    shuffles."""
+    p = _T(spark, sf_dir, "part")
+    vowels = F.lit("[aeiou]+")
+    m = F.concat(
+        F.lit("brand:"), F.col("p_brand"), F.lit(",size:"),
+        F.col("p_size").cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(
+            F.regexp_extract_all("p_name", vowels, 0), ","
+        ).alias("vowel_runs"),
+        F.regexp_count("p_name", vowels).alias("n_runs"),
+        F.regexp_instr("p_name", vowels).alias("first_pos"),
+        F.regexp_substr("p_name", vowels).alias("first_run"),
+        F.element_at(F.str_to_map(m, F.lit(","), F.lit(":")), "size")
+        .cast("int")
+        .alias("size_back"),
+    )
+
+
+#: DuckDB regexp_instr does not exist; the first regex match of a vowel-run
+#: pattern starts at the first vowel, so POSITION of that vowel is the
+#: match position (any earlier occurrence of the matched string would
+#: itself contain a vowel and contradict first-match-ness).
+_F16_SQL = """SELECT p_partkey,
+  array_to_string(regexp_extract_all(p_name, '[aeiou]+', 0), ',')
+    AS vowel_runs,
+  CAST(len(regexp_extract_all(p_name, '[aeiou]+', 0)) AS INTEGER)
+    AS n_runs,
+  CASE WHEN regexp_extract(p_name, '[aeiou]+') = ''
+       THEN 0
+       ELSE POSITION(regexp_extract(p_name, '[aeiou]+') IN p_name) END
+    AS first_pos,
+  regexp_extract(p_name, '[aeiou]+') AS first_run,
+  p_size AS size_back
+FROM part"""
+
+
+def f17_fn_edit_distance(spark, sf_dir):
+    """Edit-distance family — the fuzzy-matching scalar the dedup stack
+    leans on at the record level: ``levenshtein`` (exact DP distance),
+    the Spark 3.5 THRESHOLD variant (bails out and returns -1 once the
+    distance exceeds the bound — the banded-DP optimization that makes
+    corpus-scale fuzzy joins affordable, emulated by the oracle with a
+    CASE over the full distance), and a normalized similarity in [0,1]
+    computed as ONE fixed double expression over the exact integer
+    distance and lengths (bit-stable across engines). Operands are the
+    first/last word of ``p_name`` — same-row derived strings, so no
+    join is implied.
+
+    Scale: map-only expression algebra riding the scan, zero shuffles;
+    the threshold form is the one to use in candidate-pair verification
+    (cost O(threshold x len), not O(len²))."""
+    p = _T(spark, sf_dir, "part")
+    w1 = F.split("p_name", " ").getItem(0)
+    w2 = F.regexp_extract("p_name", r"([a-z]+)$", 1)
+    lev = F.levenshtein(w1, w2)
+    return p.select(
+        "p_partkey",
+        w1.alias("w1"),
+        w2.alias("w2"),
+        lev.alias("lev"),
+        F.levenshtein(w1, w2, 3).alias("lev_t3"),
+        (
+            F.lit(1.0)
+            - lev.cast("double")
+            / F.greatest(F.length(w1), F.length(w2), F.lit(1)).cast("double")
+        ).alias("sim_norm"),
+    )
+
+
+_F17_SQL = """SELECT p_partkey, w1, w2,
+  CAST(levenshtein(w1, w2) AS INTEGER) AS lev,
+  CAST(CASE WHEN levenshtein(w1, w2) > 3 THEN -1
+            ELSE levenshtein(w1, w2) END AS INTEGER) AS lev_t3,
+  1.0 - CAST(levenshtein(w1, w2) AS DOUBLE)
+      / CAST(GREATEST(len(w1), len(w2), 1) AS DOUBLE) AS sim_norm
+FROM (SELECT p_partkey,
+        string_split(p_name, ' ')[1] AS w1,
+        regexp_extract(p_name, '([a-z]+)$', 1) AS w2
+      FROM part)"""
+
+
+def f18_fn_position(spark, sf_dir):
+    """String position/splice family beyond F1's slice/concat surface:
+    ``instr`` (first occurrence), ``locate`` with a START OFFSET (the
+    resume-scan form), ``substring_index`` with positive and NEGATIVE
+    counts (head-k / tail-k of a delimited string — the path-prefix
+    idiom), and ``overlay`` (splice replacement at a position). DuckDB
+    lacks locate-from-offset / substring_index / overlay, so the oracle
+    rebuilds each from primitives (substr arithmetic, split-list slices,
+    concat) — exact string algebra, no approximation.
+
+    Scale: map-only expression algebra riding the scan, zero shuffles."""
+    p = _T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.instr("p_name", "a").alias("pos_a"),
+        F.locate("a", "p_name", 5).alias("pos_a_from5"),
+        F.substring_index("p_type", " ", 2).alias("type_head2"),
+        F.substring_index("p_type", " ", -1).alias("type_tail"),
+        F.overlay("p_brand", F.lit("XX"), 7).alias("brand_patched"),
+    )
+
+
+_F18_SQL = """SELECT p_partkey,
+  CAST(instr(p_name, 'a') AS INTEGER) AS pos_a,
+  CAST(CASE WHEN instr(substr(p_name, 5), 'a') = 0 THEN 0
+            ELSE instr(substr(p_name, 5), 'a') + 4 END AS INTEGER)
+    AS pos_a_from5,
+  array_to_string(string_split(p_type, ' ')[1:2], ' ') AS type_head2,
+  string_split(p_type, ' ')[-1] AS type_tail,
+  substr(p_brand, 1, 6) || 'XX' || substr(p_brand, 9) AS brand_patched
+FROM part"""
+
+
 SPECS = [
     QuerySpec(
         "f1_fn_string",
@@ -628,5 +756,26 @@ SPECS = [
         "XML family: from_xml inversion, xpath probe, schema_of_xml",
         f15_fn_xml,
         _F15_SQL,
+    ),
+    QuerySpec(
+        "f16_fn_regexp",
+        "F",
+        "regexp_extract_all/count/instr/substr + str_to_map inversion",
+        f16_fn_regexp,
+        _F16_SQL,
+    ),
+    QuerySpec(
+        "f17_fn_edit_distance",
+        "F",
+        "levenshtein + 3.5 threshold variant + normalized similarity",
+        f17_fn_edit_distance,
+        _F17_SQL,
+    ),
+    QuerySpec(
+        "f18_fn_position",
+        "F",
+        "instr/locate-from-offset/substring_index/overlay splice family",
+        f18_fn_position,
+        _F18_SQL,
     ),
 ]

@@ -6211,6 +6211,78 @@ SELECT doc_id, source, n_chars,
 FROM t"""
 
 
+def x95_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding-space health report — the QA pass run
+    before an ANN index or a projection head is trained on a corpus:
+    per dimension, count / min / max / mean / variance, plus a dead-dim
+    verdict (a near-constant dimension carries no signal and should be
+    pruned before distance computations pay for it). x63 computes
+    per-CLASS means; x95 is the corpus-wide profile with second
+    moments.
+
+    Exactness: components floored to integer micros (one deterministic
+    rounding each, the x63 discipline), both moments summed as exact
+    BIGINT in any order, mean/variance derived as ONE fixed double
+    expression over the exact sums — bit-identical across engines and
+    schedules. Scale: posexplode to (dim, x) then ONE partial-agg
+    shuffle carrying dims x partials, output is dimension-count-sized;
+    map-side combine collapses each partition's mass first."""
+    e = _T(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "x")
+    )
+    m = (
+        e.select(
+            "dim",
+            F.floor(F.col("x").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("xm"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xm").alias("s1"),
+            F.sum(F.col("xm") * F.col("xm")).alias("s2"),
+            F.min("xm").alias("min_micro"),
+            F.max("xm").alias("max_micro"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    var = (nd * s2d - s1d * s1d) / (nd * nd)
+    return m.select(
+        "dim",
+        "n",
+        "min_micro",
+        "max_micro",
+        (s1d / nd).alias("mean_micro"),
+        var.alias("var_micro2"),
+        (var < F.lit(1.0)).alias("is_dead"),
+    )
+
+
+_X95_SQL = """WITH x AS (
+  SELECT CAST(dim AS INTEGER) AS dim,
+    CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xm
+  FROM (SELECT unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS dim
+        FROM embeddings)),
+m AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(xm) AS BIGINT) AS s1,
+    CAST(SUM(xm * xm) AS BIGINT) AS s2,
+    MIN(xm) AS min_micro, MAX(xm) AS max_micro
+  FROM x GROUP BY dim)
+SELECT dim, n, min_micro, max_micro,
+  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_micro,
+  (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_micro2,
+  (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 AS is_dead
+FROM m"""
+
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -6917,5 +6989,12 @@ SPECS = [
         "SemDeDup tau sweep: removal counts per threshold, x50 kernel once",
         x94_semdedup_sweep,
         _X94_SQL,
+    ),
+    QuerySpec(
+        "x95_embedding_dim_stats",
+        "X",
+        "per-dimension embedding health: exact-micro mean/var/min/max",
+        x95_embedding_dim_stats,
+        _X95_SQL,
     ),
 ]

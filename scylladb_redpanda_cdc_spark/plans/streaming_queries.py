@@ -21,6 +21,7 @@ from scylladb_redpanda_cdc_spark.plans import QuerySpec
 from scylladb_redpanda_cdc_spark.plans.cdc_queries import (
     EVOLUTION_SQL,
     _A20_SQL as _A20_ORACLE,
+    _A30_SQL as _A30_ORACLE,
 )
 from scylladb_redpanda_cdc_spark.plans.llm_queries import _X87_SQL
 from scylladb_redpanda_cdc_spark.sources.changelog import CHANGELOG_SQL_CTE
@@ -32,6 +33,7 @@ from scylladb_redpanda_cdc_spark.streaming.core import (
     tmpdir,
 )
 from scylladb_redpanda_cdc_spark.streaming.ops import (
+    foreachbatch_scd2,
     foreachbatch_upsert,
     heavy_hitters_stream,
     incremental_dedup_stream,
@@ -597,6 +599,24 @@ FROM f"""
 _S16_SQL = _s16_sql()
 
 
+def s22_stream_scd2(spark, sf_dir):
+    """S22: A30's SCD Type-2 dimension maintained INCREMENTALLY from the
+    change stream — the warehouse-history consumer of a CDC topic as a
+    running merge (s10 maintains latest state; s22 maintains the full
+    validity-interval history). The log drains in 3 micro-batches through
+    foreachbatch_scd2: per batch only the TOUCHED keys' event history is
+    re-leaded (batch-sized window), untouched versions pass through, and
+    the final table must equal A30's one-pass batch build — the
+    offset-authority convergence guarantee (SURVEY §4.4) applied to
+    history, not just latest state.
+
+    Scale: same 100 TB shape as s10 — one key shuffle per batch on the
+    topic's own partitioning, state never rebuilt; closing a version
+    touches only that key's rows."""
+    changes = stage_changelog_stream(spark, sf_dir, n_files=3)
+    return foreachbatch_scd2(changes, ["customer_id", "order_id"])
+
+
 SPECS = [
     QuerySpec(
         "s1_stream_ingest_kafka",
@@ -790,7 +810,14 @@ ORDER BY n DESC, tok ASC LIMIT 20""",
         s21_stream_corpus_sync,
         _X87_SQL,  # the batch recompute IS the convergence oracle
     ),
+
     QuerySpec(
+        "s22_stream_scd2",
+        "S",
+        "a30's SCD2 history maintained by incremental stream MERGE == batch",
+        s22_stream_scd2,
+        _A30_ORACLE,  # the batch one-pass build IS the convergence oracle
+    ),    QuerySpec(
         "s20_stream_partitioned_sink",
         "S",
         "stream -> day-partitioned lake append, equal to batch recompute",

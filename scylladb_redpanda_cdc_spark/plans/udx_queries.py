@@ -496,6 +496,60 @@ def u5_udf_sql_register(spark, sf_dir):
     )
 
 
+# -- U16: applyInArrow grouped-map (Spark 4, zero-copy group tables) ---------
+
+_U16_SCHEMA = "l_returnflag string, n bigint, sum_qty bigint, max_price_c bigint"
+
+
+def _arrow_group_summary(table):
+    """Whole group in as ONE pyarrow.Table, one summary row out — every
+    aggregate is an Arrow C++ kernel (no pandas materialization, no
+    Python loop). Integer-only outputs: quantity is integral, price
+    rounds to exact cents, so no float summation-order question."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    qty = pc.cast(table.column("l_quantity"), pa.int64())
+    cents = pc.cast(
+        pc.round(pc.multiply(table.column("l_extendedprice"), pa.scalar(100.0))),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+            "n": pa.array([table.num_rows], pa.int64()),
+            "sum_qty": pa.array([pc.sum(qty).as_py()], pa.int64()),
+            "max_price_c": pa.array([pc.min_max(cents)["max"].as_py()], pa.int64()),
+        }
+    )
+
+
+def u16_apply_in_arrow(spark, sf_dir):
+    """``groupBy().applyInArrow`` (Spark 4.0, SPARK-45718): the grouped-map
+    twin of u8's ``mapInArrow`` — each group arrives as one zero-copy
+    ``pyarrow.Table``, the summary comes back as a Table, and no pandas
+    conversion ever happens (u6 pays that conversion per group; this is
+    the cheap path for groups whose logic Arrow kernels can express).
+
+    Scale: one hash shuffle on the group key, then partition-local Arrow
+    C++ kernels; group size bounds worker memory (returnflag groups are
+    corpus-sized — fine at bench SF, and the API contract under test is
+    per-group table shape, not volume)."""
+    li = _T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        _arrow_group_summary, _U16_SCHEMA
+    )
+
+
+_U16_SQL = """SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS max_price_c
+FROM lineitem GROUP BY l_returnflag"""
+
+
 SPECS = [
     QuerySpec(
         "u1_udf_python",
@@ -623,6 +677,13 @@ SPECS = [
         "UDTF consuming a TABLE(...) argument: whole-relation input",
         u15_udtf_table_arg,
         _U15_SQL,
+    ),
+    QuerySpec(
+        "u16_apply_in_arrow",
+        "U",
+        "groupBy().applyInArrow: zero-copy grouped-map over pyarrow Tables",
+        u16_apply_in_arrow,
+        _U16_SQL,
     ),
     QuerySpec(
         "u8_map_in_arrow",

@@ -156,15 +156,16 @@ def stage_late_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def foreachbatch_upsert(
-    changes: DataFrame, key_cols: list[str]
-) -> DataFrame:
-    """S10: run the change stream to completion, merging each micro-batch
-    into the state table; return the final materialized state.
+def _run_incremental_merge(changes: DataFrame, key_cols: list[str], compact) -> DataFrame:
+    """Shared incremental foreachBatch MERGE skeleton (S10/S22): drain the
+    change stream to completion, per batch re-deriving state rows for
+    TOUCHED keys only via ``compact`` (a per-key-closed recompute: given
+    every state/batch row of a key set, return that key set's new state
+    rows), passing untouched keys through, and return the final raw state.
 
-    Tombstones are RETAINED in intermediate state (``drop_deletes=False``)
-    so a delete in batch k cannot be resurrected by compaction in batch k+1;
-    they are dropped once, at the end (A10 semantics).
+    ``compact`` must be order-insensitive over a key's accumulated rows
+    (offset authority, SURVEY.md §4.4) — that is what makes the final
+    state identical for ANY micro-batch split of the log.
     """
     from pyspark.sql import functions as F
 
@@ -184,9 +185,7 @@ def foreachbatch_upsert(
         # persist: batch_latest feeds three consumers (key broadcast x2 +
         # union) and prev two (anti + semi) — without caching each would
         # recompute/rescan per consumer.
-        batch_latest = materialize_latest(
-            batch_df, key_cols, drop_deletes=False
-        ).persist()
+        batch_latest = compact(batch_df).persist()
         n_batch_keys = batch_latest.count()
         prev = (
             spark.read.parquet(current["path"]).persist()
@@ -201,8 +200,10 @@ def foreachbatch_upsert(
             # twice). Broadcast only while the batch key set is small —
             # a catch-up batch past BROADCAST_KEY_CAP keys shuffles
             # instead (AQE may still re-plan it).
-            batch_keys = batch_latest.select(*key_cols).withColumn(
-                "__hit", F.lit(1)
+            batch_keys = (
+                batch_latest.select(*key_cols)
+                .dropDuplicates(key_cols)
+                .withColumn("__hit", F.lit(1))
             )
             if n_batch_keys <= BROADCAST_KEY_CAP:
                 batch_keys = F.broadcast(batch_keys)
@@ -213,9 +214,7 @@ def foreachbatch_upsert(
                 .drop("__hit")
                 .unionByName(batch_latest)
             )
-            merged = unaffected.unionByName(
-                materialize_latest(affected, key_cols, drop_deletes=False)
-            )
+            merged = unaffected.unionByName(compact(affected))
         new_path = os.path.join(base, f"v{batch_id}")
         # cap state-file count: unaffected keeps prev's partitioning and
         # affected adds the window's shuffle partitions, so without a
@@ -237,9 +236,62 @@ def foreachbatch_upsert(
         )
         q.awaitTermination()
     assert current["path"] is not None, "stream produced no batches"
+    return spark.read.parquet(current["path"])
+
+
+def foreachbatch_upsert(
+    changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """S10: incremental upsert MERGE — state is ONE compacted latest row
+    per key. Tombstones are RETAINED in intermediate state
+    (``drop_deletes=False``) so a delete in batch k cannot be resurrected
+    by compaction in batch k+1; they are dropped once, at the end (A10
+    semantics)."""
     from pyspark.sql import functions as F
 
-    return spark.read.parquet(current["path"]).filter(F.col("op") != "d")
+    state = _run_incremental_merge(
+        changes,
+        key_cols,
+        lambda df: materialize_latest(df, key_cols, drop_deletes=False),
+    )
+    return state.filter(F.col("op") != "d")
+
+
+def foreachbatch_scd2(
+    changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """S22: incremental SCD Type-2 MERGE — state is the key's full event
+    history with each row's successor offset maintained (A30's validity
+    clock). The compact step recomputes ``next_offset`` by a lead() over
+    the touched keys' accumulated events only — batch-sized work, history
+    never re-shuffled; (key, offset) dedup makes redelivery idempotent
+    (events are immutable per offset, A21's contract). Because lead()
+    over a key's complete event set is order-insensitive to arrival
+    batching, the final table equals A30's one-pass batch build for ANY
+    micro-batch split.
+
+    Returns version rows: key cols + payload + valid_from / valid_to /
+    is_current (deletes close history without emitting a version)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def compact(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy("offset")
+        return (
+            df.drop("next_offset")
+            .dropDuplicates([*key_cols, "offset"])
+            .withColumn("next_offset", F.lead("offset").over(w))
+        )
+
+    state = _run_incremental_merge(changes, key_cols, compact)
+    return state.filter(F.col("op").isin("c", "u")).select(
+        *key_cols,
+        "totalprice",
+        "orderstatus",
+        F.col("offset").alias("valid_from"),
+        (F.col("next_offset") - 1).alias("valid_to"),
+        F.col("next_offset").isNull().alias("is_current"),
+    )
 
 
 _staged_doc_streams: dict[tuple[str, str], str] = {}
