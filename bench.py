@@ -94,6 +94,24 @@ BASELINE_S = {
     "b63_crosstab": 0.394,
     "f16_fn_regexp": 0.160,
     "a29_envelope_audit_gates": 0.071,
+    # Round-7 batch 5 (best of the two 61-query runs).
+    "a30_scd2_dimension_history": 0.410,
+    "s22_stream_scd2": 3.134,
+    "b64_corr_covar": 0.524,
+    "b65_min_max_by": 0.229,
+    "f17_fn_edit_distance": 0.132,
+    "f18_fn_position": 0.103,
+    "u16_apply_in_arrow": 0.584,
+    "x95_embedding_dim_stats": 0.170,
+    # Round-7 batch 6 (best of the two 69-query runs).
+    "x96_lsh_multiprobe": 0.736,
+    "u17_udtf_arrow": 0.308,
+    "o11_bucket_pruned_scan": 0.072,
+    "a31_tombstone_gc": 0.660,
+    "f19_fn_number_format": 0.570,
+    "x97_fuzzy_verify": 1.533,
+    "b66_union_schema_drift": 0.110,
+    "x98_recall_matryoshka": 0.580,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -174,6 +192,28 @@ HEADLINE = (
     "b63_crosstab",
     "f16_fn_regexp",
     "a29_envelope_audit_gates",
+    # round-7 batch 5: SCD2 history in batch and streaming form, the
+    # exact-moment correlation, the argmax aggregates, the two string
+    # families, the Arrow grouped-map, and the embedding health profile.
+    "a30_scd2_dimension_history",
+    "s22_stream_scd2",
+    "b64_corr_covar",
+    "b65_min_max_by",
+    "f17_fn_edit_distance",
+    "f18_fn_position",
+    "u16_apply_in_arrow",
+    "x95_embedding_dim_stats",
+    # round-7 batch 6: the multi-probe LSH query path, the Arrow UDTF,
+    # the bucket-pruned point probe, the tombstone GC pass, and the
+    # number-format family.
+    "x96_lsh_multiprobe",
+    "u17_udtf_arrow",
+    "o11_bucket_pruned_scan",
+    "a31_tombstone_gc",
+    "f19_fn_number_format",
+    "x97_fuzzy_verify",
+    "b66_union_schema_drift",
+    "x98_recall_matryoshka",
 )
 
 

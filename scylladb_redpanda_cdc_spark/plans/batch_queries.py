@@ -913,6 +913,111 @@ SELECT o_orderstatus,
 FROM r GROUP BY o_orderstatus"""
 
 
+def b66_union_schema_drift(spark, sf_dir):
+    """``unionByName(allowMissingColumns=True)`` (Spark 3.1,
+    SPARK-32798) — the schema-drift union: two ingest vintages with
+    different column sets combined BY NAME, absent columns null-filled
+    (positional ``union`` would silently misalign or reject; o6 solves
+    the same drift at the parquet-scan layer, this is the DataFrame-API
+    layer a multi-vintage pipeline composes in code). Old vintage lacks
+    ``n_chars``; new vintage carries it; the unioned frame is the
+    contract both downstreams read.
+
+    Scale: pure narrow union — zero shuffles, each vintage scans once
+    with its own pruned schema."""
+    d = _T(spark, sf_dir, "documents")
+    v_old = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "source"
+    )
+    v_new = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return v_old.unionByName(v_new, allowMissingColumns=True)
+
+
+_B66_SQL = """SELECT doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE doc_id % 2 = 1"""
+
+
+def b67_sql_pipe_syntax(spark, sf_dir):
+    """SQL PIPE syntax (Spark 4.0, SPARK-49555 — the linear query form
+    GoogleSQL introduced and DuckDB/ZetaSQL converged on): the query
+    reads top-to-bottom as a dataflow — ``FROM`` first, then ``|>
+    WHERE`` (pushed to the scan exactly like the nested form), ``|>
+    EXTEND`` for a derived column, ``|> AGGREGATE ... GROUP BY`` with
+    the aggregate list adjacent to its keys. The analyzer lowers pipes
+    to the SAME logical plan as nested SQL, so the oracle is the
+    classic-form twin — that lowering equivalence is the operator.
+
+    Scale: plan-identical to the nested form — pushed date filter, one
+    partial+final hash agg; the syntax layer costs nothing physical."""
+    _T(spark, sf_dir, "lineitem").createOrReplaceTempView("sg_b67_lineitem")
+    return spark.sql(
+        "FROM sg_b67_lineitem"
+        " |> WHERE l_shipdate >= DATE'1995-01-01'"
+        " |> EXTEND year(l_shipdate) AS ship_year"
+        " |> AGGREGATE COUNT(*) AS n,"
+        "    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty"
+        "    GROUP BY l_returnflag, ship_year"
+        " |> SELECT l_returnflag, CAST(ship_year AS INTEGER) AS ship_year,"
+        "    n, sum_qty"
+    )
+
+
+_B67_SQL = """SELECT l_returnflag,
+  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag, year(l_shipdate)"""
+
+
+#: Most recent b68 Observation, for the metrics-equality test (the side
+#: channel an output diff can't grade; observed values only exist after
+#: the caller's action completes).
+_b68_last_observation: list = [None]
+
+
+def b68_observed_metrics(spark, sf_dir):
+    """``df.observe`` / ``CollectMetrics`` (Spark 3.0, SPARK-29345 —
+    accumulator-grade METRICS riding an existing pass): the returned
+    frame is the filtered projection a downstream actually consumes,
+    and the observation node computes row count + exact-cent revenue ON
+    THE SAME SCAN — the data-quality counters every production pipeline
+    wants without paying a second job for them. The observed metrics
+    are asserted equal to an independent aggregate in
+    tests/test_plan_shapes.py (the part an output-diff can't see);
+    the row output itself is oracle-checked here.
+
+    Scale: metrics fold into the scan's partial aggregates
+    (accumulator-style, driver-merged constants) — zero extra passes,
+    zero shuffles beyond the query's own."""
+    from pyspark.sql import Observation
+
+    obs = Observation()  # fresh per call: one Observation binds one action
+    _b68_last_observation[0] = obs  # test handle (metrics side channel)
+    return (
+        _T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev_cents"),
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_B68_SQL = """SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderstatus = 'F'"""
+
+
 # ---------------------------------------------------------------------------
 # B25-B29 set operations
 # ---------------------------------------------------------------------------
@@ -1003,17 +1108,15 @@ _bucket_counter = [0]
 _bucketed_stages: dict[tuple[str, str], tuple[str, str]] = {}
 
 
-def b32_join_bucketed_colocated(spark, sf_dir):
-    """Bucketed co-located join: both sides pre-bucketed by the join key ->
-    the join plan has NO Exchange (verified by tests/test_plan_shapes.py).
-    This is the 'pay the shuffle once at write time' pattern — at 100 TB
-    the fact table is bucketed on its PK at ingest and every subsequent
-    key join is shuffle-free."""
+def stage_bucketed_tables(spark, sf_dir) -> tuple[str, str]:
+    """Stage the bucketed orders/lineitem tables once per (session,
+    dataset) and return their table names — the write IS the 'pay the
+    shuffle once' half of the bucketing pattern, so re-staging per call
+    only re-pays it. Shared by b32 (co-located join) and o11 (bucket
+    pruning): both are read-side dividends of the same ingest-time
+    layout."""
     from scylladb_redpanda_cdc_spark.streaming.core import tmpdir
 
-    # Stage the bucketed tables once per (session, dataset): the write IS
-    # the "pay the shuffle once" half of the pattern, so re-staging per
-    # call only re-pays it — the join being demonstrated reads the tables.
     stage_key = (spark.sparkContext.applicationId, sf_dir)
     if stage_key not in _bucketed_stages:
         _bucket_counter[0] += 1
@@ -1039,7 +1142,16 @@ def b32_join_bucketed_colocated(spark, sf_dir):
             .saveAsTable(li_tbl)
         )
         _bucketed_stages[stage_key] = (o_tbl, li_tbl)
-    o_tbl, li_tbl = _bucketed_stages[stage_key]
+    return _bucketed_stages[stage_key]
+
+
+def b32_join_bucketed_colocated(spark, sf_dir):
+    """Bucketed co-located join: both sides pre-bucketed by the join key ->
+    the join plan has NO Exchange (verified by tests/test_plan_shapes.py).
+    This is the 'pay the shuffle once at write time' pattern — at 100 TB
+    the fact table is bucketed on its PK at ingest and every subsequent
+    key join is shuffle-free."""
+    o_tbl, li_tbl = stage_bucketed_tables(spark, sf_dir)
     o = spark.table(o_tbl)
     li = spark.table(li_tbl)
     return (
@@ -2377,6 +2489,27 @@ SPECS = [
         "max_by/min_by argmax aggregates: no-window per-group extremes",
         b65_min_max_by,
         _B65_SQL,
+    ),
+    QuerySpec(
+        "b66_union_schema_drift",
+        "B",
+        "unionByName(allowMissingColumns): vintage union, null-filled",
+        b66_union_schema_drift,
+        _B66_SQL,
+    ),
+    QuerySpec(
+        "b67_sql_pipe_syntax",
+        "B",
+        "SQL pipe syntax (|> WHERE/EXTEND/AGGREGATE): lowering twin",
+        b67_sql_pipe_syntax,
+        _B67_SQL,
+    ),
+    QuerySpec(
+        "b68_observed_metrics",
+        "B",
+        "df.observe CollectMetrics: DQ counters riding the same scan",
+        b68_observed_metrics,
+        _B68_SQL,
     ),
     QuerySpec(
         "b15_agg_basic",

@@ -1257,6 +1257,64 @@ SELECT customer_id, order_id, totalprice, orderstatus,
 FROM v WHERE op IN ('c', 'u')"""
 
 
+#: a31 grace window: 730 days of EVENT time — tombstones younger than
+#: this survive GC so a lagging replica replaying older events still
+#: observes the delete (ScyllaDB's gc_grace_seconds contract, the
+#: tombstone-retention knob every Scylla/Cassandra operator tunes).
+A31_GRACE_MS = 730 * 86_400_000
+
+
+def a31_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31: tombstone garbage collection with a grace window — the
+    maintenance pass every log-compacted store runs on A6's
+    tombstone-retaining state (the reference's source table is ScyllaDB,
+    where exactly this knob is ``gc_grace_seconds``: drop a delete
+    marker too early and a delayed replica that never saw it will
+    resurrect the row — README.md:166's delete contract held over
+    time). State = latest event per key INCLUDING deletes
+    (materialize_latest, drop_deletes=False); the GC horizon is the
+    log's max event time minus the 730-day grace window, computed
+    plan-side (1-row broadcast, no driver collect); live rows always
+    survive, tombstones survive only while young.
+
+    Scale: one key-shuffled compaction (the same kernel as A6/S10) +
+    a map-only filter against the broadcast horizon — the GC pass adds
+    ZERO shuffles to the compaction it rides."""
+    log = synth_changelog(spark, sf_dir)
+    state = cdc.materialize_latest(
+        log, ["customer_id", "order_id"], drop_deletes=False
+    )
+    horizon = state.agg(F.max("ts_ms").alias("max_ts"))
+    return (
+        state.crossJoin(F.broadcast(horizon))
+        .filter(
+            (F.col("op") != "d")
+            | (F.col("ts_ms") >= F.col("max_ts") - F.lit(A31_GRACE_MS))
+        )
+        .select(
+            "customer_id",
+            "order_id",
+            "op",
+            "totalprice",
+            "orderstatus",
+            "ts_ms",
+            "offset",
+        )
+    )
+
+
+_A31_SQL = f"""WITH {CHANGELOG_SQL_CTE.strip()},
+s AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY customer_id, order_id ORDER BY "offset" DESC) AS rn
+    FROM changelog) r
+  WHERE rn = 1)
+SELECT customer_id, order_id, op, totalprice, orderstatus, ts_ms, "offset"
+FROM s
+WHERE op <> 'd' OR ts_ms >= (SELECT MAX(ts_ms) FROM s) - {A31_GRACE_MS}"""
+
+
 def flagship_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end flagship (SURVEY.md §3.3, §7 stage 0): synthesize a
     change log from ``orders`` at SF scale, compact to current state
@@ -1616,6 +1674,13 @@ FROM log GROUP BY topic""",
         "SCD Type-2 history: changelog -> validity-interval version rows",
         a30_scd2_dimension_history,
         _A30_SQL,
+    ),
+    QuerySpec(
+        "a31_tombstone_gc",
+        "A",
+        "tombstone GC with grace window (Scylla gc_grace over A6 state)",
+        a31_tombstone_gc,
+        _A31_SQL,
     ),
     QuerySpec(
         "a21_replay_idempotence",

@@ -599,6 +599,46 @@ _F18_SQL = """SELECT p_partkey,
 FROM part"""
 
 
+def f19_fn_number_format(spark, sf_dir):
+    """Numeric formatting family (Spark 3.4 ``to_char`` / ``to_number``,
+    SPARK-28516; plus ``format_number``): zero-padded fixed width,
+    space-padded digit-grouped, locale-style grouped, and the
+    ``to_number`` inverse proving the round trip is lossless
+    (to_char -> to_number == the original decimal). DuckDB has no
+    Oracle-style format masks, so the oracle rebuilds each rendering
+    from primitives — printf zero-pad for the fixed form, integer
+    ``format('{:,}')`` + exact-cent lpad for the grouped forms (its
+    thousand separators only exist for integers). Prices are
+    2-decimal-exact, so double/decimal conversions round identically.
+
+    Scale: map-only expression algebra riding the scan, zero
+    shuffles."""
+    o = _T(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    zp = F.to_char(dec, F.lit("000000000.00"))
+    return o.select(
+        "o_orderkey",
+        zp.alias("zero_padded"),
+        F.to_char(dec, F.lit("9,999,990.00")).alias("grouped_padded"),
+        F.format_number("o_totalprice", 2).alias("grouped"),
+        F.to_number(zp, F.lit("000000000.00"))
+        .cast("string")
+        .alias("roundtrip"),
+    )
+
+
+_F19_SQL = """SELECT o_orderkey,
+  printf('%012.2f', o_totalprice) AS zero_padded,
+  lpad(format('{:,}', CAST(FLOOR(o_totalprice) AS BIGINT)) || '.' ||
+       lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100
+                 AS VARCHAR), 2, '0'), 12, ' ') AS grouped_padded,
+  format('{:,}', CAST(FLOOR(o_totalprice) AS BIGINT)) || '.' ||
+    lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100
+              AS VARCHAR), 2, '0') AS grouped,
+  CAST(CAST(o_totalprice AS DECIMAL(11,2)) AS VARCHAR) AS roundtrip
+FROM orders"""
+
+
 SPECS = [
     QuerySpec(
         "f1_fn_string",
@@ -777,5 +817,12 @@ SPECS = [
         "instr/locate-from-offset/substring_index/overlay splice family",
         f18_fn_position,
         _F18_SQL,
+    ),
+    QuerySpec(
+        "f19_fn_number_format",
+        "F",
+        "to_char/to_number/format_number: masks + lossless roundtrip",
+        f19_fn_number_format,
+        _F19_SQL,
     ),
 ]

@@ -6211,6 +6211,261 @@ SELECT doc_id, source, n_chars,
 FROM t"""
 
 
+#: x97 verify stage: normalized-head length and the banded-DP distance
+#: bound (candidate pairs whose heads differ by more than the bound are
+#: rejected as banding false-positives).
+X97_HEAD_CHARS = 48
+X97_LEV_T = 8
+
+
+def x97_fuzzy_verify(spark, sf_dir):
+    """Two-stage fuzzy dedup — candidate generation VERIFIED by edit
+    distance (the production discipline: LSH banding has false
+    positives by design, so every real pipeline re-checks candidates
+    with an exact measure before dropping documents). Stage 1 is x2's
+    capped (band, sig) equi-join; stage 2 joins the normalized text
+    heads back and scores each pair with THRESHOLD levenshtein
+    (f17's banded-DP form — O(threshold x len) per pair, not
+    O(len²); -1 marks distance past the bound), yielding the verified
+    verdict the keep-list should be built from.
+
+    Scale: stage-2 cost is per-CANDIDATE, bounded by X2_BUCKET_CAP's
+    fan-out cap; the head lookup is two doc-keyed hash joins of a
+    narrow projection — the corpus text never moves with the pairs."""
+    cand = _x2_pairs(spark, sf_dir).filter(F.col("n_shared_bands") >= 4)
+    heads = _T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.lower(F.trim(F.col("text"))), 1, X97_HEAD_CHARS
+        ).alias("head"),
+    )
+    lev = F.levenshtein("head_a", "head_b", X97_LEV_T)
+    return (
+        cand.join(
+            heads.select(
+                F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            heads.select(
+                F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            lev.alias("lev_head"),
+            (lev >= 0).alias("verified"),
+        )
+    )
+
+
+def _x97_sql() -> str:
+    dist = "levenshtein(ha.head, hb.head)"
+    return f"""WITH {_X2_CTES},
+pairs AS ({_X2_FINAL}),
+heads AS (SELECT doc_id,
+            substr(lower(trim(text)), 1, {X97_HEAD_CHARS}) AS head
+          FROM documents)
+SELECT doc_a, doc_b, n_shared_bands,
+  CAST(CASE WHEN {dist} > {X97_LEV_T} THEN -1 ELSE {dist} END AS INTEGER)
+    AS lev_head,
+  {dist} <= {X97_LEV_T} AS verified
+FROM pairs
+JOIN heads ha ON ha.doc_id = doc_a
+JOIN heads hb ON hb.doc_id = doc_b"""
+
+
+#: x98: truncation dim, neighbor count, and query stride.
+X98_TRUNC_DIM = 16
+X98_K = 5
+X98_QUERY_MOD = 499
+
+
+def x98_recall_matryoshka(spark, sf_dir):
+    """Truncated-embedding retrieval eval (the Matryoshka question: how
+    much recall does searching on a 16-dim PREFIX of the 64-dim vector
+    keep?) — the measurement that decides whether an index can store
+    1/4 of the floats. Per query: exact top-5 by full-dim cosine vs
+    exact top-5 by prefix cosine, overlap counted as an exact integer,
+    recall as exact ppm (overlap x 200000). Both similarity columns
+    are computed in ONE corpus pass (the scored frame feeds two
+    row_number windows), so the eval costs one scan, not two.
+
+    Exactness: both cosines are the bit-stable _cos kernel; rankings
+    are total orders (sim desc, vec_id); overlap/recall are integers.
+    Scale: brute-force by design — this is the OFFLINE calibration run
+    (x45's discipline), stride-bounded to ~corpus/499 queries; the
+    production path it calibrates is x13/x54/x90/x96."""
+    e = _T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % X98_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qe")).alias("sim_full"),
+            cosine(
+                F.slice(F.col("embedding"), 1, X98_TRUNC_DIM),
+                F.slice(F.col("qe"), 1, X98_TRUNC_DIM),
+            ).alias("sim_trunc"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("sim_full").desc(), F.col("vec_id").asc()
+    )
+    wt = Window.partitionBy("qid").orderBy(
+        F.col("sim_trunc").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    full_top = ranked.filter(F.col("rf") <= X98_K).select("qid", "vec_id")
+    trunc_top = ranked.filter(F.col("rt") <= X98_K).select("qid", "vec_id")
+    overlap = (
+        full_top.join(trunc_top, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        q.select("qid")
+        .join(overlap, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)) * (1_000_000 // X98_K)
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+def _x98_sql() -> str:
+    d = X98_TRUNC_DIM
+    return f"""WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id % {X98_QUERY_MOD} = 0),
+scored AS (
+  SELECT qid, e.vec_id,
+    {_cos_sql("e.embedding", "qe")} AS sim_full,
+    {_cos_sql(f"e.embedding[1:{d}]", f"qe[1:{d}]")} AS sim_trunc
+  FROM embeddings e, q WHERE e.vec_id <> qid),
+ranked AS (
+  SELECT qid, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY sim_full DESC, vec_id ASC) AS rf,
+    ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY sim_trunc DESC, vec_id ASC) AS rt
+  FROM scored),
+ov AS (
+  SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM (SELECT qid, vec_id FROM ranked WHERE rf <= {X98_K}) f
+  JOIN (SELECT qid, vec_id FROM ranked WHERE rt <= {X98_K}) t
+    ON f.qid = t.qid AND f.vec_id = t.vec_id
+  GROUP BY f.qid)
+SELECT q.qid,
+  CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+  CAST(COALESCE(n_overlap, 0) * {1_000_000 // X98_K} AS BIGINT)
+    AS recall_ppm
+FROM q LEFT JOIN ov ON ov.qid = q.qid"""
+
+
+#: x96 probe set: the query's own bucket plus the 6 one-bit-flip
+#: neighbors of the 6-plane sign-LSH code (Hamming radius 1).
+X96_PROBE_FLIPS = (0, 1, 2, 4, 8, 16, 32)
+
+
+def x96_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe sign-LSH neighbor lookup (Lv et al., VLDB 2007): each
+    query probes its OWN bucket plus every Hamming-radius-1 neighbor
+    (one bit of the 6-plane code flipped) — recovering most of the
+    recall a second hash TABLE would buy without storing the index
+    twice. x4 builds the bucket structure; x96 is the query path over
+    it: the index is bucketed ONCE (each vector lives in exactly one
+    bucket, so probes can never yield duplicate candidates), queries
+    expand map-side into 7 probe keys, candidates come from a bucket
+    EQUI-join, and only candidates pay the exact cosine rescore
+    (top-3 per query by (cos desc, vec_id) — a total order).
+
+    Scale: probe expansion is 7x the QUERY set, never the corpus; the
+    candidate join is the same bucketed equi-join shape as every other
+    dedup/ANN candidate generator here (no all-pairs anywhere), and the
+    per-query top-k is a bounded window over candidate rows only."""
+    e = _T(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding"), 6).alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = (
+        q.select(
+            "qid",
+            "qe",
+            "qbucket",
+            F.explode(
+                F.array(*[F.lit(f) for f in X96_PROBE_FLIPS])
+            ).alias("flip"),
+        )
+        .select(
+            "qid",
+            "qe",
+            F.col("qbucket").bitwiseXOR(F.col("flip")).alias("pb"),
+        )
+    )
+    cand = (
+        b.join(F.broadcast(probes), b.bucket == probes.pb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id", "cos_sim", "rk")
+    )
+
+
+def _x96_sql() -> str:
+    flips = ", ".join(str(f) for f in X96_PROBE_FLIPS)
+    return f"""WITH b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql(6)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+      FROM b WHERE vec_id % 97 = 0),
+probes AS (SELECT qid, qe, xor(qbucket, f) AS pb
+           FROM q, unnest([{flips}]) AS t(f)),
+cand AS (
+  SELECT qid, b.vec_id, {_cos_sql("b.embedding", "qe")} AS cos_sim
+  FROM probes JOIN b ON b.bucket = probes.pb
+  WHERE b.vec_id <> qid)
+SELECT qid, vec_id, cos_sim, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+    ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rk
+  FROM cand) r
+WHERE rk <= 3"""
+
+
 def x95_embedding_dim_stats(spark, sf_dir):
     """Per-dimension embedding-space health report — the QA pass run
     before an ANN index or a projection head is trained on a corpus:
@@ -6996,5 +7251,26 @@ SPECS = [
         "per-dimension embedding health: exact-micro mean/var/min/max",
         x95_embedding_dim_stats,
         _X95_SQL,
+    ),
+    QuerySpec(
+        "x96_lsh_multiprobe",
+        "X",
+        "multi-probe LSH query path: radius-1 probes, one index copy",
+        x96_lsh_multiprobe,
+        _x96_sql(),
+    ),
+    QuerySpec(
+        "x97_fuzzy_verify",
+        "X",
+        "two-stage dedup: x2 candidates verified by threshold levenshtein",
+        x97_fuzzy_verify,
+        _x97_sql(),
+    ),
+    QuerySpec(
+        "x98_recall_matryoshka",
+        "X",
+        "truncated-prefix retrieval recall eval: exact overlap ppm",
+        x98_recall_matryoshka,
+        _x98_sql(),
     ),
 ]

@@ -692,6 +692,52 @@ SELECT o_orderpriority,
 FROM rk"""
 
 
+#: o11 probe keys — fixed literals present at every driver SF.
+O11_PROBE_KEYS = (1, 7, 66)
+
+
+def o11_bucket_pruned_scan(spark, sf_dir):
+    """O11: BUCKET PRUNING — the read-side dividend of bucketed layout
+    that b32 does not exercise (b32 proves the shuffle-free join; o11
+    proves a point predicate on the bucket key scans only the MATCHING
+    buckets' files, not the table). One IN-probe of three literal
+    orderkeys over the shared 8-bucket lineitem layout (staged once per
+    session by stage_bucketed_tables): the physical scan carries
+    ``SelectedBucketsCount: <=3 out of 8`` (pinned in
+    tests/test_storage_layout.py), and because the groupBy key IS the
+    bucket key, the aggregate rides the bucketed distribution with NO
+    Exchange — at 100 TB a point lookup touches 1/8 of the files before
+    min/max skipping even runs, then shuffles nothing. The oracle
+    recomputes the probes on the ORIGINAL parquet — pruning must lose
+    no rows.
+
+    Exactness: counts + exact-cent sums. Scale: one pruned scan, one
+    shuffle-free partial+final aggregate."""
+    from scylladb_redpanda_cdc_spark.plans.batch_queries import (
+        stage_bucketed_tables,
+    )
+
+    _, li_tbl = stage_bucketed_tables(spark, sf_dir)
+    li = spark.table(li_tbl)
+    return (
+        li.filter(F.col("l_orderkey").isin(*O11_PROBE_KEYS))
+        .groupBy(F.col("l_orderkey").alias("probe_key"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias(
+                "qty_cents"
+            ),
+        )
+    )
+
+
+_O11_SQL = f"""SELECT l_orderkey AS probe_key,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem WHERE l_orderkey IN {O11_PROBE_KEYS}
+GROUP BY l_orderkey"""
+
+
 SPECS = [
     QuerySpec(
         "o1_partitioned_write",
@@ -762,5 +808,12 @@ SPECS = [
         "per-partition file/row stats + needs-compaction verdict (o2 policy)",
         o10_compaction_planner,
         _O10_SQL,
+    ),
+    QuerySpec(
+        "o11_bucket_pruned_scan",
+        "O",
+        "bucket pruning: point probes scan 1 of 8 buckets, zero shuffles",
+        o11_bucket_pruned_scan,
+        _O11_SQL,
     ),
 ]

@@ -496,6 +496,45 @@ def u5_udf_sql_register(spark, sf_dir):
     )
 
 
+# -- U17: Arrow-optimized Python UDTF (Spark 4.1) ----------------------------
+
+
+def u17_udtf_arrow(spark, sf_dir):
+    """ARROW-OPTIMIZED Python UDTF (``useArrow=True``, SPARK-43964): the
+    same declared table-function surface as u7, but rows move through
+    Arrow batches instead of pickled tuples — the u1→u11 vectorization
+    story applied to UDTFs. Logic mirrors u7's word shred (over p_type
+    here) so the only variable is the transport; the oracle is the same
+    lateral-unnest twin.
+
+    Scale: per-row Python generators remain the declared slow path; Arrow
+    batching removes the serialization tax, partition-local, no
+    shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="piece string, idx int", useArrow=True)
+    class SplitType:
+        def eval(self, t: str):
+            for i, w in enumerate(t.split(" ")):
+                yield (w, i)
+
+    spark.udtf.register("sg_u17_split_type", SplitType)
+    _T(spark, sf_dir, "part").select("p_partkey", "p_type").filter(
+        F.col("p_partkey") % 20 == 0
+    ).createOrReplaceTempView("sg_u17_part")
+    return spark.sql(
+        "SELECT p_partkey, t.piece, t.idx "
+        "FROM sg_u17_part, LATERAL sg_u17_split_type(p_type) t"
+    )
+
+
+_U17_SQL = """WITH s AS (
+  SELECT p_partkey, string_split(p_type, ' ') AS ws
+  FROM part WHERE p_partkey % 20 = 0)
+SELECT p_partkey, ws[i] AS piece, CAST(i - 1 AS INTEGER) AS idx
+FROM s, unnest(range(1, len(ws) + 1)) AS t(i)"""
+
+
 # -- U16: applyInArrow grouped-map (Spark 4, zero-copy group tables) ---------
 
 _U16_SCHEMA = "l_returnflag string, n bigint, sum_qty bigint, max_price_c bigint"
@@ -684,6 +723,13 @@ SPECS = [
         "groupBy().applyInArrow: zero-copy grouped-map over pyarrow Tables",
         u16_apply_in_arrow,
         _U16_SQL,
+    ),
+    QuerySpec(
+        "u17_udtf_arrow",
+        "U",
+        "Arrow-optimized Python UDTF (useArrow=True): batched transport",
+        u17_udtf_arrow,
+        _U17_SQL,
     ),
     QuerySpec(
         "u8_map_in_arrow",

@@ -185,6 +185,8 @@ _INTENDED_NESTED_LOOP = {
     "b51_dq_report",  # broadcast 1-row checks x 1-row orphan count
     "b52_tablesample_envelope",  # broadcast 1-row counts triple
     "x84_source_minhash_overlap",  # declared bounded sources^2 cross join
+    "a31_tombstone_gc",  # broadcast 1-row GC-horizon stats frame
+    "x98_recall_matryoshka",  # broadcast query batch (offline calibration)
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
@@ -206,6 +208,7 @@ _INTENDED_PYTHON = {
     "x18_multimodal_decode",
     "x58_media_resize",  # mapInPandas resize-geometry stage
     "x59_media_features",  # mapInPandas byte-histogram feature stage
+    "u17_udtf_arrow",  # declared Arrow-optimized Python UDTF (useArrow)
 }
 
 #: Builds that EXECUTE work (streams run to completion; x21 iterates) —
@@ -433,3 +436,31 @@ def test_minhash_e2e_keeplist_shape(spark, sf_dir, specs):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, plan
+
+
+def test_b68_observed_metrics_match_independent_aggregate(spark, sf_dir, specs):
+    """b68's side channel, asserted: after the action, the Observation's
+    (n_rows, rev_cents) must equal an independently computed aggregate of
+    the same filter — proving CollectMetrics counted every row the query
+    produced, on the same scan, with no second job."""
+    from pyspark.sql import functions as F
+
+    from scylladb_redpanda_cdc_spark.plans import batch_queries as BQ
+
+    df = specs["b68_observed_metrics"].build(spark, sf_dir)
+    assert "CollectMetrics" in df._jdf.queryExecution().analyzed().toString()
+    df.write.format("noop").mode("overwrite").save()
+    got = BQ._b68_last_observation[0].get
+    want = (
+        BQ._T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            ),
+        )
+        .first()
+    )
+    assert got["n_rows"] == want["n_rows"]
+    assert got["rev_cents"] == want["rev_cents"]

@@ -219,3 +219,24 @@ def test_o8_both_vintages_keep_their_own_pruning(spark, sf_dir):
     )
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "month" in pf, plan
+
+
+def test_o11_point_probe_scans_one_bucket(spark, sf_dir):
+    """O11's claim, pinned physically: the IN-probe on the bucket key must
+    select only the probes' buckets at scan time (the file-set shrinks
+    BEFORE min/max skipping runs), and because the groupBy key is the
+    bucket key the aggregate plan must contain no Exchange at all."""
+    from scylladb_redpanda_cdc_spark.plans import storage_queries as SQ2
+
+    plan = (
+        SQ2.o11_bucket_pruned_scan(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of 8", plan)
+    assert m, plan
+    assert int(m.group(1)) <= len(SQ2.O11_PROBE_KEYS), plan
+    assert "Exchange" not in plan, plan
