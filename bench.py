@@ -112,6 +112,15 @@ BASELINE_S = {
     "x97_fuzzy_verify": 1.533,
     "b66_union_schema_drift": 0.110,
     "x98_recall_matryoshka": 0.580,
+    # Round-7 batch 7 (best of the two 76-query runs; f20 re-floored
+    # best-of-2 after the keyslice bound landed).
+    "b67_sql_pipe_syntax": 0.194,
+    "b68_observed_metrics": 0.122,
+    "b69_join_strategy_invariance": 0.412,
+    "w11_window_group_limit": 0.850,
+    "s23_stream_observed_metrics": 0.750,
+    "f20_fn_xml": 1.597,
+    "x99_class_outliers": 0.406,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -214,6 +223,16 @@ HEADLINE = (
     "x97_fuzzy_verify",
     "b66_union_schema_drift",
     "x98_recall_matryoshka",
+    # round-7 batch 7: pipe-syntax lowering, observed metrics (batch and
+    # stream), the three-strategy hint invariance, the WindowGroupLimit
+    # pushdown, the XML family, and the class-outlier audit.
+    "b67_sql_pipe_syntax",
+    "b68_observed_metrics",
+    "b69_join_strategy_invariance",
+    "w11_window_group_limit",
+    "s23_stream_observed_metrics",
+    "f20_fn_xml",
+    "x99_class_outliers",
 )
 
 

@@ -1018,6 +1018,59 @@ _B68_SQL = """SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders WHERE o_orderstatus = 'F'"""
 
 
+def b69_join_strategy_invariance(spark, sf_dir):
+    """Join-strategy HINTS (SPARK-27225): the same customer⋈orders
+    aggregate executed under ``broadcast``, ``merge`` (sort-merge), and
+    ``shuffle_hash`` hints — three PHYSICAL strategies, one logical
+    plan — unioned with a strategy label. Identical per-strategy values
+    are the operator's claim: the hint surface steers the planner
+    without touching semantics (the manual override for when the
+    optimizer's size estimates are wrong at 100 TB — a skewed build
+    side mis-sized by stale stats is exactly when an engineer reaches
+    for these). tests/test_plan_shapes.py pins that all three nodes
+    (BroadcastHashJoin, SortMergeJoin, ShuffledHashJoin) actually
+    appear — without that, three identical plans would pass this
+    oracle vacuously.
+
+    Scale: each branch is the b4/b5/b6 shape; the union is
+    branch-count x group-count rows."""
+    o = _T(spark, sf_dir, "orders")
+    c = _T(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+
+    def agg(joined, label):
+        return joined.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        ).select(F.lit(label).alias("strategy"), "o_orderpriority", "n", "cents")
+
+    return (
+        agg(o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey), "broadcast")
+        .unionAll(
+            agg(o.join(c.hint("merge"), o.o_custkey == c.c_custkey), "merge")
+        )
+        .unionAll(
+            agg(
+                o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey),
+                "shuffle_hash",
+            )
+        )
+    )
+
+
+_B69_SQL = """WITH a AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderpriority)
+SELECT s.strategy, a.o_orderpriority, a.n, a.cents
+FROM a, (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) AS s(strategy)"""
+
+
 # ---------------------------------------------------------------------------
 # B25-B29 set operations
 # ---------------------------------------------------------------------------
@@ -2510,6 +2563,13 @@ SPECS = [
         "df.observe CollectMetrics: DQ counters riding the same scan",
         b68_observed_metrics,
         _B68_SQL,
+    ),
+    QuerySpec(
+        "b69_join_strategy_invariance",
+        "B",
+        "broadcast/merge/shuffle_hash hints: 3 physicals, equal values",
+        b69_join_strategy_invariance,
+        _B69_SQL,
     ),
     QuerySpec(
         "b15_agg_basic",

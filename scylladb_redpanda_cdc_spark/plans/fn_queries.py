@@ -639,6 +639,78 @@ _F19_SQL = """SELECT o_orderkey,
 FROM orders"""
 
 
+def f20_fn_xml(spark, sf_dir):
+    """XML family (Spark 4.0 native XML, SPARK-44751: ``from_xml`` /
+    ``to_xml``; plus the classic ``xpath_*`` extractors): an XML frame
+    is CONSTRUCTED identically in both engines by string concat (ASCII
+    order fields — no escaping ambiguity), then Spark must parse it
+    back — ``from_xml`` with an attribute (``_id``) + element schema,
+    ``xpath_string``/``xpath_long`` on paths and ``@id``, and a
+    ``to_xml`` render REPARSED by ``from_xml`` proving the round trip
+    (the rendered string itself is formatting-dependent; the reparse is
+    the engine-portable claim). DuckDB has no XML type, so the oracle
+    derives every output from the source columns the XML was built
+    from — which is exactly the parse-inverts-construction contract.
+
+    Scale: map-only expression algebra riding the scan, zero shuffles —
+    but XML parse is the declared EXPENSIVE scalar family (each
+    ``from_xml``/``xpath_*`` re-parses its input: ~5 parses/row here),
+    so the family is exercised on a deterministic 1-in-20 keyslice, the
+    same bounding discipline as the Python-UDTF specs (u7/u15/u17). At
+    100 TB you would parse ONCE into a struct column and project from
+    it — exactly what the ``parsed`` struct below demonstrates."""
+    o = _T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey"),
+        F.lit('"><status>'),
+        F.col("o_orderstatus"),
+        F.lit("</status><priority>"),
+        F.col("o_orderpriority"),
+        F.lit("</priority><cents>"),
+        cents,
+        F.lit("</cents></order>"),
+    )
+    parsed = F.from_xml(
+        xml, "_id bigint, status string, priority string, cents bigint"
+    )
+    reparsed = F.from_xml(
+        F.to_xml(
+            F.struct(
+                F.col("o_orderstatus").alias("status"), cents.alias("cents")
+            )
+        ),
+        "status string, cents bigint",
+    )
+    return o.select(
+        "o_orderkey",
+        parsed["_id"].alias("parsed_id"),
+        parsed["status"].alias("parsed_status"),
+        parsed["priority"].alias("parsed_priority"),
+        parsed["cents"].alias("parsed_cents"),
+        F.xpath_string(xml, F.lit("/order/status")).alias("xp_status"),
+        F.xpath_long(xml, F.lit("/order/cents")).alias("xp_cents"),
+        F.xpath_string(xml, F.lit("/order/@id")).alias("xp_id"),
+        (
+            (reparsed["status"] == F.col("o_orderstatus"))
+            & (reparsed["cents"] == cents)
+        ).alias("render_roundtrip_ok"),
+    )
+
+
+_F20_SQL = """SELECT o_orderkey,
+  o_orderkey AS parsed_id,
+  o_orderstatus AS parsed_status,
+  o_orderpriority AS parsed_priority,
+  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS parsed_cents,
+  o_orderstatus AS xp_status,
+  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS xp_cents,
+  CAST(o_orderkey AS VARCHAR) AS xp_id,
+  TRUE AS render_roundtrip_ok
+FROM orders WHERE o_orderkey % 20 = 0"""
+
+
 SPECS = [
     QuerySpec(
         "f1_fn_string",
@@ -824,5 +896,12 @@ SPECS = [
         "to_char/to_number/format_number: masks + lossless roundtrip",
         f19_fn_number_format,
         _F19_SQL,
+    ),
+    QuerySpec(
+        "f20_fn_xml",
+        "F",
+        "from_xml/xpath/to_xml: parse, attribute, and render roundtrip",
+        f20_fn_xml,
+        _F20_SQL,
     ),
 ]

@@ -6538,6 +6538,91 @@ SELECT dim, n, min_micro, max_micro,
 FROM m"""
 
 
+#: x99: how many least-prototype-similar members to flag per class.
+X99_OUTLIERS_PER_CLASS = 3
+
+
+def x99_class_outliers(spark, sf_dir):
+    """Per-class OUTLIER mining — the label-noise / mislabeled-sample
+    audit run before embeddings train a classifier head (the lowest
+    cosine-to-own-class-prototype members are exactly the samples a
+    curation pass sends to re-annotation; x63 builds the prototypes,
+    x50/x94 dedup the center of a cluster — x99 inspects its EDGE):
+    per label, the 3 members least similar to their own class mean,
+    with their similarity and rank.
+
+    Exactness: prototypes from x63's exact integer-micro sums (one
+    double division per dim, then /1e6 — x71's assembly), cosine is the
+    shared left-to-right double fold, ranking a total order
+    (cos asc, vec_id) — cut lines agree bit-for-bit across engines.
+
+    Scale shape: the prototype table is labels x dims partial-agged
+    then collapsed to ONE row per label (10 rows) and BROADCAST to the
+    corpus pass; per-class bottom-k is a window over label-partitioned
+    rows — one label-keyed shuffle, no all-pairs anywhere."""
+    e = _T(spark, sf_dir, "embeddings")
+    proto = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "label",
+            "dim",
+            F.floor(F.col("x").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("xm"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum("xm").cast("double") / F.count("*").cast("double")
+            ).alias("mu_micro")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "mu_micro"))),
+                lambda s: s.mu_micro / 1_000_000.0,
+            ).alias("proto")
+        )
+    )
+    scored = e.join(F.broadcast(proto), "label").select(
+        "label",
+        "vec_id",
+        cosine(F.col("embedding"), F.col("proto")).alias("cos_proto"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_proto").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= X99_OUTLIERS_PER_CLASS)
+        .select("label", "vec_id", "cos_proto", "rk")
+    )
+
+
+_X99_SQL = f"""WITH d AS (
+  SELECT label,
+    unnest(list_transform(range(1, len(embedding) + 1),
+      i -> {{'dim': i - 1, 'x': embedding[i]}})) AS p
+  FROM embeddings),
+m AS (
+  SELECT label, p.dim AS dim,
+    CAST(SUM(CAST(FLOOR(CAST(p.x AS DOUBLE) * 1000000) AS BIGINT))
+      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu_micro
+  FROM d GROUP BY label, p.dim),
+proto AS (
+  SELECT label, list(mu_micro / 1000000.0 ORDER BY dim) AS proto
+  FROM m GROUP BY label),
+scored AS (
+  SELECT e.label, vec_id,
+    {_cos_sql("e.embedding", "proto")} AS cos_proto
+  FROM embeddings e JOIN proto ON proto.label = e.label)
+SELECT label, vec_id, cos_proto, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label
+    ORDER BY cos_proto ASC, vec_id ASC) AS INT) AS rk
+  FROM scored) r
+WHERE rk <= {X99_OUTLIERS_PER_CLASS}"""
+
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -7272,5 +7357,12 @@ SPECS = [
         "truncated-prefix retrieval recall eval: exact overlap ppm",
         x98_recall_matryoshka,
         _x98_sql(),
+    ),
+    QuerySpec(
+        "x99_class_outliers",
+        "X",
+        "label-noise audit: bottom-3 cosine-to-own-prototype per class",
+        x99_class_outliers,
+        _X99_SQL,
     ),
 ]

@@ -617,6 +617,60 @@ def s22_stream_scd2(spark, sf_dir):
     return foreachbatch_scd2(changes, ["customer_id", "order_id"])
 
 
+def s23_stream_observed_metrics(spark, sf_dir):
+    """S23: b68's ``observe`` surface on a STREAM — per-micro-batch
+    observed metrics (row count, exact value-micros mass) accumulated
+    from the query's progress events, the pipeline-health counters a
+    production stream exports per trigger without a second aggregation
+    query competing for the state store. The spec returns the ACROSS-
+    BATCH totals, which must equal the batch aggregate over the same
+    events regardless of how availableNow split the files — conservation
+    of observed mass across arbitrary micro-batching (the s18 invariance
+    discipline applied to the metrics side channel).
+
+    Scale: metrics fold into each batch's scan as accumulator-style
+    partials; the per-trigger fold below walks progress METADATA
+    (batch-count-sized, never data)."""
+    from scylladb_redpanda_cdc_spark.streaming.core import (
+        _fresh,
+        scoped_shuffle,
+    )
+
+    ev = events_stream(spark, sf_dir).select("event_id", _val_micros())
+    observed = ev.observe(
+        "s23_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value_micros").alias("vmass"),
+    )
+    name = _fresh("sg_mem")
+    with scoped_shuffle(spark):
+        q = (
+            observed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    n_rows, vmass, n_batches = 0, 0, 0
+    for p in q.recentProgress:
+        m = p.observedMetrics.get("s23_metrics")
+        if m is not None and m["n_rows"]:
+            n_rows += m["n_rows"]
+            vmass += m["vmass"]
+            n_batches += 1
+    return spark.createDataFrame(
+        [(n_rows, vmass, n_batches >= 1)],
+        "n_rows bigint, sum_value_micros bigint, multi_trigger boolean",
+    )
+
+
+_S23_SQL = f"""SELECT COUNT(*) AS n_rows,
+  CAST(SUM({_VAL_MICROS_SQL}) AS BIGINT) AS sum_value_micros,
+  TRUE AS multi_trigger
+FROM events"""
+
+
 SPECS = [
     QuerySpec(
         "s1_stream_ingest_kafka",
@@ -817,7 +871,15 @@ ORDER BY n DESC, tok ASC LIMIT 20""",
         "a30's SCD2 history maintained by incremental stream MERGE == batch",
         s22_stream_scd2,
         _A30_ORACLE,  # the batch one-pass build IS the convergence oracle
-    ),    QuerySpec(
+    ),
+    QuerySpec(
+        "s23_stream_observed_metrics",
+        "S",
+        "per-trigger observe metrics: across-batch totals == batch agg",
+        s23_stream_observed_metrics,
+        _S23_SQL,
+    ),
+    QuerySpec(
         "s20_stream_partitioned_sink",
         "S",
         "stream -> day-partitioned lake append, equal to batch recompute",

@@ -349,6 +349,45 @@ FROM base
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""
 
 
+def w11_window_group_limit(spark, sf_dir):
+    """W11: the rank-filter TOP-K PUSHDOWN (Spark 3.5 WindowGroupLimit,
+    SPARK-37099) — ``rank() <= k`` directly above its window is
+    rewritten so each map task keeps only k rows per group BEFORE the
+    window shuffle, then each reducer keeps k per group before the
+    full in-partition sort. b24 computes top-k-per-group as semantics;
+    w11 pins the PHYSICAL rewrite that makes the idiom affordable at
+    100 TB (without it, the shuffle carries the whole corpus; with it,
+    k x groups rows) — tests/test_plan_shapes.py asserts the
+    WindowGroupLimit node on both map and final sides.
+
+    rank() (not row_number) over the tie-bearing price key exercises
+    the rewrite's peer-row handling; the projection keeps the rank
+    column so the oracle grades the ranks themselves."""
+    li = _T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc()
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+_W11_SQL = """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rnk
+FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+    CAST(RANK() OVER (PARTITION BY l_suppkey
+      ORDER BY l_extendedprice DESC) AS INTEGER) AS rnk
+  FROM lineitem) r
+WHERE rnk <= 2"""
+
+
 SPECS = [
     QuerySpec(
         "w1_win_ranking",
@@ -452,5 +491,12 @@ SPECS = [
         "IGNORE NULLS lag/lead/nth_value over a sparsified reading series",
         w10_win_ignore_nulls,
         _W10_SQL,
+    ),
+    QuerySpec(
+        "w11_window_group_limit",
+        "W",
+        "rank<=k top-k pushdown (WindowGroupLimit on map+final sides)",
+        w11_window_group_limit,
+        _W11_SQL,
     ),
 ]

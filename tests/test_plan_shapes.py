@@ -464,3 +464,20 @@ def test_b68_observed_metrics_match_independent_aggregate(spark, sf_dir, specs):
     )
     assert got["n_rows"] == want["n_rows"]
     assert got["rev_cents"] == want["rev_cents"]
+
+
+def test_w11_window_group_limit_fires_both_sides(spark, sf_dir, specs):
+    """w11's claim: the rank<=k filter must lower to WindowGroupLimit on
+    BOTH sides of the window exchange (Partial before the shuffle, Final
+    after) — each map task ships k rows per group, not the corpus."""
+    plan = plan_of(spark, sf_dir, specs, "w11_window_group_limit")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_b69_all_three_join_strategies_planned(spark, sf_dir, specs):
+    """b69's oracle is vacuous unless the hints actually steer the
+    planner: the union's three branches must plan three DISTINCT join
+    physicals."""
+    plan = plan_of(spark, sf_dir, specs, "b69_join_strategy_invariance")
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert node in plan, (node, plan)
