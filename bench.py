@@ -121,6 +121,12 @@ BASELINE_S = {
     "s23_stream_observed_metrics": 0.750,
     "f20_fn_xml": 1.597,
     "x99_class_outliers": 0.406,
+    # Round-7 batch 8 (best-of-2-runs-of-best-of-3, targeted harness —
+    # the f20 re-floor method; o12/u18 census paths ride the session's
+    # staged layout like o1/o2).
+    "b70_distribute_sort_by": 0.770,
+    "o12_max_records_per_file": 0.294,
+    "u18_python_datasource_writer": 0.771,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -233,6 +239,11 @@ HEADLINE = (
     "s23_stream_observed_metrics",
     "f20_fn_xml",
     "x99_class_outliers",
+    # round-7 batch 8: the physical-distribution SQL surface, the
+    # size-capped writer, and the Python data source write path.
+    "b70_distribute_sort_by",
+    "o12_max_records_per_file",
+    "u18_python_datasource_writer",
 )
 
 

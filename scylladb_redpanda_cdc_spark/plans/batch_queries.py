@@ -1071,6 +1071,39 @@ SELECT s.strategy, a.o_orderpriority, a.n, a.cents
 FROM a, (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) AS s(strategy)"""
 
 
+def b70_distribute_sort_by(spark, sf_dir):
+    """``DISTRIBUTE BY ... SORT BY`` (Hive-inherited physical-distribution
+    SQL): hash-partition the output on the key and sort WITHIN each
+    partition only — the pre-write clustering idiom (o3 does it through
+    the DataFrame writer's ``sortWithinPartitions``; this is the SQL
+    surface an analyst types). The row SET is unchanged — that plus the
+    physical shape IS the operator: tests/test_plan_shapes.py pins an
+    ``Exchange hashpartitioning`` followed by a NON-global sort and the
+    absence of any global-sort Exchange (``rangepartitioning`` — what
+    ORDER BY would plan, serializing 100 TB through a range sampler for
+    an ordering the sink doesn't need).
+
+    Scale: one hash shuffle + per-partition sort — each reducer sorts
+    its own slice, nothing global."""
+    _T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1995-06-01"
+    ).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_quantity"
+    ).createOrReplaceTempView("sg_b70_lineitem")
+    return spark.sql(
+        "SELECT l_orderkey, l_suppkey, CAST(l_shipdate AS STRING)"
+        " AS ship_date, CAST(l_quantity AS BIGINT) AS qty"
+        " FROM sg_b70_lineitem"
+        " DISTRIBUTE BY l_suppkey SORT BY l_suppkey, ship_date, l_orderkey"
+    )
+
+
+_B70_SQL = """SELECT l_orderkey, l_suppkey,
+  CAST(l_shipdate AS VARCHAR) AS ship_date,
+  CAST(l_quantity AS BIGINT) AS qty
+FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'"""
+
+
 # ---------------------------------------------------------------------------
 # B25-B29 set operations
 # ---------------------------------------------------------------------------
@@ -2570,6 +2603,13 @@ SPECS = [
         "broadcast/merge/shuffle_hash hints: 3 physicals, equal values",
         b69_join_strategy_invariance,
         _B69_SQL,
+    ),
+    QuerySpec(
+        "b70_distribute_sort_by",
+        "B",
+        "DISTRIBUTE BY + SORT BY: hash exchange + non-global sort only",
+        b70_distribute_sort_by,
+        _B70_SQL,
     ),
     QuerySpec(
         "b15_agg_basic",

@@ -738,6 +738,65 @@ FROM lineitem WHERE l_orderkey IN {O11_PROBE_KEYS}
 GROUP BY l_orderkey"""
 
 
+#: o12: per-task row bound for the size-capped writer.
+O12_MAX_RECORDS = 10_000
+
+
+def o12_max_records_per_file(spark, sf_dir):
+    """O12: size-capped parquet files via ``maxRecordsPerFile`` — the
+    writer-side knob that stops one task from emitting a multi-GB file
+    (the read-side mirror of o2's small-file problem: an oversized file
+    caps scan parallelism at one task per row group run and makes
+    speculative retry quadratic). The bound is per TASK, so the demo
+    pins ONE writer task to make the file census oracle-derivable:
+    n_files == ceil(n_rows / cap) exactly, every file at the cap except
+    the remainder. At 100 TB every task applies the same bound
+    independently — file count stays ceil(task_rows/cap) summed, which
+    is what keeps the lake's file-size histogram flat.
+
+    Scale: census from ``_metadata.file_path`` on a footer-cheap scan
+    (o10's discipline) — report is files-sized, no listing loop."""
+
+    def write(base: str) -> None:
+        (
+            _T(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber")
+            .repartition(1)
+            .write.option("maxRecordsPerFile", O12_MAX_RECORDS)
+            .mode("overwrite")
+            .parquet(base)
+        )
+
+    base = _stage(spark, sf_dir, "o12", write)
+    per_file = (
+        spark.read.parquet(base)
+        .select(F.col("_metadata.file_path").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"))
+    )
+    return per_file.agg(
+        F.count("*").alias("n_files"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_file_rows"),
+        (F.max("n") <= O12_MAX_RECORDS).alias("cap_held"),
+        F.expr(
+            f"count(*) = (sum(n) + {O12_MAX_RECORDS - 1})"
+            f" DIV {O12_MAX_RECORDS}"
+        ).alias("file_count_exact"),
+    )
+
+
+_O12_SQL = f"""WITH c AS (SELECT COUNT(*) AS n FROM lineitem)
+SELECT CAST((n + {O12_MAX_RECORDS - 1}) // {O12_MAX_RECORDS} AS BIGINT)
+    AS n_files,
+  n AS n_rows,
+  CAST(CASE WHEN n < {O12_MAX_RECORDS} THEN n
+            ELSE {O12_MAX_RECORDS} END AS BIGINT) AS max_file_rows,
+  TRUE AS cap_held,
+  TRUE AS file_count_exact
+FROM c"""
+
+
 SPECS = [
     QuerySpec(
         "o1_partitioned_write",
@@ -815,5 +874,12 @@ SPECS = [
         "bucket pruning: point probes scan 1 of 8 buckets, zero shuffles",
         o11_bucket_pruned_scan,
         _O11_SQL,
+    ),
+    QuerySpec(
+        "o12_max_records_per_file",
+        "O",
+        "maxRecordsPerFile cap: n_files == ceil(rows/cap), census exact",
+        o12_max_records_per_file,
+        _O12_SQL,
     ),
 ]

@@ -535,6 +535,88 @@ SELECT p_partkey, ws[i] AS piece, CAST(i - 1 AS INTEGER) AS idx
 FROM s, unnest(range(1, len(ws) + 1)) AS t(i)"""
 
 
+# -- U18: Python DataSource WRITER (Spark 4) ---------------------------------
+
+
+def u18_python_datasource_writer(spark, sf_dir):
+    """The WRITE half of Spark 4's Python DataSource API (u10 is the
+    read half, SPARK-45065): a custom sink class whose ``writer()``
+    receives each partition's rows IN PYTHON and commits per-partition
+    artifacts — how a team pushes curated data into a proprietary store
+    without JVM code (the reference pipeline's mirror image: its
+    connector WRITES to Kafka; this is that extension point on the
+    Spark side). Each task writes its rows as CSV lines to a task file
+    under a scratch dir; the spec then reads the committed artifacts
+    back with an explicit schema and aggregates — equality with the
+    oracle over the ORIGINAL table proves the Python write path
+    round-trips every row exactly once (no loss, no double-commit).
+
+    Scale: writes are partition-local Python (the declared slow path);
+    the commit protocol is per-task file + driver-side commit message,
+    exactly the executor/coordinator split a real sink uses."""
+    import os as _os
+
+    from pyspark.sql.datasource import DataSource, DataSourceWriter
+    from scylladb_redpanda_cdc_spark.streaming.core import tmpdir
+
+    out_dir = tmpdir("u18_sink")
+
+    class CsvSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "sg_u18_csv_sink"
+
+        def writer(self, schema, overwrite):
+            return CsvSinkWriter(self.options["path"])
+
+    class CsvSinkWriter(DataSourceWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, it):
+            import uuid
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            task_file = _os.path.join(
+                self.path, f"part-{pid}-{uuid.uuid4().hex}.csv"
+            )
+            with open(task_file, "w", encoding="utf-8") as f:
+                for row in it:
+                    f.write(f"{row.o_orderkey},{row.cents}\n")
+            from pyspark.sql.datasource import WriterCommitMessage
+
+            return WriterCommitMessage()
+
+    spark.dataSource.register(CsvSink)
+    (
+        _T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .write.format("sg_u18_csv_sink")
+        .option("path", out_dir)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema("o_orderkey bigint, cents bigint").csv(out_dir)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+_U18_SQL = """SELECT COUNT(*) AS n_rows,
+  COUNT(DISTINCT o_orderkey) AS n_keys,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS total_cents
+FROM orders WHERE o_orderkey % 10 = 0"""
+
+
 # -- U16: applyInArrow grouped-map (Spark 4, zero-copy group tables) ---------
 
 _U16_SCHEMA = "l_returnflag string, n bigint, sum_qty bigint, max_price_c bigint"
@@ -730,6 +812,13 @@ SPECS = [
         "Arrow-optimized Python UDTF (useArrow=True): batched transport",
         u17_udtf_arrow,
         _U17_SQL,
+    ),
+    QuerySpec(
+        "u18_python_datasource_writer",
+        "U",
+        "Python DataSource writer: per-task Python commit, exact roundtrip",
+        u18_python_datasource_writer,
+        _U18_SQL,
     ),
     QuerySpec(
         "u8_map_in_arrow",

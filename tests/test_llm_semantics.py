@@ -952,3 +952,41 @@ def test_x2_bucket_cap_bounds_hot_band_fanout(spark, tmp_path_factory, specs):
         map(tuple, pdf[list(odf.columns)].values.tolist())
     )
     con.close()
+
+
+def test_x97_threshold_levenshtein_matches_reference(spark, sf_dir, specs):
+    """x97: the verify stage's banded-DP threshold distance must agree with
+    a classic full-DP levenshtein reference on every candidate pair — both
+    the reported bounded distance and the -1 past-the-bound sentinel (the
+    semantics record-level fuzzy verification stands on). Also pins the
+    verdict algebra: verified <=> 0 <= lev_head <= T."""
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import (
+        X97_HEAD_CHARS,
+        X97_LEV_T,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    pdf = specs["x97_fuzzy_verify"].build(spark, sf_dir).toPandas()
+    assert len(pdf), "fixture produced no candidate pairs"
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .toPandas()
+        .set_index("doc_id")["text"]
+    )
+    # strip(' ') not strip(): Spark's trim removes ASCII spaces only
+    heads = docs.str.strip(" ").str.lower().str.slice(0, X97_HEAD_CHARS)
+    for row in pdf.itertuples():
+        d = lev(heads[row.doc_a], heads[row.doc_b])
+        want = d if d <= X97_LEV_T else -1
+        assert row.lev_head == want, (row.doc_a, row.doc_b, row.lev_head, d)
+        assert row.verified == (0 <= d <= X97_LEV_T)

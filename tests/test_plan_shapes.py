@@ -219,6 +219,7 @@ _EXEC_ON_BUILD = {
     "x39_dedup_containment",
     "x46_dedup_est_quality",
     "x90_ivf_pq_ann",  # x13's centroid pre-pass (eager localCheckpoint)
+    "u18_python_datasource_writer",  # build runs the Python-sink write
 }
 
 
@@ -481,3 +482,16 @@ def test_b69_all_three_join_strategies_planned(spark, sf_dir, specs):
     plan = plan_of(spark, sf_dir, specs, "b69_join_strategy_invariance")
     for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
         assert node in plan, (node, plan)
+
+
+def test_b70_distribute_sort_is_hash_exchange_local_sort(spark, sf_dir, specs):
+    """b70's claim: DISTRIBUTE BY plans ONE hash exchange, SORT BY a
+    non-global sort — and no rangepartitioning exchange (what ORDER BY
+    would plan: a global sort serializing the corpus through a range
+    sampler for an ordering the sink doesn't need)."""
+    plan = plan_of(spark, sf_dir, specs, "b70_distribute_sort_by", mode="simple")
+    assert "Exchange hashpartitioning" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # physical Sort prints as `Sort [keys], <global>, 0`
+    assert "Sort [" in plan and "], false, 0" in plan, plan
+    assert "], true, 0" not in plan, plan
