@@ -119,7 +119,7 @@ BASELINE_S = {
     "b69_join_strategy_invariance": 0.412,
     "w11_window_group_limit": 0.850,
     "s23_stream_observed_metrics": 0.750,
-    "f20_fn_xml": 1.597,
+    "f20_fn_xml_write": 0.962,  # slimmed to f15's complement, re-floored
     "x99_class_outliers": 0.406,
     # Round-7 batch 8 (best-of-2-runs-of-best-of-3, targeted harness —
     # the f20 re-floor method; o12/u18 census paths ride the session's
@@ -127,6 +127,7 @@ BASELINE_S = {
     "b70_distribute_sort_by": 0.770,
     "o12_max_records_per_file": 0.294,
     "u18_python_datasource_writer": 0.771,
+    "o13_cached_scan": 0.461,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -237,13 +238,14 @@ HEADLINE = (
     "b69_join_strategy_invariance",
     "w11_window_group_limit",
     "s23_stream_observed_metrics",
-    "f20_fn_xml",
+    "f20_fn_xml_write",
     "x99_class_outliers",
     # round-7 batch 8: the physical-distribution SQL surface, the
     # size-capped writer, and the Python data source write path.
     "b70_distribute_sort_by",
     "o12_max_records_per_file",
     "u18_python_datasource_writer",
+    "o13_cached_scan",
 )
 
 

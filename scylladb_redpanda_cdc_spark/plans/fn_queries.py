@@ -639,26 +639,26 @@ _F19_SQL = """SELECT o_orderkey,
 FROM orders"""
 
 
-def f20_fn_xml(spark, sf_dir):
-    """XML family (Spark 4.0 native XML, SPARK-44751: ``from_xml`` /
-    ``to_xml``; plus the classic ``xpath_*`` extractors): an XML frame
-    is CONSTRUCTED identically in both engines by string concat (ASCII
-    order fields — no escaping ambiguity), then Spark must parse it
-    back — ``from_xml`` with an attribute (``_id``) + element schema,
-    ``xpath_string``/``xpath_long`` on paths and ``@id``, and a
-    ``to_xml`` render REPARSED by ``from_xml`` proving the round trip
-    (the rendered string itself is formatting-dependent; the reparse is
-    the engine-portable claim). DuckDB has no XML type, so the oracle
-    derives every output from the source columns the XML was built
-    from — which is exactly the parse-inverts-construction contract.
+def f20_fn_xml_write(spark, sf_dir):
+    """The XML surfaces F15 does NOT cover — ATTRIBUTES and the WRITE
+    path: ``from_xml`` with an attribute schema (``_id`` — the default
+    ``attributePrefix`` mapping for ``<order id=...>``), the string
+    xpath form on an ``@attribute`` path and an element path
+    (``xpath_string`` — f15 probes only ``xpath_long``), and ``to_xml``
+    (Spark 4, the RENDER half) proved by REPARSING its own output
+    (the rendered string is formatting-dependent; the reparse is the
+    engine-portable claim). F15 pins element extraction / typed
+    inversion / schema_of_xml; together the two specs cover the full
+    native-XML read+write surface. DuckDB has no XML type, so the
+    oracle derives every output from the source columns the XML was
+    built from — the parse-inverts-construction contract.
 
-    Scale: map-only expression algebra riding the scan, zero shuffles —
-    but XML parse is the declared EXPENSIVE scalar family (each
-    ``from_xml``/``xpath_*`` re-parses its input: ~5 parses/row here),
-    so the family is exercised on a deterministic 1-in-20 keyslice, the
-    same bounding discipline as the Python-UDTF specs (u7/u15/u17). At
-    100 TB you would parse ONCE into a struct column and project from
-    it — exactly what the ``parsed`` struct below demonstrates."""
+    Scale: map-only, zero shuffles — but XML parse is the declared
+    EXPENSIVE scalar family (each ``from_xml``/``xpath_*`` re-parses
+    its input), so the family runs on a deterministic 1-in-20 keyslice,
+    f15's %3 discipline. At 100 TB you parse ONCE into a struct column
+    and project from it (f13's parse-once VARIANT is the hot-path
+    form)."""
     o = _T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
     cents = F.floor(F.col("o_totalprice") * 100).cast("long")
     xml = F.concat(
@@ -666,15 +666,9 @@ def f20_fn_xml(spark, sf_dir):
         F.col("o_orderkey"),
         F.lit('"><status>'),
         F.col("o_orderstatus"),
-        F.lit("</status><priority>"),
-        F.col("o_orderpriority"),
-        F.lit("</priority><cents>"),
-        cents,
-        F.lit("</cents></order>"),
+        F.lit("</status></order>"),
     )
-    parsed = F.from_xml(
-        xml, "_id bigint, status string, priority string, cents bigint"
-    )
+    parsed = F.from_xml(xml, "_id bigint, status string")
     reparsed = F.from_xml(
         F.to_xml(
             F.struct(
@@ -685,13 +679,9 @@ def f20_fn_xml(spark, sf_dir):
     )
     return o.select(
         "o_orderkey",
-        parsed["_id"].alias("parsed_id"),
-        parsed["status"].alias("parsed_status"),
-        parsed["priority"].alias("parsed_priority"),
-        parsed["cents"].alias("parsed_cents"),
+        parsed["_id"].alias("attr_id"),
+        F.xpath_string(xml, F.lit("/order/@id")).alias("xp_attr_id"),
         F.xpath_string(xml, F.lit("/order/status")).alias("xp_status"),
-        F.xpath_long(xml, F.lit("/order/cents")).alias("xp_cents"),
-        F.xpath_string(xml, F.lit("/order/@id")).alias("xp_id"),
         (
             (reparsed["status"] == F.col("o_orderstatus"))
             & (reparsed["cents"] == cents)
@@ -700,13 +690,9 @@ def f20_fn_xml(spark, sf_dir):
 
 
 _F20_SQL = """SELECT o_orderkey,
-  o_orderkey AS parsed_id,
-  o_orderstatus AS parsed_status,
-  o_orderpriority AS parsed_priority,
-  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS parsed_cents,
+  o_orderkey AS attr_id,
+  CAST(o_orderkey AS VARCHAR) AS xp_attr_id,
   o_orderstatus AS xp_status,
-  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS xp_cents,
-  CAST(o_orderkey AS VARCHAR) AS xp_id,
   TRUE AS render_roundtrip_ok
 FROM orders WHERE o_orderkey % 20 = 0"""
 
@@ -898,10 +884,10 @@ SPECS = [
         _F19_SQL,
     ),
     QuerySpec(
-        "f20_fn_xml",
+        "f20_fn_xml_write",
         "F",
-        "from_xml/xpath/to_xml: parse, attribute, and render roundtrip",
-        f20_fn_xml,
+        "XML attributes + to_xml write path (f15's read-side complement)",
+        f20_fn_xml_write,
         _F20_SQL,
     ),
 ]

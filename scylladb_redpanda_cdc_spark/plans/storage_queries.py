@@ -797,6 +797,74 @@ SELECT CAST((n + {O12_MAX_RECORDS - 1}) // {O12_MAX_RECORDS} AS BIGINT)
 FROM c"""
 
 
+def o13_cached_scan(spark, sf_dir):
+    """O13: the Tungsten IN-MEMORY columnar cache — the storage layer
+    between scan and shuffle (``df.cache()`` compresses the projection
+    into executor-memory column batches; every later pass reads those,
+    not parquet — the interactive-analytics posture where one working
+    set feeds many queries). The spec caches a pruned two-column
+    projection, aggregates it TWICE with different keys (the
+    multi-consumer pattern caching exists for), and joins the two
+    results on a shared total — both aggregates must come from the SAME
+    cached relation (plan pinned: InMemoryRelation feeding both sides,
+    tests/test_plan_shapes.py) and equal the oracle over the raw table
+    (caching is transparent to values).
+
+    Scale: cache the PRUNED projection, never the raw table — the
+    columnar batches hold 2 columns of 16; each re-read costs memory
+    bandwidth, zero IO, zero recompute."""
+    li = (
+        _T(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .cache()
+    )
+    by_flag = li.groupBy("l_returnflag").agg(
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias(
+            "flag_qty_cents"
+        )
+    )
+    by_status = li.groupBy("l_linestatus").agg(
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias(
+            "status_qty_cents"
+        )
+    )
+    status_tot = by_status.agg(
+        F.sum("status_qty_cents").alias("total_qty_cents"),
+        F.count("*").alias("n_statuses"),
+    )
+    flag_tot = by_flag.agg(F.sum("flag_qty_cents").alias("_flag_total"))
+    totals = status_tot.crossJoin(F.broadcast(flag_tot)).select(
+        "total_qty_cents",
+        "n_statuses",
+        # both views of the SAME cached relation must carry the same mass
+        (F.col("_flag_total") == F.col("total_qty_cents")).alias(
+            "views_consistent"
+        ),
+    )
+    return by_flag.crossJoin(F.broadcast(totals)).select(
+        "l_returnflag",
+        "flag_qty_cents",
+        "total_qty_cents",
+        "n_statuses",
+        "views_consistent",
+    )
+
+
+_O13_SQL = """WITH f AS (
+  SELECT l_returnflag,
+    CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      AS flag_qty_cents
+  FROM lineitem GROUP BY l_returnflag),
+s AS (
+  SELECT CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      AS total_qty_cents,
+    COUNT(DISTINCT l_linestatus) AS n_statuses
+  FROM lineitem)
+SELECT l_returnflag, flag_qty_cents, total_qty_cents, n_statuses,
+  TRUE AS views_consistent
+FROM f, s"""
+
+
 SPECS = [
     QuerySpec(
         "o1_partitioned_write",
@@ -881,5 +949,12 @@ SPECS = [
         "maxRecordsPerFile cap: n_files == ceil(rows/cap), census exact",
         o12_max_records_per_file,
         _O12_SQL,
+    ),
+    QuerySpec(
+        "o13_cached_scan",
+        "O",
+        "Tungsten in-memory cache: one cached projection, many consumers",
+        o13_cached_scan,
+        _O13_SQL,
     ),
 ]

@@ -187,6 +187,7 @@ _INTENDED_NESTED_LOOP = {
     "x84_source_minhash_overlap",  # declared bounded sources^2 cross join
     "a31_tombstone_gc",  # broadcast 1-row GC-horizon stats frame
     "x98_recall_matryoshka",  # broadcast query batch (offline calibration)
+    "o13_cached_scan",  # broadcast 1-row totals x flags-sized frame
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
@@ -495,3 +496,12 @@ def test_b70_distribute_sort_is_hash_exchange_local_sort(spark, sf_dir, specs):
     # physical Sort prints as `Sort [keys], <global>, 0`
     assert "Sort [" in plan and "], false, 0" in plan, plan
     assert "], true, 0" not in plan, plan
+
+
+def test_o13_both_consumers_read_the_cache(spark, sf_dir, specs):
+    """o13's claim: the two aggregates must scan the SAME InMemoryRelation
+    (one cached pruned projection feeding every consumer) — a plan that
+    re-reads parquet for either side has silently lost the cache."""
+    plan = plan_of(spark, sf_dir, specs, "o13_cached_scan", mode="simple")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "InMemoryRelation" in plan, plan
