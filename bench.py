@@ -128,6 +128,7 @@ BASELINE_S = {
     "o12_max_records_per_file": 0.294,
     "u18_python_datasource_writer": 0.771,
     "o13_cached_scan": 0.461,
+    "s24_stream_state_recovery": 2.266,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -246,6 +247,7 @@ HEADLINE = (
     "o12_max_records_per_file",
     "u18_python_datasource_writer",
     "o13_cached_scan",
+    "s24_stream_state_recovery",
 )
 
 

@@ -671,6 +671,94 @@ _S23_SQL = f"""SELECT COUNT(*) AS n_rows,
 FROM events"""
 
 
+def s24_stream_state_recovery(spark, sf_dir):
+    """S24: state-store RECOVERY across a query RESTART — the guarantee
+    s2 does NOT pin (s2 proves source-offset resume for a stateless
+    sink; s24 proves the windowed AGGREGATION's state survives the
+    process dying). Run 1 drains half the event files into a 1-hour
+    windowed aggregate with a checkpoint, then terminates; run 2 is a
+    NEW streaming query on the same checkpoint that sees only the files
+    revealed after the restart — yet its complete-mode emit must cover
+    EVERY event, which is only possible if the window state was
+    recovered from the checkpoint, not recomputed from the source
+    (the crash-recovery contract a 24/7 pipeline restarts on; the
+    reference's worker makes the same promise via
+    /tmp/connect.offsets + its 10 s flush, connect-standalone
+    .properties:4-5). Emission is foreachBatch complete-snapshot
+    overwrite — the fault-tolerant sink shape (memory sink pins no
+    recovery contract).
+
+    Scale: per-run cost is the NEW files' window updates (state loads
+    are per-key-touched); the checkpoint carries window-count state,
+    never raw events."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from scylladb_redpanda_cdc_spark.sources.tables import normalize_event_ts
+    from scylladb_redpanda_cdc_spark.streaming.core import (
+        EVENTS_NORMALIZED_DDL,
+        events_stream_ddl,
+        scoped_conf,
+        scoped_shuffle,
+    )
+
+    # Stage 4 split files in scratch; reveal 2 now, 2 after the restart.
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        raw = normalize_event_ts(
+            spark.read.schema(events_stream_ddl(sf_dir)).parquet(
+                _os.path.join(sf_dir, "events.parquet")
+            )
+        )
+        scratch = tmpdir("s24_scratch")
+        raw.repartition(4).write.mode("overwrite").parquet(scratch)
+    parts = sorted(_glob.glob(_os.path.join(scratch, "part-*.parquet")))
+    src, out, ckpt = tmpdir("s24_src"), tmpdir("s24_out"), tmpdir("s24_ckpt")
+    for p in parts[:2]:
+        _shutil.move(p, _os.path.join(src, _os.path.basename(p)))
+
+    def run_query():
+        ev = (
+            spark.readStream.schema(EVENTS_NORMALIZED_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = ev.groupBy(F.window("ts", "1 hour")).agg(
+            F.count("*").alias("n_events"),
+            F.sum(_val_micros()).alias("sum_value_micros"),
+        )
+
+        def emit(batch_df, _bid):
+            batch_df.write.mode("overwrite").parquet(out)
+
+        with scoped_shuffle(spark):
+            q = (
+                agg.writeStream.foreachBatch(emit)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    run_query()  # phase 1: first half of the log
+    for p in parts[2:]:  # the events that arrive while the worker is down
+        _shutil.move(p, _os.path.join(src, _os.path.basename(p)))
+    run_query()  # RESTART: new query, same checkpoint — state recovered
+    return spark.read.parquet(out).select(
+        F.unix_millis(F.col("window.start")).alias("win_start_ms"),
+        "n_events",
+        F.col("sum_value_micros").cast("long").alias("sum_value_micros"),
+    )
+
+
+_S24_SQL = f"""SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts))
+    AS win_start_ms,
+  COUNT(*) AS n_events,
+  CAST(SUM({_VAL_MICROS_SQL}) AS BIGINT) AS sum_value_micros
+FROM events GROUP BY 1"""
+
+
 SPECS = [
     QuerySpec(
         "s1_stream_ingest_kafka",
@@ -878,6 +966,13 @@ ORDER BY n DESC, tok ASC LIMIT 20""",
         "per-trigger observe metrics: across-batch totals == batch agg",
         s23_stream_observed_metrics,
         _S23_SQL,
+    ),
+    QuerySpec(
+        "s24_stream_state_recovery",
+        "S",
+        "windowed-agg state survives a query RESTART (checkpoint recovery)",
+        s24_stream_state_recovery,
+        _S24_SQL,
     ),
     QuerySpec(
         "s20_stream_partitioned_sink",
