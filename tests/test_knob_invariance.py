@@ -170,3 +170,55 @@ print("o2 local[2] parity OK")
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "o2 local[2] parity OK" in proc.stdout
+
+
+def test_shuffle_partition_width_is_result_invariant():
+    """An ODD, non-default shuffle width (7, vs the suite's 32 and the
+    bench's 64) must not change any value: partitioning is an execution
+    concern, never a semantic one. Exercised on the queries whose shapes
+    would expose a partition-count dependence if one existed — the
+    flagship's offset-authority compaction, x2's banded candidate join,
+    w6's two-stacked-window sessionization, b24's per-group top-k, and
+    x25's salted two-phase stratified sample — each compared against its
+    DuckDB oracle in a fresh subprocess (parity at the odd width IS the
+    invariance claim)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = """
+import duckdb
+from pyspark.sql import SparkSession
+from scylladb_redpanda_cdc_spark.plans import registry
+
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "7")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sf = "/root/testdata/sf0.001"
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events"
+          " documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{sf}/{t}.parquet')")
+specs = registry()
+for qid in ("flagship_cdc_materialize", "x2_dedup_fuzzy_minhash",
+            "w6_win_sessionize", "b24_topk_per_group",
+            "x25_stratified_sample"):
+    spec = specs[qid]
+    pdf = spec.build(spark, sf).toPandas()
+    odf = con.sql(spec.oracle).df()
+    cols = sorted(pdf.columns)
+    assert sorted(map(tuple, pdf[cols].astype(str).values.tolist())) == \\
+           sorted(map(tuple, odf[cols].astype(str).values.tolist())), qid
+    print(qid, "OK at width 7")
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
