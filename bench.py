@@ -129,6 +129,9 @@ BASELINE_S = {
     "u18_python_datasource_writer": 0.771,
     "o13_cached_scan": 0.461,
     "s24_stream_state_recovery": 2.266,
+    # Round-7 batch 9 (targeted best-of-2-runs-of-best-of-3).
+    "b71_listagg": 0.461,
+    "b72_lateral_alias": 0.190,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -248,6 +251,10 @@ HEADLINE = (
     "u18_python_datasource_writer",
     "o13_cached_scan",
     "s24_stream_state_recovery",
+    # round-7 batch 9: the ANSI ordered string aggregation and the
+    # lateral-alias analyzer surface.
+    "b71_listagg",
+    "b72_lateral_alias",
 )
 
 

@@ -1104,6 +1104,82 @@ _B70_SQL = """SELECT l_orderkey, l_suppkey,
 FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'"""
 
 
+def b71_listagg(spark, sf_dir):
+    """``listagg(...) WITHIN GROUP (ORDER BY ...)`` (Spark 4.0,
+    SPARK-42746 — the ANSI ordered string aggregation warehouses
+    standardized on): per customer, order keys concatenated in
+    ascending order and statuses in DESCENDING key order — the ordered
+    aggregate b20 emulates via collect_list + sort + join, now the
+    declarative one-aggregate form (WITHIN GROUP makes the
+    concatenation order part of the SEMANTICS, so the result is
+    deterministic without the b20 rewrite).
+
+    Scale: one customer-keyed partial agg; group payloads are the
+    customer's own orders (bounded), exactly collect_list's shape."""
+    _T(spark, sf_dir, "orders").createOrReplaceTempView("sg_b71_orders")
+    return spark.sql(
+        "SELECT o_custkey,"
+        " listagg(CAST(o_orderkey AS STRING), ',')"
+        "   WITHIN GROUP (ORDER BY o_orderkey) AS keys_asc,"
+        " listagg(o_orderstatus, '')"
+        "   WITHIN GROUP (ORDER BY o_orderkey DESC) AS status_by_key_desc,"
+        " COUNT(*) AS n"
+        " FROM sg_b71_orders GROUP BY o_custkey"
+    )
+
+
+_B71_SQL = """SELECT o_custkey,
+  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+    AS keys_asc,
+  string_agg(o_orderstatus, '' ORDER BY o_orderkey DESC)
+    AS status_by_key_desc,
+  COUNT(*) AS n
+FROM orders GROUP BY o_custkey"""
+
+
+def b72_lateral_alias(spark, sf_dir):
+    """LATERAL COLUMN ALIASES (Spark 3.4, SPARK-27561): a select item
+    referencing an alias defined EARLIER IN THE SAME SELECT LIST —
+    ``cents`` feeds ``band`` and ``half_cents`` without a subquery or
+    CTE (pre-3.4 Spark forced the nesting; warehouses resolved laterally
+    for years, and analysts port exactly such statements). The analyzer
+    rewrites the chain into nested projections; both engines run the
+    textually identical statement, and that shared resolution is the
+    operator.
+
+    Scale: pure projection algebra riding the scan — the alias chain
+    collapses into one codegen'd stage, zero shuffles."""
+    _T(spark, sf_dir, "orders").createOrReplaceTempView("sg_b72_orders")
+    return spark.sql(
+        "SELECT o_orderkey,"
+        " CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,"
+        " CASE WHEN cents >= 20000000 THEN 'big'"
+        "      WHEN cents >= 10000000 THEN 'mid'"
+        "      ELSE 'small' END AS band,"
+        " cents DIV 2 AS half_cents,"
+        " concat(band, ':', CAST(half_cents AS STRING)) AS tag"
+        " FROM sg_b72_orders"
+    )
+
+
+_B72_SQL = """SELECT o_orderkey,
+  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+  CASE WHEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 20000000
+         THEN 'big'
+       WHEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 10000000
+         THEN 'mid'
+       ELSE 'small' END AS band,
+  CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 2 AS half_cents,
+  concat(CASE WHEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 20000000
+                THEN 'big'
+              WHEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 10000000
+                THEN 'mid'
+              ELSE 'small' END, ':',
+         CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 2 AS VARCHAR))
+    AS tag
+FROM orders"""
+
+
 # ---------------------------------------------------------------------------
 # B25-B29 set operations
 # ---------------------------------------------------------------------------
@@ -2610,6 +2686,20 @@ SPECS = [
         "DISTRIBUTE BY + SORT BY: hash exchange + non-global sort only",
         b70_distribute_sort_by,
         _B70_SQL,
+    ),
+    QuerySpec(
+        "b71_listagg",
+        "B",
+        "listagg WITHIN GROUP: ANSI ordered string agg (b20 declarative)",
+        b71_listagg,
+        _B71_SQL,
+    ),
+    QuerySpec(
+        "b72_lateral_alias",
+        "B",
+        "lateral column aliases: same-SELECT alias chain, one projection",
+        b72_lateral_alias,
+        _B72_SQL,
     ),
     QuerySpec(
         "b15_agg_basic",
