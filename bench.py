@@ -132,6 +132,8 @@ BASELINE_S = {
     # Round-7 batch 9 (targeted best-of-2-runs-of-best-of-3).
     "b71_listagg": 0.461,
     "b72_lateral_alias": 0.190,
+    "b73_sql_pivot_unpivot": 0.347,
+    "b74_identifier_clause": 0.188,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -255,6 +257,8 @@ HEADLINE = (
     # lateral-alias analyzer surface.
     "b71_listagg",
     "b72_lateral_alias",
+    "b73_sql_pivot_unpivot",
+    "b74_identifier_clause",
 )
 
 

@@ -1137,6 +1137,65 @@ _B71_SQL = """SELECT o_custkey,
 FROM orders GROUP BY o_custkey"""
 
 
+def b73_sql_pivot_unpivot(spark, sf_dir):
+    """SQL ``PIVOT`` / ``UNPIVOT`` clauses (Spark 3.4 SQL syntax,
+    SPARK-39876 — b33/b34 exercise the DataFrame-API forms; this is the
+    relational-algebra SQL layer an analyst ports from a warehouse) as
+    one ROUND TRIP: statuses pivot into per-status cent columns, then
+    unpivot straight back to (priority, status, cents) — UNPIVOT drops
+    the NULL cells PIVOT minted for absent combinations, so the round
+    trip must reproduce exactly the plain GROUP BY aggregate, which is
+    the oracle. The inversion claim is the operator.
+
+    Scale: the pivot is one partial agg keyed by (priority) with a
+    status-count-wide row; unpivot is a map-side expand — group-count
+    x status-count rows total."""
+    _T(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice"
+    ).createOrReplaceTempView("sg_b73_orders")
+    return spark.sql(
+        "WITH p AS (SELECT * FROM sg_b73_orders"
+        " PIVOT (CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))"
+        " AS BIGINT) FOR o_orderstatus"
+        " IN ('F' AS f_cents, 'O' AS o_cents, 'P' AS p_cents)))"
+        " SELECT o_orderpriority, status, cents FROM p"
+        " UNPIVOT (cents FOR status"
+        " IN (f_cents AS `F`, o_cents AS `O`, p_cents AS `P`))"
+    )
+
+
+_B73_SQL = """SELECT o_orderpriority, o_orderstatus AS status,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY o_orderpriority, o_orderstatus"""
+
+
+def b74_identifier_clause(spark, sf_dir):
+    """``IDENTIFIER(:param)`` clause (Spark 3.5, SPARK-43205): table and
+    column names bound from typed parameters — the injection-safe
+    DYNAMIC-IDENTIFIER half of the templating story (b59 binds VALUES;
+    b74 binds NAMES, which plain parameter markers cannot do because
+    identifiers aren't expressions). The statement is one template; the
+    grouping column and source table both arrive out-of-band; the
+    oracle inlines the same identifiers, proving binding changes
+    nothing semantically.
+
+    Scale: identifiers resolve at parse time — the plan is identical to
+    the literal statement, pushdown included."""
+    _T(spark, sf_dir, "customer").createOrReplaceTempView("sg_b74_customer")
+    return spark.sql(
+        "SELECT IDENTIFIER(:col) AS segment, COUNT(*) AS n,"
+        " CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)"
+        " AS bal_cents"
+        " FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:col)",
+        args={"col": "c_mktsegment", "tbl": "sg_b74_customer"},
+    )
+
+
+_B74_SQL = """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer GROUP BY c_mktsegment"""
+
+
 def b72_lateral_alias(spark, sf_dir):
     """LATERAL COLUMN ALIASES (Spark 3.4, SPARK-27561): a select item
     referencing an alias defined EARLIER IN THE SAME SELECT LIST —
@@ -2700,6 +2759,20 @@ SPECS = [
         "lateral column aliases: same-SELECT alias chain, one projection",
         b72_lateral_alias,
         _B72_SQL,
+    ),
+    QuerySpec(
+        "b73_sql_pivot_unpivot",
+        "B",
+        "SQL PIVOT then UNPIVOT: the round trip reproduces the GROUP BY",
+        b73_sql_pivot_unpivot,
+        _B73_SQL,
+    ),
+    QuerySpec(
+        "b74_identifier_clause",
+        "B",
+        "IDENTIFIER(:param): names bound out-of-band, plan unchanged",
+        b74_identifier_clause,
+        _B74_SQL,
     ),
     QuerySpec(
         "b15_agg_basic",
