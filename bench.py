@@ -134,6 +134,8 @@ BASELINE_S = {
     "b72_lateral_alias": 0.190,
     "b73_sql_pivot_unpivot": 0.347,
     "b74_identifier_clause": 0.188,
+    "x100_vocab_budget_sweep": 1.239,
+    "w12_named_window_clause": 0.491,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -259,6 +261,8 @@ HEADLINE = (
     "b72_lateral_alias",
     "b73_sql_pivot_unpivot",
     "b74_identifier_clause",
+    "x100_vocab_budget_sweep",
+    "w12_named_window_clause",
 )
 
 

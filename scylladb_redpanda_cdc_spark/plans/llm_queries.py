@@ -6599,6 +6599,92 @@ def x99_class_outliers(spark, sf_dir):
     )
 
 
+#: x100: swept vocabulary budgets (x93's production point 1024 sits
+#: mid-sweep) and the drowning threshold (10% OOV) in exact ppm terms.
+X100_BUDGETS = [128, 256, 512, 1024, 2048]
+
+
+def x100_vocab_budget_sweep(spark, sf_dir):
+    """Vocabulary-BUDGET sweep — x92/x94's tuning discipline applied to
+    the tokenizer-sizing knob (x93 charges docs against ONE top-1024
+    cut; x100 measures the whole curve so the budget choice is a table
+    lookup): per candidate budget the corpus token/OOV totals, exact
+    OOV ppm, and how many docs are DROWNING (>10% OOV) — the number
+    that actually decides the budget, because corpus-average coverage
+    hides per-doc failure (x93's lesson, swept).
+
+    Exactness: every figure is integer counts + one exact integer-ppm
+    division; the rank cut is x34's total-order ranked vocab, identical
+    in both engines.
+
+    Scale: the token→rank join is computed ONCE (broadcast,
+    vocabulary-sized right side); budget verdicts explode MAP-SIDE
+    across the 5-literal axis (x94's kernel-once pattern); the
+    (budget, doc) rollup is one keyed partial agg, budgets x docs rows;
+    output is 5 rows at any corpus size."""
+    ranked = _vocab_ranked(spark, sf_dir).select("token", "rank")
+    d = _docs_fanned(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+    tr = tok.join(F.broadcast(ranked), "token")
+    fan = tr.select(
+        "doc_id",
+        "rank",
+        F.explode(
+            F.array(*[F.lit(b) for b in X100_BUDGETS])
+        ).alias("budget"),
+    )
+    per_doc = fan.groupBy("budget", "doc_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("rank") > F.col("budget"), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+    )
+    return (
+        per_doc.groupBy("budget")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum("n_oov").cast("long").alias("n_oov"),
+            F.sum(
+                F.when(F.col("n_oov") * 10 > F.col("n"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_drowning_docs"),
+        )
+        .select(
+            "budget",
+            "n_tokens",
+            "n_oov",
+            F.expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "oov_ppm"
+            ),
+            "n_drowning_docs",
+        )
+    )
+
+
+def _x100_sql() -> str:
+    budgets = ", ".join(f"({b})" for b in X100_BUDGETS)
+    return f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+vc AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+rk AS (SELECT token,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank FROM vc),
+fan AS (SELECT t.doc_id, r.rank, b.budget
+        FROM tok t JOIN rk r ON r.token = t.token,
+             (VALUES {budgets}) AS b(budget)),
+per_doc AS (
+  SELECT budget, doc_id, COUNT(*) AS n,
+    SUM(CASE WHEN rank > budget THEN 1 ELSE 0 END) AS n_oov
+  FROM fan GROUP BY 1, 2)
+SELECT CAST(budget AS INTEGER) AS budget,
+  CAST(SUM(n) AS BIGINT) AS n_tokens,
+  CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+  CAST(SUM(n_oov) * 1000000 // SUM(n) AS BIGINT) AS oov_ppm,
+  CAST(SUM(CASE WHEN n_oov * 10 > n THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_drowning_docs
+FROM per_doc GROUP BY 1"""
+
+
 _X99_SQL = f"""WITH d AS (
   SELECT label,
     unnest(list_transform(range(1, len(embedding) + 1),
@@ -7364,5 +7450,12 @@ SPECS = [
         "label-noise audit: bottom-3 cosine-to-own-prototype per class",
         x99_class_outliers,
         _X99_SQL,
+    ),
+    QuerySpec(
+        "x100_vocab_budget_sweep",
+        "X",
+        "OOV curve over 5 vocab budgets: kernel once, verdicts map-side",
+        x100_vocab_budget_sweep,
+        _x100_sql(),
     ),
 ]

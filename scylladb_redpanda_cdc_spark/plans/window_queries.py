@@ -388,6 +388,51 @@ FROM (
 WHERE rnk <= 2"""
 
 
+def w12_named_window_clause(spark, sf_dir):
+    """W12: the SQL ``WINDOW`` clause — one NAMED window specification
+    referenced by four functions (ANSI's answer to repeating the spec
+    per call; every ported warehouse query uses it), plus a second
+    named frame-bearing window over the SAME (partition, order). The
+    analyzer resolves all references to the shared spec and Catalyst
+    collapses every expression into ONE Window operator over ONE
+    exchange+sort (pinned in tests/test_plan_shapes.py) — the property
+    that makes the idiom free: adding a fifth function to ``w`` costs
+    zero extra shuffles or sorts at 100 TB.
+
+    Integer/exact outputs throughout (running sum in exact cents)."""
+    _T(spark, sf_dir, "orders").createOrReplaceTempView("sg_w12_orders")
+    return spark.sql(
+        "SELECT o_custkey, o_orderkey,"
+        " row_number() OVER w AS rn,"
+        " lag(o_orderkey) OVER w AS prev_key,"
+        " lead(o_orderkey) OVER w AS next_key,"
+        " CAST(count(*) OVER w2 AS BIGINT) AS n_so_far,"
+        " CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER w2"
+        "   AS BIGINT) AS cents_so_far"
+        " FROM sg_w12_orders"
+        " WINDOW w AS (PARTITION BY o_custkey"
+        "   ORDER BY CAST(o_orderdate AS DATE), o_orderkey),"
+        " w2 AS (PARTITION BY o_custkey"
+        "   ORDER BY CAST(o_orderdate AS DATE), o_orderkey"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+
+
+_W12_SQL = """SELECT o_custkey, o_orderkey,
+  row_number() OVER w AS rn,
+  lag(o_orderkey) OVER w AS prev_key,
+  lead(o_orderkey) OVER w AS next_key,
+  CAST(count(*) OVER w2 AS BIGINT) AS n_so_far,
+  CAST(CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER w2
+    AS BIGINT) AS BIGINT) AS cents_so_far
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+    ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+  w2 AS (PARTITION BY o_custkey
+    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
 SPECS = [
     QuerySpec(
         "w1_win_ranking",
@@ -498,5 +543,12 @@ SPECS = [
         "rank<=k top-k pushdown (WindowGroupLimit on map+final sides)",
         w11_window_group_limit,
         _W11_SQL,
+    ),
+    QuerySpec(
+        "w12_named_window_clause",
+        "W",
+        "named WINDOW clause: 5 functions, ONE Window op, one shuffle",
+        w12_named_window_clause,
+        _W12_SQL,
     ),
 ]

@@ -505,3 +505,13 @@ def test_o13_both_consumers_read_the_cache(spark, sf_dir, specs):
     plan = plan_of(spark, sf_dir, specs, "o13_cached_scan", mode="simple")
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "InMemoryRelation" in plan, plan
+
+
+def test_w12_named_windows_collapse_to_one_operator(spark, sf_dir, specs):
+    """w12's claim: every function referencing the named windows (same
+    partition+order, frames differing) must land in ONE Window operator
+    over one hash exchange — adding functions to a named window costs no
+    extra shuffle or sort."""
+    plan = plan_of(spark, sf_dir, specs, "w12_named_window_clause", mode="simple")
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
