@@ -990,3 +990,35 @@ def test_x97_threshold_levenshtein_matches_reference(spark, sf_dir, specs):
         want = d if d <= X97_LEV_T else -1
         assert row.lev_head == want, (row.doc_a, row.doc_b, row.lev_head, d)
         assert row.verified == (0 <= d <= X97_LEV_T)
+
+
+def test_x96_candidates_come_only_from_probed_buckets(spark, sf_dir, specs):
+    """x96's structural claim, pinned independently of the value oracle:
+    every returned (query, candidate) pair must live within Hamming
+    radius 1 of the query's 6-plane bucket — exactly the probe set —
+    and never pair a vector with itself."""
+    from pyspark.sql import functions as F
+
+    from scylladb_redpanda_cdc_spark.operators.llm import lsh_bucket
+
+    out = specs["x96_lsh_multiprobe"].build(spark, sf_dir)
+    b = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", lsh_bucket(F.col("embedding"), 6).alias("bucket"))
+    )
+    joined = (
+        out.join(
+            b.select(F.col("vec_id").alias("qid"), F.col("bucket").alias("qb")),
+            "qid",
+        )
+        .join(b, "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            F.bit_count(F.col("qb").bitwiseXOR(F.col("bucket"))).alias("ham"),
+        )
+    )
+    pdf = joined.toPandas()
+    assert len(pdf), "x96 returned no candidates on the fixture"
+    assert (pdf["ham"] <= 1).all(), pdf[pdf["ham"] > 1].head()
+    assert (pdf["qid"] != pdf["vec_id"]).all()
