@@ -136,6 +136,10 @@ BASELINE_S = {
     "b74_identifier_clause": 0.188,
     "x100_vocab_budget_sweep": 1.239,
     "w12_named_window_clause": 0.491,
+    # Round-7 batch 10 (targeted best-of-2-runs-of-best-of-3).
+    "x101_simhash_hamming_pairs": 1.717,
+    "x102_winnowing_overlap": 1.508,
+    "x103_mmr_diverse_select": 0.982,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -263,6 +267,11 @@ HEADLINE = (
     "b74_identifier_clause",
     "x100_vocab_budget_sweep",
     "w12_named_window_clause",
+    # round-7 batch 10: the pigeonhole simhash pair join, winnowing
+    # fingerprint overlap, and MMR diverse selection.
+    "x101_simhash_hamming_pairs",
+    "x102_winnowing_overlap",
+    "x103_mmr_diverse_select",
 )
 
 

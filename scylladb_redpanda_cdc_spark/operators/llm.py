@@ -187,6 +187,48 @@ def simhash16(ws: Column) -> Column:
     return sig
 
 
+def hash32(c: Column) -> Column:
+    """Portable 32-bit hash (first 8 hex chars of sha256) — the token-hash
+    base :func:`simhash32` votes over. Same cross-engine exactness contract
+    as :func:`hash16`/:func:`hash60`."""
+    return F.conv(F.substring(F.sha2(c, 256), 1, 8), 16, 10).cast("long")
+
+
+def simhash32(ws: Column) -> Column:
+    """32-bit SimHash of a token array — the pair-join width.
+
+    :func:`simhash16` (the signature-only x10 surface) folds the token
+    array once PER BIT — fine at 16 bits, wasteful at 32. This form
+    carries an array of per-bit vote counters through ONE fold
+    (``aggregate`` + ``zip_with``), so the token array is walked once
+    regardless of signature width — the shape that matters when a
+    deployment widens to the 64-bit signatures crawl-scale simhash
+    dedup uses (Manku et al., WWW'07). Still pure per-row expression
+    algebra: no shuffle, engine-exact via :func:`hash32`."""
+    nbits = 32
+    hs = F.transform(ws, hash32)
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(nbits)])
+    zeros = F.array_repeat(F.lit(0).cast("long"), nbits)
+    votes = F.aggregate(
+        hs,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    bits = F.zip_with(
+        votes,
+        masks,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
 #: Embedding dimensionality contract for the LSH plane family (the
 #: ``embeddings`` fixture is FLOAT[64] at every SF; a deployment with a
 #: different model dim changes this constant alongside its data).

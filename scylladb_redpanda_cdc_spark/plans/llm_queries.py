@@ -35,6 +35,7 @@ from scylladb_redpanda_cdc_spark.operators.llm import (
     minhash_remix,
     rolling_fingerprint,
     simhash16,
+    simhash32,
     word_grams,
     word_shingles,
     words,
@@ -6709,6 +6710,431 @@ SELECT label, vec_id, cos_proto, rk FROM (
 WHERE rk <= {X99_OUTLIERS_PER_CLASS}"""
 
 
+#: x101's verified-pair bound: simhash near-dup = Hamming distance <= 3
+#: over the 32-bit signature. With the signature split into 4 bands of 8
+#: bits, <=3 differing bits leaves at least one band identical
+#: (pigeonhole) — so an equi-join on (band, band_value) finds EVERY
+#: qualifying pair without an all-pairs scan. Manku et al. (WWW'07) is
+#: the crawl-scale form of exactly this blocking.
+X101_HAMMING_MAX = 3
+X101_BANDS = 4
+X101_BAND_BITS = 8
+
+
+def x101_simhash_hamming_pairs(spark, sf_dir):
+    """X101: SimHash near-dup PAIRS — x10 stops at the per-doc signature;
+    this is the crawl-dedup join built on it (Manku et al., WWW'07):
+    verified pairs at Hamming distance <= 3 over a 32-bit SimHash,
+    candidates from PIGEONHOLE band blocking. Split the signature into
+    4 bands of 8 bits; <=3 differing bits cannot touch all 4 bands, so
+    docs sharing ANY band value are the complete candidate set — an
+    inverted-index equi-join on (band, band_value), never an all-pairs
+    scan. Candidates are then verified exactly: ``bit_count(sig_a XOR
+    sig_b) <= 3``.
+
+    Skew bound: (band, value) buckets past ``X2_BUCKET_CAP`` members are
+    dropped BEFORE the self-join (x2/x11's discipline) — an 8-bit band
+    has only 256 values, so at corpus scale a deployment widens the
+    signature (64-bit, 4x16-bit bands — same plan, one constant) the
+    way production simhash does; the cap keeps the fixture-width join
+    bounded under any skew. Strict oracle: token hashes are sha-prefix
+    ``hash32``, so DuckDB recomputes identical signatures, bands, and
+    Hamming distances."""
+    # _docs_fanned: 32 sha256+vote folds per token is HEAVY map work, and
+    # the fixture is one input split — without the fan-out the whole
+    # signature stage runs on one core (measured 4.5 s -> ~1 s at sf0.1).
+    d = _docs_fanned(spark, sf_dir)
+    sigs = d.select(
+        "doc_id", simhash32(words(F.col("text"))).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * X101_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << X101_BAND_BITS) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(X101_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bval")
+    bucket_ok = (
+        bands.groupBy("band", "bval")
+        .agg(F.count("*").alias("bucket_df"))
+        .filter(
+            (F.col("bucket_df") >= 2) & (F.col("bucket_df") <= X2_BUCKET_CAP)
+        )
+        .select("band", "bval")
+    )
+    inb = bands.join(bucket_ok, ["band", "bval"])
+    lhs = inb.select(
+        "band", "bval", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    rhs = inb.select(
+        "band", "bval", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    pairs = (
+        lhs.join(rhs, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= X101_HAMMING_MAX)
+    )
+
+
+_X101_SQL = f"""WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+th AS (SELECT doc_id,
+         CAST(concat('0x', substr(sha256(w), 1, 8)) AS BIGINT) AS h
+       FROM tok),
+votes AS (SELECT doc_id, b,
+            SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) bits
+          GROUP BY doc_id, b),
+sg AS (SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+       FROM votes GROUP BY doc_id),
+sigs AS (SELECT d.doc_id, CAST(COALESCE(s.sig, 0) AS BIGINT) AS sig
+         FROM documents d LEFT JOIN sg s ON d.doc_id = s.doc_id),
+bands AS (SELECT doc_id, sig, b.band,
+            (sig >> (b.band * {X101_BAND_BITS})) & {(1 << X101_BAND_BITS) - 1}
+              AS bval
+          FROM sigs CROSS JOIN
+            (SELECT unnest(range({X101_BANDS})) AS band) b),
+ok AS (SELECT band, bval FROM bands GROUP BY band, bval
+       HAVING COUNT(*) BETWEEN 2 AND {X2_BUCKET_CAP}),
+inb AS (SELECT bands.* FROM bands JOIN ok USING (band, bval)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sig AS sig_a, b.sig AS sig_b
+         FROM inb a JOIN inb b
+           ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {X101_HAMMING_MAX}"""
+
+
+#: x102 winnowing parameters: 3-token grams hashed (hash60), a
+#: fingerprint selected per sliding window of W consecutive gram hashes
+#: (the min — winnowing's guarantee: any shared run of W+k-1 tokens
+#: yields at least one shared fingerprint, so overlap detection cannot
+#: miss long clones while storing ~2/(W+1) of the hashes). MOSS uses
+#: exactly this scheme (Schleimer et al., SIGMOD'03).
+X102_WINNOW_W = 4
+X102_MIN_SHARED = 2
+
+
+def x102_winnowing_overlap(spark, sf_dir):
+    """X102: winnowing fingerprint overlap — MOSS-style robust clone
+    detection (Schleimer et al., SIGMOD'03), the guarantee-bearing
+    alternative to x33's fixed-stride spans: stride sampling can miss a
+    clone that shifts by one token, winnowing cannot (every window of
+    ``X102_WINNOW_W`` consecutive 3-gram hashes contributes its min, so
+    any sufficiently long shared passage shares a fingerprint). Per doc:
+    distinct selected fingerprints; pairs sharing >= ``X102_MIN_SHARED``
+    fingerprints are reported with the exact-ppm overlap ratio
+    ``n_shared / min(|fp_a|, |fp_b|)``.
+
+    Scale shape: window mins are per-row expression algebra (zip of W
+    shifted slices + ``least`` — one pass, no index lookups); the pair
+    generator is the inverted-index equi-join on fingerprint value with
+    x11's df <= ``X2_BUCKET_CAP`` hot-key bound, so a boilerplate
+    fingerprint shared by millions of docs is dropped, not fanned out.
+    Fingerprint density is ~2/(W+1) per token — the index is ~40% of
+    corpus token count, each entry 16 bytes. Strict oracle: hash60 gram
+    hashes + identical slice/min/cap arithmetic in DuckDB."""
+    d = _docs_fanned(spark, sf_dir)
+    ws = words(F.col("text"))
+    hs = F.transform(word_grams(ws, 3), hash60)
+    n = F.size(hs)
+    w = X102_WINNOW_W
+    zipped = F.arrays_zip(*[F.slice(hs, j + 1, n - w + 1) for j in range(w)])
+    wins = F.transform(
+        zipped, lambda t: F.least(*[t[str(j)] for j in range(w)])
+    )
+    fps = F.when(n >= w, F.array_distinct(wins)).otherwise(
+        F.when(n > 0, F.array(F.array_min(hs))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    # Materialize the fingerprint index once: four consumers (per-doc
+    # sizes, the df cap, both self-join sides) would otherwise re-run
+    # the tokenize+gram+hash+window-min map per consumer — x11's
+    # persist-the-posting-list rationale, verbatim (measured ~2x at
+    # sf0.1; at 100 TB it replaces three full corpus re-scans).
+    fpx = d.select("doc_id", F.explode(fps).alias("fp")).persist()
+    sizes = fpx.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    ok = (
+        fpx.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= X2_BUCKET_CAP))
+        .select("fp")
+    )
+    inb = fpx.join(ok, "fp")
+    pairs = (
+        inb.select("fp", F.col("doc_id").alias("doc_a"))
+        .join(inb.select("fp", F.col("doc_id").alias("doc_b")), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= X102_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.floor(
+                F.col("n_shared")
+                * 1_000_000
+                / F.least("n_fp_a", "n_fp_b")
+            )
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+    )
+
+
+_X102_SQL = f"""WITH {_TOKS_CTE},
+gh AS (SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+           g -> CAST(concat('0x', substr(sha256(g), 1, 15)) AS BIGINT)) AS hs
+       FROM toks WHERE len(ws) >= 3),
+fp AS (SELECT doc_id,
+         CASE WHEN len(hs) >= {X102_WINNOW_W} THEN
+           list_distinct(list_transform(
+             range(1, len(hs) - {X102_WINNOW_W} + 2),
+             i -> list_min(hs[i:i+{X102_WINNOW_W - 1}])))
+         ELSE [list_min(hs)] END AS fps
+       FROM gh),
+fpx AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fpx GROUP BY doc_id),
+ok AS (SELECT f FROM fpx GROUP BY f
+       HAVING COUNT(*) BETWEEN 2 AND {X2_BUCKET_CAP}),
+inb AS (SELECT fpx.* FROM fpx JOIN ok USING (f)),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM inb a JOIN inb b ON a.f = b.f AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= {X102_MIN_SHARED})
+SELECT doc_a, doc_b, n_shared,
+  sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+  CAST(FLOOR(n_shared * 1000000.0 / LEAST(sa.n_fp, sb.n_fp)) AS BIGINT)
+    AS overlap_ppm
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b"""
+
+
+#: x103 MMR parameters: queries are every vec_id % MOD == 0 (x98's
+#: stride discipline); K picks are made greedily from the top-CANDS
+#: relevance candidates; lambda = 1/2, so the x2-scaled MMR objective is
+#: the INTEGER rel_dot - max_sim_to_selected (no floats anywhere).
+X103_QUERY_MOD = 211
+X103_CANDS = 8
+X103_PICKS = 3
+
+
+def _vm_micros(col):
+    """Embedding floats -> exact integer micros (x63's rounding: one
+    deterministic floor per component; |x|<=1e6 and dim=64 keep every
+    dot product far inside int64)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * 1_000_000).cast("long")
+    )
+
+
+def x103_mmr_diverse_select(spark, sf_dir):
+    """X103: Maximal Marginal Relevance diverse top-k (Carbonell &
+    Goldstein, SIGIR'98) — the selection step retrieval feeds a context
+    window with and diversity-aware curation feeds a training mix with:
+    greedy picks maximizing ``lambda*rel - (1-lambda)*max_sim(selected)``
+    so the 2nd and 3rd picks avoid near-duplicating the 1st. x3/x32 rank
+    by relevance alone and return redundant neighbors when the corpus
+    has near-dups; x103 is the standard fix.
+
+    Exactness: all similarities are INTEGER dot products over micro
+    vectors (x63's floor-to-micros), lambda=1/2 folds into the x2-scaled
+    integer objective ``rel - max_sim``, and every argmax tie-breaks by
+    vec_id — a total order, bit-identical across engines.
+
+    Scale shape: the greedy loop is K=3 UNROLLED stages over a candidate
+    frame of CANDS rows per query (top-8 by relevance, one window over
+    the broadcast-query scored scan — x98's pattern). Each stage is a
+    broadcast join against the 1-row-per-query previous pick plus one
+    window argmax: per-query work is O(CANDS * K), independent of corpus
+    size, and nothing corpus-sized moves after the first scored pass."""
+    e = _T(spark, sf_dir, "embeddings").select(
+        "vec_id", _vm_micros(F.col("embedding")).alias("vm")
+    )
+    q = e.filter(F.col("vec_id") % X103_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("vm").alias("qvm")
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "vm", idot(F.col("vm"), F.col("qvm")).alias("rel"))
+    )
+    wrel = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cands = (
+        scored.withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") <= X103_CANDS)
+        .select("qid", "vec_id", "vm", "rel")
+    )
+    # Pick 1: pure relevance argmax (max_sim term is empty).
+    pick1 = (
+        cands.withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("vec_id").alias("v1"),
+            F.col("vm").alias("vm1"),
+            F.col("rel").alias("score1"),
+        )
+    )
+    # Stage 2: remaining candidates score rel - sim(. , pick1).
+    r2 = (
+        cands.join(F.broadcast(pick1), "qid")
+        .filter(F.col("vec_id") != F.col("v1"))
+        .select(
+            "qid",
+            "vec_id",
+            "vm",
+            "rel",
+            idot(F.col("vm"), F.col("vm1")).alias("sim1"),
+        )
+        .withColumn("mmr2", F.col("rel") - F.col("sim1"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("mmr2"), F.asc("vec_id"))
+    pick2 = (
+        r2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("vec_id").alias("v2"),
+            F.col("vm").alias("vm2"),
+            F.col("mmr2").alias("score2"),
+        )
+    )
+    # Stage 3: max over both selected sims.
+    r3 = (
+        r2.join(F.broadcast(pick2), "qid")
+        .filter(F.col("vec_id") != F.col("v2"))
+        .select(
+            "qid",
+            "vec_id",
+            "rel",
+            "sim1",
+            idot(F.col("vm"), F.col("vm2")).alias("sim2"),
+        )
+        .withColumn(
+            "mmr3", F.col("rel") - F.greatest("sim1", "sim2")
+        )
+    )
+    w3 = Window.partitionBy("qid").orderBy(F.desc("mmr3"), F.asc("vec_id"))
+    pick3 = (
+        r3.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("v3"), F.col("mmr3").alias("score3"))
+    )
+    out1 = pick1.select(
+        "qid", F.lit(1).alias("pick"), F.col("v1").alias("vec_id"),
+        F.col("score1").alias("mmr_score_x2"),
+    )
+    out2 = pick2.select(
+        "qid", F.lit(2).alias("pick"), F.col("v2").alias("vec_id"),
+        F.col("score2").alias("mmr_score_x2"),
+    )
+    out3 = pick3.select(
+        "qid", F.lit(3).alias("pick"), F.col("v3").alias("vec_id"),
+        F.col("score3").alias("mmr_score_x2"),
+    )
+    return out1.unionByName(out2).unionByName(out3)
+
+
+def _x103_sql() -> str:
+    dot = (
+        "CAST(list_aggregate(list_transform(list_zip({a}, {b}),"
+        " p -> p[1] * p[2]), 'sum') AS BIGINT)"
+    )
+    return f"""WITH em AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, vm AS qvm FROM em
+      WHERE vec_id % {X103_QUERY_MOD} = 0),
+scored AS (
+  SELECT qid, e.vec_id, e.vm,
+    {dot.format(a="e.vm", b="qvm")} AS rel
+  FROM em e CROSS JOIN q WHERE e.vec_id <> qid),
+cands AS (SELECT qid, vec_id, vm, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY rel DESC, vec_id ASC) AS rn FROM scored) s
+  WHERE rn <= {X103_CANDS}),
+pick1 AS (SELECT qid, vec_id AS v1, vm AS vm1, rel AS score1 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY rel DESC, vec_id ASC) AS rn FROM cands) s
+  WHERE rn = 1),
+r2 AS (SELECT c.qid, c.vec_id, c.vm, c.rel,
+         {dot.format(a="c.vm", b="p.vm1")} AS sim1,
+         c.rel - {dot.format(a="c.vm", b="p.vm1")} AS mmr2
+       FROM cands c JOIN pick1 p USING (qid) WHERE c.vec_id <> p.v1),
+pick2 AS (SELECT qid, vec_id AS v2, vm AS vm2, mmr2 AS score2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY mmr2 DESC, vec_id ASC) AS rn FROM r2) s
+  WHERE rn = 1),
+r3 AS (SELECT r.qid, r.vec_id, r.rel, r.sim1,
+         {dot.format(a="r.vm", b="p.vm2")} AS sim2
+       FROM r2 r JOIN pick2 p USING (qid) WHERE r.vec_id <> p.v2),
+pick3 AS (SELECT qid, vec_id AS v3,
+    rel - GREATEST(sim1, sim2) AS score3 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY rel - GREATEST(sim1, sim2) DESC, vec_id ASC) AS rn
+    FROM r3) s
+  WHERE rn = 1)
+SELECT qid, 1 AS pick, v1 AS vec_id, CAST(score1 AS BIGINT) AS mmr_score_x2
+FROM pick1
+UNION ALL
+SELECT qid, 2, v2, CAST(score2 AS BIGINT) FROM pick2
+UNION ALL
+SELECT qid, 3, v3, CAST(score3 AS BIGINT) FROM pick3"""
+
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -7457,5 +7883,26 @@ SPECS = [
         "OOV curve over 5 vocab budgets: kernel once, verdicts map-side",
         x100_vocab_budget_sweep,
         _x100_sql(),
+    ),
+    QuerySpec(
+        "x101_simhash_hamming_pairs",
+        "X",
+        "simhash near-dup pairs: pigeonhole band join, Hamming<=3 verify",
+        x101_simhash_hamming_pairs,
+        _X101_SQL,
+    ),
+    QuerySpec(
+        "x102_winnowing_overlap",
+        "X",
+        "MOSS winnowing fingerprints: window-min select, overlap ppm",
+        x102_winnowing_overlap,
+        _X102_SQL,
+    ),
+    QuerySpec(
+        "x103_mmr_diverse_select",
+        "X",
+        "MMR diverse top-3: greedy rel-minus-maxsim picks, exact ints",
+        x103_mmr_diverse_select,
+        _x103_sql(),
     ),
 ]

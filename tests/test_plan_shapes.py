@@ -187,6 +187,7 @@ _INTENDED_NESTED_LOOP = {
     "x84_source_minhash_overlap",  # declared bounded sources^2 cross join
     "a31_tombstone_gc",  # broadcast 1-row GC-horizon stats frame
     "x98_recall_matryoshka",  # broadcast query batch (offline calibration)
+    "x103_mmr_diverse_select",  # broadcast query batch (x98 discipline)
     "o13_cached_scan",  # broadcast 1-row totals x flags-sized frame
 }
 
@@ -515,3 +516,31 @@ def test_w12_named_windows_collapse_to_one_operator(spark, sf_dir, specs):
     plan = plan_of(spark, sf_dir, specs, "w12_named_window_clause", mode="simple")
     assert plan.count("Window") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_x101_pigeonhole_join_stays_equi(spark, sf_dir, specs):
+    """x101's candidate generator must remain the (band, band_value)
+    inverted-index equi-join — a nested-loop fallback would mean the
+    pigeonhole blocking regressed to all-pairs — and the exact
+    bit_count(XOR) Hamming verify must be present (candidates alone are
+    NOT the answer; the blocking admits false positives by design)."""
+    plan = plan_of(spark, sf_dir, specs, "x101_simhash_hamming_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "bit_count" in plan, plan
+
+
+def test_x102_fingerprint_index_is_cached(spark, sf_dir, specs):
+    """x102 materializes the fingerprint posting list once for its four
+    consumers (x11's persist rationale) — a plan that recomputes the
+    tokenize+gram+window-min map per consumer has lost the cache."""
+    plan = plan_of(spark, sf_dir, specs, "x102_winnowing_overlap", mode="simple")
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_x103_stage_joins_broadcast(spark, sf_dir, specs):
+    """x103's greedy MMR stages join the candidate frame to the
+    1-row-per-query previous pick — those must plan as broadcast hash
+    joins (nothing corpus-sized re-shuffles after the scored pass)."""
+    plan = plan_of(spark, sf_dir, specs, "x103_mmr_diverse_select", mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
