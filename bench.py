@@ -140,6 +140,12 @@ BASELINE_S = {
     "x101_simhash_hamming_pairs": 1.717,
     "x102_winnowing_overlap": 1.508,
     "x103_mmr_diverse_select": 0.982,
+    # Round-7 batch 11 (targeted best-of-2-runs-of-best-of-3).
+    "x104_leakage_free_split": 0.593,
+    "x105_pack_efficiency_sweep": 0.549,
+    "x106_langid_confusion": 0.582,
+    "b75_execute_immediate": 0.253,
+    "b76_keyset_pagination": 0.424,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -272,6 +278,13 @@ HEADLINE = (
     "x101_simhash_hamming_pairs",
     "x102_winnowing_overlap",
     "x103_mmr_diverse_select",
+    # round-7 batch 11: the leakage-free split, packing sweep, langid
+    # confusion, dynamic SQL, and keyset pagination.
+    "x104_leakage_free_split",
+    "x105_pack_efficiency_sweep",
+    "x106_langid_confusion",
+    "b75_execute_immediate",
+    "b76_keyset_pagination",
 )
 
 

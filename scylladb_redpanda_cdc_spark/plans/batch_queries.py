@@ -2492,6 +2492,79 @@ SELECT 'day', event_type, bucket_ms - (bucket_ms % 86400000),
 FROM h GROUP BY 1, 2, 3"""
 
 
+def b75_execute_immediate(spark, sf_dir):
+    """``EXECUTE IMMEDIATE`` dynamic SQL (Spark 4.0, SPARK-44911): the
+    statement TEXT itself is data — held in a SQL session variable (b61's
+    surface) and executed with positional ``?`` markers bound via
+    ``USING`` (b59's surface). This is the dispatch form a SQL gateway
+    uses when the query template is chosen at runtime (per-tenant
+    statements, stored-template dashboards); b59 binds values into a
+    static text, b74 binds identifiers — b75 binds the WHOLE statement.
+    The oracle inlines the same text + literals, proving the dynamic
+    round-trip changes nothing semantically.
+
+    Scale: the variable resolves at parse time; the executed plan is
+    identical to the literal statement, pushdown included."""
+    _T(spark, sf_dir, "orders").createOrReplaceTempView("sg_b75_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE sg_b75_stmt STRING")
+    spark.sql(
+        "SET VARIABLE sg_b75_stmt ="
+        " 'SELECT o_orderpriority, COUNT(*) AS n,"
+        " CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS total_cents"
+        " FROM sg_b75_orders WHERE o_orderstatus = ? AND o_totalprice >= ?"
+        " GROUP BY o_orderpriority'"
+    )
+    return spark.sql("EXECUTE IMMEDIATE sg_b75_stmt USING 'F', 50000.0D")
+
+
+_B75_SQL = """SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS total_cents
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+GROUP BY o_orderpriority"""
+
+
+def b76_keyset_pagination(spark, sf_dir):
+    """LIMIT/OFFSET vs KEYSET pagination, proven equivalent: page 3
+    (rows 41-60 of orders under the total order (o_orderdate,
+    o_orderkey)) fetched BOTH ways in one statement — ``LIMIT 20 OFFSET
+    40`` and the keyset form ``WHERE (date, key) > anchor ORDER BY ...
+    LIMIT 20`` with the anchor (row 40) pulled by scalar subqueries.
+    Identical 20 rows per method is the correctness claim.
+
+    Scale: this pair IS the scale story — OFFSET must sort and discard
+    40+page rows and gets linearly worse per page (a global
+    TakeOrdered), while the keyset predicate pushes into the scan and
+    reads only rows past the anchor regardless of page depth; the query
+    demonstrates on one page that switching methods cannot change
+    results. Anchor subqueries are scalar (no join node, no nested
+    loop); ties are impossible because o_orderkey is unique."""
+    _T(spark, sf_dir, "orders").createOrReplaceTempView("sg_b76_orders")
+    return spark.sql(_B76_TEMPLATE.format(tbl="sg_b76_orders"))
+
+
+#: One template, two engines: the oracle renders the identical statement
+#: against DuckDB's ``orders`` view, so the methods AND the engines agree.
+_B76_TEMPLATE = """WITH ordered AS (
+  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS odate, o_totalprice
+  FROM {tbl}),
+anchor AS (SELECT odate AS ad, o_orderkey AS ak FROM ordered
+           ORDER BY odate, o_orderkey LIMIT 1 OFFSET 39),
+offset_page AS (SELECT o_orderkey, odate, o_totalprice FROM ordered
+                ORDER BY odate, o_orderkey LIMIT 20 OFFSET 40),
+keyset_page AS (SELECT o_orderkey, odate, o_totalprice FROM ordered
+                WHERE odate > (SELECT ad FROM anchor)
+                   OR (odate = (SELECT ad FROM anchor)
+                       AND o_orderkey > (SELECT ak FROM anchor))
+                ORDER BY odate, o_orderkey LIMIT 20)
+SELECT 'offset' AS method, o_orderkey, odate, o_totalprice FROM offset_page
+UNION ALL
+SELECT 'keyset' AS method, o_orderkey, odate, o_totalprice FROM keyset_page"""
+
+_B76_SQL = _B76_TEMPLATE.format(tbl="orders")
+
+
 SPECS = [
     QuerySpec(
         "b2_filter_conjunctive",
@@ -3109,5 +3182,19 @@ SPECS = [
         "TPC-H Q5-shaped 6-table snowflake: local-supplier revenue/nation",
         b53_q5_composite,
         _B53_SQL,
+    ),
+    QuerySpec(
+        "b75_execute_immediate",
+        "B",
+        "EXECUTE IMMEDIATE: statement text in a variable, USING params",
+        b75_execute_immediate,
+        _B75_SQL,
+    ),
+    QuerySpec(
+        "b76_keyset_pagination",
+        "B",
+        "page 3 by LIMIT/OFFSET and by keyset anchor: identical rows",
+        b76_keyset_pagination,
+        _B76_SQL,
     ),
 ]

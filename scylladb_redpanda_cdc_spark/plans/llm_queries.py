@@ -7135,6 +7135,273 @@ UNION ALL
 SELECT qid, 3, v3, CAST(score3 AS BIGINT) FROM pick3"""
 
 
+#: x23's split thresholds, shared by x104 so the leakage-free split can
+#: never disagree with the naive split on the bucket -> split mapping.
+def _split_case(bucket_col):
+    return (
+        F.when(bucket_col < 80, "train")
+        .when(bucket_col < 90, "validation")
+        .otherwise("test")
+    )
+
+
+def x104_leakage_free_split(spark, sf_dir):
+    """X104: LEAKAGE-FREE train/test split — the composition of x21's
+    near-dup components with x23's content-hash split that production
+    eval hygiene actually requires: x23 alone keeps EXACT duplicates on
+    one side of the split (same hash, same bucket), but a NEAR-duplicate
+    of a test document hashes to a different bucket and can leak into
+    train. x104 closes that hole by splitting per CLUSTER: every doc
+    inherits the split of its component's canonical representative
+    (minimum doc_id), so a near-dup cluster can never straddle splits.
+    ``repaired`` marks docs whose naive x23 split differed — the measured
+    leak surface the naive split would have shipped.
+
+    Scale shape: labels come from the cached x11->CC kernel (third
+    consumer; docs-in-pairs only iterate), bucket assignment is map-only
+    sha arithmetic, and the repair is two equi-joins — one corpus-keyed
+    on doc_id, one on cluster_id against a CLUSTERS-sized canonical
+    frame. Nothing quadratic, nothing collected. Strict oracle: the x21
+    recursive-CTE labels + the x23 bucket arithmetic, composed
+    identically."""
+    labels = _cc_labels(spark, sf_dir)
+    d = _T(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim("text")), 256)
+    buckets = d.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100).alias(
+            "bucket"
+        ),
+    )
+    canon = (
+        labels.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(buckets, "doc_id")
+        .select("cluster_id", F.col("bucket").alias("canon_bucket"))
+    )
+    return (
+        labels.join(buckets, "doc_id")
+        .join(canon, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            _split_case(F.col("canon_bucket")).alias("split"),
+            _split_case(F.col("bucket")).alias("naive_split"),
+        )
+        .withColumn("repaired", F.col("split") != F.col("naive_split"))
+    )
+
+
+_X104_SQL = f"""WITH RECURSIVE {_X11_CTES},
+jpairs AS ({_X11_FINAL}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM jpairs),
+reach AS (SELECT doc_id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.doc_id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+buckets AS (SELECT doc_id,
+  CAST(concat('0x', substr(sha256(lower(trim(text))), 1, 4)) AS BIGINT) % 100
+    AS bucket
+  FROM documents),
+canon AS (SELECT l.cluster_id, b.bucket AS canon_bucket
+          FROM labels l JOIN buckets b USING (doc_id)
+          WHERE l.doc_id = l.cluster_id)
+SELECT l.doc_id, l.cluster_id,
+  CASE WHEN canon_bucket < 80 THEN 'train'
+       WHEN canon_bucket < 90 THEN 'validation'
+       ELSE 'test' END AS split,
+  CASE WHEN b.bucket < 80 THEN 'train'
+       WHEN b.bucket < 90 THEN 'validation'
+       ELSE 'test' END AS naive_split,
+  CASE WHEN canon_bucket < 80 THEN 'train'
+       WHEN canon_bucket < 90 THEN 'validation'
+       ELSE 'test' END <>
+  CASE WHEN b.bucket < 80 THEN 'train'
+       WHEN b.bucket < 90 THEN 'validation'
+       ELSE 'test' END AS repaired
+FROM labels l JOIN buckets b USING (doc_id)
+JOIN canon USING (cluster_id)"""
+
+
+#: x105's candidate context lengths — the axis the packing-efficiency
+#: sweep measures. Literals (like x100's budgets) so the fan-out is
+#: map-side and the output is 4 rows at any corpus size.
+X105_CONTEXT_LENS = (256, 512, 1024, 2048)
+
+
+def x105_pack_efficiency_sweep(spark, sf_dir):
+    """X105: context-length PACKING-EFFICIENCY sweep — x24 commits to one
+    2048-token window; x105 measures the curve that choice sits on, per
+    candidate context length: total windows, padding tokens (each shard's
+    final partial window pads to the boundary), padding ppm of packed
+    capacity, and the count of documents STRADDLING a window boundary
+    (the docs a concat-then-chunk layout splits across contexts — the
+    attention-mask pollution number packing papers trade against pad
+    waste). Both costs fall out of ONE x24 cumulative-sum pass.
+
+    Scale shape: the per-shard running sum is computed once (bounded
+    shuffle width = PACK_SHARDS, x24's kernel); the 4-length axis
+    explodes MAP-SIDE over that frame (x100's kernel-once pattern) and
+    partial-aggregates to 4 rows before any further shuffle; window/pad
+    totals aggregate the 32-row shard-totals frame. Output is 4 rows at
+    any corpus size. Exact integers + floor-ppm throughout."""
+    d = _T(spark, sf_dir, "documents")
+    n_tokens = F.size(words(F.col("text"))).cast("long")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = base.withColumn(
+        "token_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    lens = F.explode(
+        F.array(*[F.lit(x).cast("long") for x in X105_CONTEXT_LENS])
+    ).alias("context_len")
+    straddle = (F.col("n_tokens") > 0) & (
+        F.floor(F.col("token_start") / F.col("context_len"))
+        != F.floor(
+            (F.col("token_start") + F.col("n_tokens") - 1)
+            / F.col("context_len")
+        )
+    )
+    per_doc = (
+        c.select("n_tokens", "token_start", lens)
+        .withColumn("straddles", straddle)
+        .groupBy("context_len")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("straddles").cast("long")).alias("n_straddling_docs"),
+        )
+    )
+    shard_tot = base.groupBy("shard").agg(F.sum("n_tokens").alias("t"))
+    per_shard = (
+        shard_tot.select("t", lens)
+        .withColumn(
+            "n_win",
+            F.floor(
+                (F.col("t") + F.col("context_len") - 1) / F.col("context_len")
+            ),
+        )
+        .groupBy("context_len")
+        .agg(
+            F.sum("n_win").alias("n_windows"),
+            F.sum(F.col("n_win") * F.col("context_len") - F.col("t")).alias(
+                "pad_tokens"
+            ),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(per_shard), "context_len")
+        .select(
+            "context_len",
+            "n_windows",
+            "total_tokens",
+            "pad_tokens",
+            F.when(
+                F.col("n_windows") > 0,
+                F.floor(
+                    F.col("pad_tokens")
+                    * 1_000_000
+                    / (F.col("n_windows") * F.col("context_len"))
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pad_ppm"),
+            "n_straddling_docs",
+        )
+    )
+
+
+_X105_SQL = f"""WITH {_TOKS_CTE},
+base AS (SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                CAST(len(ws) AS BIGINT) AS n_tokens FROM toks),
+c AS (SELECT doc_id, shard, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS token_start
+      FROM base),
+lens AS (SELECT CAST(unnest({list(X105_CONTEXT_LENS)}) AS BIGINT)
+           AS context_len),
+per_doc AS (SELECT context_len,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(SUM(CASE WHEN n_tokens > 0 AND
+        FLOOR(token_start / CAST(context_len AS DOUBLE)) <>
+        FLOOR((token_start + n_tokens - 1) / CAST(context_len AS DOUBLE))
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling_docs
+  FROM c CROSS JOIN lens GROUP BY context_len),
+shard_tot AS (SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS t
+              FROM base GROUP BY shard),
+per_shard AS (SELECT context_len,
+    CAST(SUM(n_win) AS BIGINT) AS n_windows,
+    CAST(SUM(n_win * context_len - t) AS BIGINT) AS pad_tokens
+  FROM (SELECT context_len, t,
+          CAST(FLOOR((t + context_len - 1) / CAST(context_len AS DOUBLE))
+            AS BIGINT) AS n_win
+        FROM shard_tot CROSS JOIN lens)
+  GROUP BY context_len)
+SELECT context_len, n_windows, total_tokens, pad_tokens,
+  CAST(CASE WHEN n_windows > 0 THEN
+    FLOOR(pad_tokens * 1000000.0 / (n_windows * context_len))
+    ELSE 0 END AS BIGINT) AS pad_ppm,
+  n_straddling_docs
+FROM per_doc JOIN per_shard USING (context_len)"""
+
+
+def x106_langid_confusion(spark, sf_dir):
+    """X106: language-ID CONFUSION MATRIX — the classifier-eval step x14
+    implies but never runs: x14 emits per-doc predictions; x106 grades
+    them against the fixture's ``lang`` labels as per-(true, predicted)
+    counts with each cell's share of its true-language row in exact ppm —
+    the artifact that decides whether the heuristic's per-language error
+    is acceptable before it gates a corpus (misrouting 4% of German into
+    'unknown' drops real data; the confusion matrix is where that shows).
+
+    Scale shape: the per-doc scoring is x14's map-only marker algebra
+    (called directly — one definition, two consumers); the matrix is a
+    partial-agg groupBy on a <= (|langs|+1)^2 key space, then a
+    row-total join on the matrix frame itself (bounded rows). Output is
+    matrix-sized at any corpus size. Strict oracle: x14's scored CTE
+    verbatim + the same two aggregations."""
+    p = x14_text_langid(spark, sf_dir)
+    conf = (
+        p.groupBy(
+            F.col("lang").alias("lang_true"),
+            F.col("predicted").alias("lang_pred"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = conf.groupBy("lang_true").agg(F.sum("n").alias("n_true"))
+    return (
+        conf.join(F.broadcast(tot), "lang_true")
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n",
+            "n_true",
+            F.floor(F.col("n") * 1_000_000 / F.col("n_true"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
+
+
+_X106_SQL = f"""WITH pred AS ({_X14_SQL}),
+conf AS (SELECT lang AS lang_true, predicted AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM pred GROUP BY 1, 2),
+tot AS (SELECT lang_true, CAST(SUM(n) AS BIGINT) AS n_true
+        FROM conf GROUP BY 1)
+SELECT lang_true, lang_pred, n, n_true,
+  CAST(FLOOR(n * 1000000.0 / n_true) AS BIGINT) AS share_ppm
+FROM conf JOIN tot USING (lang_true)"""
+
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -7904,5 +8171,26 @@ SPECS = [
         "MMR diverse top-3: greedy rel-minus-maxsim picks, exact ints",
         x103_mmr_diverse_select,
         _x103_sql(),
+    ),
+    QuerySpec(
+        "x104_leakage_free_split",
+        "X",
+        "dedup-aware split: near-dup clusters never straddle train/test",
+        x104_leakage_free_split,
+        _X104_SQL,
+    ),
+    QuerySpec(
+        "x105_pack_efficiency_sweep",
+        "X",
+        "packing sweep: windows/pad-ppm/straddles per context length",
+        x105_pack_efficiency_sweep,
+        _X105_SQL,
+    ),
+    QuerySpec(
+        "x106_langid_confusion",
+        "X",
+        "langid eval: confusion matrix with per-true-lang share ppm",
+        x106_langid_confusion,
+        _X106_SQL,
     ),
 ]
