@@ -1022,3 +1022,49 @@ def test_x96_candidates_come_only_from_probed_buckets(spark, sf_dir, specs):
     assert len(pdf), "x96 returned no candidates on the fixture"
     assert (pdf["ham"] <= 1).all(), pdf[pdf["ham"] > 1].head()
     assert (pdf["qid"] != pdf["vec_id"]).all()
+
+
+def test_x104_no_cluster_straddles_splits(spark, sf_dir, specs):
+    """x104's whole point: every near-dup cluster lands entirely in ONE
+    split (the leak x23 alone permits), and the split always equals the
+    canonical member's naive split."""
+    pdf = specs["x104_leakage_free_split"].build(spark, sf_dir).toPandas()
+    assert (pdf.groupby("cluster_id")["split"].nunique() == 1).all()
+    canon = pdf[pdf["doc_id"] == pdf["cluster_id"]]
+    assert (canon["split"] == canon["naive_split"]).all()
+    assert not canon["repaired"].any()
+    # a repaired doc is always a NON-canonical cluster member
+    rep = pdf[pdf["repaired"]]
+    assert (rep["doc_id"] != rep["cluster_id"]).all()
+
+
+def test_x105_packing_accounting_balances(spark, sf_dir, specs):
+    """x105: packed capacity must balance exactly — windows * L ==
+    total_tokens + pad_tokens for every candidate length, totals are
+    length-invariant, and straddling docs are impossible when every doc
+    fits a window boundary check."""
+    pdf = specs["x105_pack_efficiency_sweep"].build(spark, sf_dir).toPandas()
+    assert len(pdf) == 4
+    assert (
+        pdf["n_windows"] * pdf["context_len"]
+        == pdf["total_tokens"] + pdf["pad_tokens"]
+    ).all()
+    assert pdf["total_tokens"].nunique() == 1  # same corpus, every L
+    assert (pdf["pad_ppm"] <= 1_000_000).all()
+    # larger contexts cannot need more windows
+    s = pdf.sort_values("context_len")
+    assert s["n_windows"].is_monotonic_decreasing or (
+        s["n_windows"].diff().dropna() <= 0
+    ).all()
+
+
+def test_x106_confusion_rows_partition_the_corpus(spark, sf_dir, specs):
+    """x106: matrix cells partition the corpus (sum n == doc count), row
+    shares stay <= 1e6 ppm, and per-row totals match the cell sums."""
+    pdf = specs["x106_langid_confusion"].build(spark, sf_dir).toPandas()
+    docs = specs["x16_text_token_count"].build(spark, sf_dir).count()
+    assert pdf["n"].sum() == docs
+    assert (pdf["share_ppm"] <= 1_000_000).all()
+    row_tot = pdf.groupby("lang_true")["n"].sum()
+    declared = pdf.groupby("lang_true")["n_true"].first()
+    assert (row_tot == declared).all()

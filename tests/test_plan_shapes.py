@@ -544,3 +544,14 @@ def test_x103_stage_joins_broadcast(spark, sf_dir, specs):
     joins (nothing corpus-sized re-shuffles after the scored pass)."""
     plan = plan_of(spark, sf_dir, specs, "x103_mmr_diverse_select", mode="simple")
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_b76_pagination_methods_return_identical_pages(spark, sf_dir, specs):
+    """b76's correctness claim in one assertion: the OFFSET page and the
+    keyset page are the same 20 rows (same keys, same order position) —
+    and the page is exactly 20 rows per method on the fixture."""
+    pdf = specs["b76_keyset_pagination"].build(spark, sf_dir).toPandas()
+    off = pdf[pdf["method"] == "offset"].sort_values("o_orderkey")
+    key = pdf[pdf["method"] == "keyset"].sort_values("o_orderkey")
+    assert len(off) == 20 and len(key) == 20
+    assert list(off["o_orderkey"]) == list(key["o_orderkey"])
