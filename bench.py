@@ -146,6 +146,9 @@ BASELINE_S = {
     "x106_langid_confusion": 0.582,
     "b75_execute_immediate": 0.253,
     "b76_keyset_pagination": 0.424,
+    # Round-7 batch 12 (targeted best-of-2-runs-of-best-of-3).
+    "x107_ivf_balance_report": 1.677,
+    "x108_dedup_lineage": 1.810,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -285,6 +288,9 @@ HEADLINE = (
     "x106_langid_confusion",
     "b75_execute_immediate",
     "b76_keyset_pagination",
+    # round-7 batch 12: the IVF balance audit and the survivorship ledger.
+    "x107_ivf_balance_report",
+    "x108_dedup_lineage",
 )
 
 

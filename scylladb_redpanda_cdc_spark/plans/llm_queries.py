@@ -7402,6 +7402,196 @@ SELECT lang_true, lang_pred, n, n_true,
 FROM conf JOIN tot USING (lang_true)"""
 
 
+def x107_ivf_balance_report(spark, sf_dir):
+    """X107: IVF index-HEALTH report — x13 probes the index; x107 audits
+    it. Per centroid: assigned-vector count (EMPTY centroids included —
+    a dead centroid wastes a probe slot), share of the corpus in exact
+    ppm, and the load factor vs perfect balance in exact thousandths
+    (n_vecs * n_centroids * 1000 / N). Probe cost under skew is the
+    max-load row: a centroid at load 5000 (5x balanced) makes every
+    probe that touches it 5x the balanced cost — the number that decides
+    whether the index needs re-training before it ships (the IVF
+    equivalent of x2's bucket-cap audit).
+
+    Scale shape: the assignment is x13's one full pass (broadcast
+    centroid table, per-vector argmax window); the report aggregates
+    that assignment to a CENTROIDS-sized frame; corpus totals ride a
+    1-row broadcast combine. Same seed-free arithmetic as x13, so the
+    oracle recomputes the identical assignment."""
+    e = _T(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cent_n = cent.withColumn("_nb", l2_norm(F.col("cemb")))
+    ac = (
+        e.withColumn("_na", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent_n))
+        .select(
+            "vec_id",
+            "cid",
+            (
+                dot_d(F.col("embedding"), F.col("cemb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("c_cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        ac.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    counts = assigned.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    occ = cent.select("cid").join(counts, "cid", "left").select(
+        "cid", F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs")
+    )
+    tot = occ.agg(
+        F.sum("n_vecs").alias("n_total"),
+        F.count("*").alias("n_centroids"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vecs",
+        F.floor(F.col("n_vecs") * 1_000_000 / F.col("n_total"))
+        .cast("long")
+        .alias("share_ppm"),
+        F.floor(
+            F.col("n_vecs") * F.col("n_centroids") * 1_000 / F.col("n_total")
+        )
+        .cast("long")
+        .alias("load_x1000"),
+    )
+
+
+_X107_SQL = f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+              FROM embeddings WHERE vec_id % 25 = 0),
+ac AS (SELECT e.vec_id, c.cid,
+              {_cos_sql('e.embedding', 'c.cemb')} AS c_cos
+       FROM embeddings e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY c_cos DESC, cid ASC) AS rn
+  FROM ac) WHERE rn = 1),
+counts AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+           FROM assigned GROUP BY cid),
+occ AS (SELECT cent.cid, CAST(COALESCE(n_vecs, 0) AS BIGINT) AS n_vecs
+        FROM cent LEFT JOIN counts USING (cid)),
+tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_centroids FROM occ)
+SELECT cid, n_vecs,
+  CAST(FLOOR(n_vecs * 1000000.0 / n_total) AS BIGINT) AS share_ppm,
+  CAST(FLOOR(n_vecs * n_centroids * 1000.0 / n_total) AS BIGINT)
+    AS load_x1000
+FROM occ CROSS JOIN tot"""
+
+
+def x108_dedup_lineage(spark, sf_dir):
+    """X108: per-doc dedup SURVIVORSHIP LINEAGE — x85 reports how many
+    each detector family removes; x108 records, for EVERY document,
+    whether it survives and if not WHY and in favor of WHOM: reason
+    'exact' (a lower-id doc has the identical normalized text, x1's
+    rule), else 'near' (a lower-id doc is reachable in x21's near-dup
+    component), else 'contained' (>= 50% of its spans appear in another
+    doc, x39's rule — survivor is the minimum qualifying container,
+    mutual containment tie-broken by id so two docs can never drop each
+    other), else 'kept'. This is the provenance ledger a curation run
+    ships with its keep-list: every removal is attributable and
+    reproducible — the datasheet answer to "where did my document go".
+
+    Scale shape: three production kernels reused verbatim — exact is
+    x1's partial-agg (one row per distinct hash moves), near labels
+    come from the cached x11→CC kernel, containment pairs from x39's
+    df-capped inverted-index join — composed with nothing but equi-joins
+    on doc ids. Reason priority is a per-row CASE. Strict oracle: the
+    same three SQL kernels composed identically."""
+    d = _T(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim("text")), 256)
+    hashed = d.select("doc_id", h.alias("text_hash"))
+    ex_surv = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("ex_surv")
+    )
+    exact = hashed.join(ex_surv, "text_hash").select("doc_id", "ex_surv")
+    labels = _cc_labels(spark, sf_dir)
+    cont = x39_dedup_containment(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).persist()
+    rev = cont.select(
+        F.col("doc_a").alias("rb"), F.col("doc_b").alias("ra")
+    ).withColumn("has_rev", F.lit(True))
+    qual = (
+        cont.join(
+            rev,
+            (F.col("doc_a") == F.col("ra")) & (F.col("doc_b") == F.col("rb")),
+            "left",
+        )
+        .filter(F.col("has_rev").isNull() | (F.col("doc_b") < F.col("doc_a")))
+        .groupBy("doc_a")
+        .agg(F.min("doc_b").alias("cont_surv"))
+    )
+    base = (
+        exact.join(labels, "doc_id")
+        .join(qual, exact["doc_id"] == qual["doc_a"], "left")
+        .drop("doc_a")
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("ex_surv"), "exact")
+        .when(F.col("doc_id") != F.col("cluster_id"), "near")
+        .when(F.col("cont_surv").isNotNull(), "contained")
+        .otherwise("kept")
+    )
+    survivor = (
+        F.when(F.col("doc_id") != F.col("ex_surv"), F.col("ex_surv"))
+        .when(F.col("doc_id") != F.col("cluster_id"), F.col("cluster_id"))
+        .when(F.col("cont_surv").isNotNull(), F.col("cont_surv"))
+        .otherwise(F.col("doc_id"))
+    )
+    return base.select(
+        "doc_id",
+        reason.alias("reason"),
+        survivor.alias("survivor_id"),
+        (reason == F.lit("kept")).alias("kept"),
+    )
+
+
+_X108_SQL = f"""WITH RECURSIVE {_X11_CTES},
+jpairs AS ({_X11_FINAL}),
+cedges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+           UNION ALL SELECT doc_b AS a, doc_a AS b FROM jpairs),
+reach AS (SELECT doc_id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.doc_id, e.b AS r FROM reach JOIN cedges e
+            ON reach.r = e.a),
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+exact AS (SELECT doc_id,
+            MIN(doc_id) OVER (PARTITION BY sha256(lower(trim(text))))
+              AS ex_surv
+          FROM documents),
+cpairs AS ({_X39_SQL}),
+qual AS (SELECT c1.doc_a, MIN(c1.doc_b) AS cont_surv
+         FROM cpairs c1 LEFT JOIN cpairs c2
+           ON c2.doc_a = c1.doc_b AND c2.doc_b = c1.doc_a
+         WHERE c2.doc_a IS NULL OR c1.doc_b < c1.doc_a
+         GROUP BY c1.doc_a)
+SELECT e.doc_id,
+  CASE WHEN e.doc_id <> e.ex_surv THEN 'exact'
+       WHEN e.doc_id <> l.cluster_id THEN 'near'
+       WHEN q.cont_surv IS NOT NULL THEN 'contained'
+       ELSE 'kept' END AS reason,
+  CASE WHEN e.doc_id <> e.ex_surv THEN e.ex_surv
+       WHEN e.doc_id <> l.cluster_id THEN l.cluster_id
+       WHEN q.cont_surv IS NOT NULL THEN q.cont_surv
+       ELSE e.doc_id END AS survivor_id,
+  CASE WHEN e.doc_id <> e.ex_surv THEN 'exact'
+       WHEN e.doc_id <> l.cluster_id THEN 'near'
+       WHEN q.cont_surv IS NOT NULL THEN 'contained'
+       ELSE 'kept' END = 'kept' AS kept
+FROM exact e JOIN labels l USING (doc_id)
+LEFT JOIN qual q ON q.doc_a = e.doc_id"""
+
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -8192,5 +8382,19 @@ SPECS = [
         "langid eval: confusion matrix with per-true-lang share ppm",
         x106_langid_confusion,
         _X106_SQL,
+    ),
+    QuerySpec(
+        "x107_ivf_balance_report",
+        "X",
+        "IVF index health: per-centroid occupancy, share ppm, load factor",
+        x107_ivf_balance_report,
+        _X107_SQL,
+    ),
+    QuerySpec(
+        "x108_dedup_lineage",
+        "X",
+        "per-doc survivorship: exact/near/contained reason + survivor id",
+        x108_dedup_lineage,
+        _X108_SQL,
     ),
 ]

@@ -1068,3 +1068,35 @@ def test_x106_confusion_rows_partition_the_corpus(spark, sf_dir, specs):
     row_tot = pdf.groupby("lang_true")["n"].sum()
     declared = pdf.groupby("lang_true")["n_true"].first()
     assert (row_tot == declared).all()
+
+
+def test_x107_occupancy_partitions_the_corpus(spark, sf_dir, specs):
+    """x107: every vector lands on exactly one centroid (occupancy sums to
+    the corpus), every centroid gets a row (empties included), and the
+    load factors average to balanced by construction."""
+    pdf = specs["x107_ivf_balance_report"].build(spark, sf_dir).toPandas()
+    n_vecs = specs["x5_embed_normalize"].build(spark, sf_dir).count()
+    assert pdf["n_vecs"].sum() == n_vecs
+    assert (pdf["n_vecs"] >= 0).all()
+    # perfect-balance load is 1000; the exact-floor mean can only sit at
+    # or just under it
+    assert 900 <= pdf["load_x1000"].mean() <= 1000
+
+
+def test_x108_lineage_covers_every_doc_and_never_mutually_drops(
+    spark, sf_dir, specs
+):
+    """x108: one row per document; 'kept' iff survivor is itself; every
+    reason is from the declared vocabulary; and the containment
+    tie-break guarantees two docs never drop each other."""
+    pdf = specs["x108_dedup_lineage"].build(spark, sf_dir).toPandas()
+    docs = specs["x23_split_train_test"].build(spark, sf_dir).count()
+    assert len(pdf) == docs and pdf["doc_id"].is_unique
+    assert set(pdf["reason"]) <= {"exact", "near", "contained", "kept"}
+    kept = pdf[pdf["kept"]]
+    assert (kept["survivor_id"] == kept["doc_id"]).all()
+    dropped = pdf[~pdf["kept"]]
+    assert (dropped["survivor_id"] != dropped["doc_id"]).all()
+    cont = dropped[dropped["reason"] == "contained"]
+    pairs = set(zip(cont["doc_id"], cont["survivor_id"]))
+    assert not any((b, a) in pairs for a, b in pairs)

@@ -188,6 +188,7 @@ _INTENDED_NESTED_LOOP = {
     "a31_tombstone_gc",  # broadcast 1-row GC-horizon stats frame
     "x98_recall_matryoshka",  # broadcast query batch (offline calibration)
     "x103_mmr_diverse_select",  # broadcast query batch (x98 discipline)
+    "x107_ivf_balance_report",  # broadcast centroid table + 1-row totals
     "o13_cached_scan",  # broadcast 1-row totals x flags-sized frame
 }
 
