@@ -149,6 +149,9 @@ BASELINE_S = {
     # Round-7 batch 12 (targeted best-of-2-runs-of-best-of-3).
     "x107_ivf_balance_report": 1.677,
     "x108_dedup_lineage": 1.810,
+    # Round-7 batch 13 (targeted best-of-2-runs-of-best-of-3).
+    "x109_triplet_mining": 1.048,
+    "x110_span_corruption_mask": 0.464,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -291,6 +294,9 @@ HEADLINE = (
     # round-7 batch 12: the IVF balance audit and the survivorship ledger.
     "x107_ivf_balance_report",
     "x108_dedup_lineage",
+    # round-7 batch 13: triplet mining and span-corruption sizing.
+    "x109_triplet_mining",
+    "x110_span_corruption_mask",
 )
 
 

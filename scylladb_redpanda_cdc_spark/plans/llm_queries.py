@@ -7592,6 +7592,181 @@ FROM exact e JOIN labels l USING (doc_id)
 LEFT JOIN qual q ON q.doc_a = e.doc_id"""
 
 
+#: x109's anchor stride (x98's discipline: a deterministic query subset,
+#: never the full corpus on the broadcast side).
+X109_ANCHOR_MOD = 101
+
+
+def x109_triplet_mining(spark, sf_dir):
+    """X109: TRIPLET mining for contrastive/metric training (FaceNet's
+    semi-hard discipline, the assembly step x62 stops short of): per
+    anchor the HARDEST POSITIVE (same label, LOWEST cosine — the in-class
+    example the model most confuses) and the HARDEST NEGATIVE (different
+    label, HIGHEST cosine — x62's number one), emitted as one
+    (anchor, positive, negative) row with the margin ``pos_cos -
+    neg_cos`` that decides whether the triplet still teaches anything
+    (margin <= 0 is an active violation; large margins are dead weight a
+    curriculum drops). x62 mines one side; a trainer needs the triplet.
+
+    Scale shape: ONE scored pass (anchor batch broadcast, corpus streams
+    map-side — x32/x62's discipline), then two label-filtered per-anchor
+    argmax windows over that shared frame and a 1-row-per-anchor join.
+    Cosines are the same bit-exact double arithmetic as x3/x62, so the
+    margin is bit-identical cross-engine."""
+    e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    q = e.filter(F.col("vec_id") % X109_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+    )
+    wpos = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").asc(), F.col("vec_id").asc()
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cos_sim").alias("pos_cos"),
+        )
+    )
+    wneg = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("cos_sim").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )
+
+
+def _x109_sql() -> str:
+    return f"""WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe,
+             label AS qlabel
+           FROM embeddings WHERE vec_id % {X109_ANCHOR_MOD} = 0),
+scored AS (SELECT anchor_id, qlabel, e.vec_id, e.label,
+             {_cos_sql('e.embedding', 'qe')} AS cos_sim
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> anchor_id),
+pos AS (SELECT anchor_id, vec_id AS pos_id, cos_sim AS pos_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+      ORDER BY cos_sim ASC, vec_id ASC) AS rn
+    FROM scored WHERE label = qlabel) s WHERE rn = 1),
+neg AS (SELECT anchor_id, vec_id AS neg_id, cos_sim AS neg_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+    FROM scored WHERE label <> qlabel) s WHERE rn = 1)
+SELECT anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+  pos_cos - neg_cos AS margin
+FROM pos JOIN neg USING (anchor_id)"""
+
+
+#: x110's corruption geometry: span starts every BLOCK tokens at a
+#: doc-hash-derived phase, spans SPAN_LEN tokens (clipped at doc end) —
+#: non-overlapping by construction (SPAN_LEN < BLOCK), expected mask rate
+#: SPAN_LEN/BLOCK = 15%.
+X110_BLOCK = 20
+X110_SPAN_LEN = 3
+
+
+def x110_span_corruption_mask(spark, sf_dir):
+    """X110: T5-style SPAN-CORRUPTION sizing — the deterministic masking
+    geometry a denoising pretraining run needs BEFORE it materializes
+    inputs/targets: per doc the number of corrupted spans, masked-token
+    count, exact mask ratio (ppm), and the post-corruption INPUT length
+    (original minus masked plus one sentinel per span — the number that
+    drives x24/x105 packing for the encoder side). Span starts sit every
+    ``X110_BLOCK`` tokens at a per-doc content-hash phase (so masks vary
+    across docs but are rerun-stable), each span masks ``X110_SPAN_LEN``
+    tokens clipped at doc end — non-overlapping by construction.
+
+    Scale shape: pure per-row integer arithmetic on the token count (the
+    mask GEOMETRY needs no token materialization at all) — map-only, the
+    scan absorbs it at any corpus size. Strict oracle: the same hash
+    phase (sha-prefix) and the same closed-form span/clip counting."""
+    d = _T(spark, sf_dir, "documents")
+    n = F.size(words(F.col("text"))).cast("long")
+    phase = (
+        F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 4), 16, 10)
+        .cast("long")
+        % X110_BLOCK
+    )
+    # starts at phase, phase+BLOCK, ... strictly below n
+    n_spans = F.when(
+        n > phase,
+        F.floor((n - 1 - phase) / F.lit(X110_BLOCK)).cast("long") + 1,
+    ).otherwise(F.lit(0).cast("long"))
+    last_start = phase + (n_spans - 1) * X110_BLOCK
+    # every span but possibly the last masks SPAN_LEN tokens; the last is
+    # clipped at the doc end
+    n_masked = F.when(
+        n_spans > 0,
+        (n_spans - 1) * X110_SPAN_LEN
+        + F.least(F.lit(X110_SPAN_LEN).cast("long"), n - last_start),
+    ).otherwise(F.lit(0).cast("long"))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        phase.alias("mask_phase"),
+        n_spans.alias("n_spans"),
+        n_masked.alias("n_masked"),
+        F.when(n > 0, F.floor(n_masked * 1_000_000 / n))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mask_ppm"),
+        (n - n_masked + n_spans).alias("encoder_len"),
+    )
+
+
+_X110_SQL = f"""WITH {_TOKS_CTE},
+base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+           CAST(concat('0x', substr(sha256(text), 1, 4)) AS BIGINT)
+             % {X110_BLOCK} AS phase
+         FROM toks),
+geo AS (SELECT doc_id, n, phase,
+          CASE WHEN n > phase THEN
+            CAST(FLOOR((n - 1 - phase) / {X110_BLOCK}.0) AS BIGINT) + 1
+          ELSE 0 END AS n_spans
+        FROM base),
+msk AS (SELECT doc_id, n, phase, n_spans,
+          CASE WHEN n_spans > 0 THEN
+            (n_spans - 1) * {X110_SPAN_LEN}
+            + LEAST({X110_SPAN_LEN},
+                    n - (phase + (n_spans - 1) * {X110_BLOCK}))
+          ELSE 0 END AS n_masked
+        FROM geo)
+SELECT doc_id, n AS n_tokens, phase AS mask_phase, n_spans, n_masked,
+  CAST(CASE WHEN n > 0 THEN FLOOR(n_masked * 1000000.0 / n)
+       ELSE 0 END AS BIGINT) AS mask_ppm,
+  CAST(n - n_masked + n_spans AS BIGINT) AS encoder_len
+FROM msk"""
+
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -8396,5 +8571,19 @@ SPECS = [
         "per-doc survivorship: exact/near/contained reason + survivor id",
         x108_dedup_lineage,
         _X108_SQL,
+    ),
+    QuerySpec(
+        "x109_triplet_mining",
+        "X",
+        "contrastive triplets: hardest positive + negative per anchor",
+        x109_triplet_mining,
+        _x109_sql(),
+    ),
+    QuerySpec(
+        "x110_span_corruption_mask",
+        "X",
+        "T5 span-corruption sizing: spans, masked, ppm, encoder length",
+        x110_span_corruption_mask,
+        _X110_SQL,
     ),
 ]

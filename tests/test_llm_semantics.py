@@ -1100,3 +1100,48 @@ def test_x108_lineage_covers_every_doc_and_never_mutually_drops(
     cont = dropped[dropped["reason"] == "contained"]
     pairs = set(zip(cont["doc_id"], cont["survivor_id"]))
     assert not any((b, a) in pairs for a, b in pairs)
+
+
+def test_x109_triplets_are_wellformed(spark, sf_dir, specs):
+    """x109: one triplet per anchor; positive shares the anchor's label,
+    negative does not, neither is the anchor itself, and margin is
+    exactly pos_cos - neg_cos."""
+    pdf = specs["x109_triplet_mining"].build(spark, sf_dir).toPandas()
+    emb = (
+        specs["x5_embed_normalize"]
+        .build(spark, sf_dir)
+        .select("vec_id")
+        .toPandas()
+    )
+    import duckdb
+
+    labels = duckdb.sql(
+        f"SELECT vec_id, label FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).df()
+    lab = dict(zip(labels["vec_id"], labels["label"]))
+    assert pdf["anchor_id"].is_unique and len(pdf)
+    assert (pdf["pos_id"] != pdf["anchor_id"]).all()
+    assert (pdf["neg_id"] != pdf["anchor_id"]).all()
+    for _, r in pdf.iterrows():
+        assert lab[r["pos_id"]] == lab[r["anchor_id"]]
+        assert lab[r["neg_id"]] != lab[r["anchor_id"]]
+    assert (pdf["margin"] == pdf["pos_cos"] - pdf["neg_cos"]).all()
+
+
+def test_x110_mask_geometry_is_consistent(spark, sf_dir, specs):
+    """x110: masked tokens never exceed the doc, spans never overlap by
+    construction (n_masked <= 3 * n_spans), the encoder length balances,
+    and the phase stays inside the block."""
+    pdf = specs["x110_span_corruption_mask"].build(spark, sf_dir).toPandas()
+    assert (pdf["n_masked"] <= pdf["n_tokens"]).all()
+    assert (pdf["n_masked"] <= 3 * pdf["n_spans"]).all()
+    assert (pdf["n_masked"] >= pdf["n_spans"].clip(lower=0)).all()
+    assert (
+        pdf["encoder_len"]
+        == pdf["n_tokens"] - pdf["n_masked"] + pdf["n_spans"]
+    ).all()
+    assert pdf["mask_phase"].between(0, 19).all()
+    nz = pdf[pdf["n_tokens"] >= 40]
+    # docs long enough always have at least one span, mask rate near 15%
+    assert (nz["n_spans"] >= 1).all()
+    assert 100_000 <= nz["mask_ppm"].mean() <= 200_000

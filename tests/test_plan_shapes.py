@@ -189,6 +189,7 @@ _INTENDED_NESTED_LOOP = {
     "x98_recall_matryoshka",  # broadcast query batch (offline calibration)
     "x103_mmr_diverse_select",  # broadcast query batch (x98 discipline)
     "x107_ivf_balance_report",  # broadcast centroid table + 1-row totals
+    "x109_triplet_mining",  # broadcast anchor batch (x62's mining twin)
     "o13_cached_scan",  # broadcast 1-row totals x flags-sized frame
 }
 
