@@ -152,6 +152,8 @@ BASELINE_S = {
     # Round-7 batch 13 (targeted best-of-2-runs-of-best-of-3).
     "x109_triplet_mining": 1.048,
     "x110_span_corruption_mask": 0.464,
+    # Round-7 batch 14 (targeted best-of-2-runs-of-best-of-3).
+    "x111_top_pc_power_iteration": 3.379,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -297,6 +299,8 @@ HEADLINE = (
     # round-7 batch 13: triplet mining and span-corruption sizing.
     "x109_triplet_mining",
     "x110_span_corruption_mask",
+    # round-7 batch 14: the Gram-matrix eigen-solve.
+    "x111_top_pc_power_iteration",
 )
 
 

@@ -7592,6 +7592,178 @@ FROM exact e JOIN labels l USING (doc_id)
 LEFT JOIN qual q ON q.doc_a = e.doc_id"""
 
 
+#: x111 geometry: the corpus is touched ONCE (the exact integer Gram
+#: matrix); the eigen-solve happens on the 64x64 frame by repeated
+#: SQUARING — G^(2^6) = 64 power iterations in 6 d x d matmuls, the
+#: log-step trick a flat spectrum (lambda2/lambda1 ~ 0.93 on the fixture)
+#: makes necessary. Entries are floor-rescaled to <= CAP before each
+#: squaring so every product and partial sum stays exactly representable
+#: (64 * CAP^2 = 6.4e15 < 2^53 — the matmul sums are exact BIGINTs and
+#: the rescale divisions are exact doubles, identical in both engines).
+X111_SQUARINGS = 6
+X111_CAP = 10_000_000
+
+
+def x111_top_pc_power_iteration(spark, sf_dir):
+    """X111: TOP PRINCIPAL COMPONENT — the linear-algebra primitive
+    embedding pipelines run before whitening / ABTT common-direction
+    removal (x71 centers; removing the top PC is the next step, and this
+    computes it). The distributed part is ONE corpus pass: the exact
+    integer Gram matrix G = C^T C of the mean-centered micro matrix
+    (d^2 = 4096 accumulators, x63's partial-agg discipline). The
+    eigen-solve then never touches the corpus: G is SQUARED 6 times
+    (G -> G^64 up to per-step rescaling — equivalent to 64 power
+    iterations, the log-step form a flat spectrum needs; 3 naive
+    iterations measured cosine 0.18 vs numpy's eigenvector, G^64 gives
+    > 0.999), and the top PC is read off as the normalized row sums
+    (G^64 applied to the all-ones vector). Emits 64 (dim, pc_micros)
+    rows.
+
+    Exactness discipline: every corpus- or join-order-dependent sum is
+    an exact INTEGER sum (centered micros, Gram accumulators, matmul
+    partial sums — all bounded by the CAP rescale so they stay inside
+    both int64 and double-exact range); the only doubles are the
+    per-step max-abs rescale divisions (exact: numerators <= 6.4e15 <
+    2^53) and the final 64-element norm fold over a SORTED array (x3's
+    proven idiom). DuckDB replays the identical fixed-point ladder, so
+    all 64 output ints match exactly — an eigen-solve with a strict
+    value oracle.
+
+    Scale shape: the Gram pass partial-aggregates map-side to 4096 keys
+    (the shuffle carries tasks x 4096 rows regardless of corpus size);
+    each squaring is a 64^3-row self-join on the TINY frame; the mean
+    and max-abs ride 1-row broadcasts. At 1e6+ vectors the centered
+    micros pre-scale one decade (the standard fixed-point ladder) to
+    keep Gram sums in range."""
+    e = _T(spark, sf_dir, "embeddings").select(
+        "vec_id", _vm_micros(F.col("embedding")).alias("vm")
+    )
+    dims = e.select("vec_id", F.posexplode("vm").alias("dim", "val"))
+    mean = dims.groupBy("dim").agg(
+        F.floor(F.sum("val") / F.count("*")).cast("long").alias("m")
+    )
+    marr = mean.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("marr")
+    )
+    cent = e.crossJoin(F.broadcast(marr)).select(
+        F.zip_with("vm", "marr", lambda a, b: a - b).alias("c")
+    )
+    # Gram via map-side outer product: scan -> two generates -> partial
+    # agg to 4096 keys. NO corpus shuffle at all (a vec_id self-join
+    # would shuffle the corpus twice; this shuffles tasks x 4096 rows).
+    s1 = cent.select(F.posexplode("c").alias("i", "ci"), "c")
+    g = (
+        s1.select("i", "ci", F.posexplode("c").alias("j", "cj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ci") * F.col("cj")).alias("v"))
+    )
+
+    def rescale(m):
+        # Eagerly materialize the TINY (<=4096-row) frame each round:
+        # it feeds three consumers (both matmul sides + the max-abs agg),
+        # and the lazy plan otherwise TRIPLES per squaring — the same
+        # logical-plan-doubling trap the x21 CC kernel documents.
+        # coalesce(1): 4096 rows in one task per checkpoint job instead
+        # of shuffle-partition-many near-empty tasks.
+        m = m.coalesce(1).localCheckpoint(eager=True)
+        mx = m.agg(F.max(F.abs(F.col("v"))).alias("mx"))
+        s = F.when(
+            F.col("mx") > X111_CAP,
+            F.floor(F.col("mx") / X111_CAP) + 1,
+        ).otherwise(F.lit(1))
+        return m.crossJoin(F.broadcast(mx)).select(
+            "i", "j", F.floor(F.col("v") / s).cast("long").alias("v")
+        )
+
+    h = rescale(g)
+    for _ in range(X111_SQUARINGS):
+        lhs = h.select(F.col("i"), F.col("j").alias("k"), F.col("v").alias("a"))
+        rhs = h.select(F.col("i").alias("k"), F.col("j"), F.col("v").alias("b"))
+        h = rescale(
+            lhs.join(rhs, "k")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("a") * F.col("b")).alias("v"))
+        )
+    y = h.groupBy(F.col("i").alias("dim")).agg(F.sum("v").alias("y"))
+    yarr = y.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "y"))),
+            lambda s: s["y"],
+        ).alias("yarr")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("yarr"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    v = yarr.select(
+        F.transform(
+            F.col("yarr"),
+            lambda x: F.when(
+                norm > 0.0, F.floor(x.cast("double") * 1_000_000 / norm)
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ).alias("varr")
+    )
+    return v.select(F.posexplode("varr").alias("dim", "pc_micros"))
+
+
+def _x111_sql() -> str:
+    # MATERIALIZED: every s{{k}} is consumed twice by the next squaring
+    # (both matmul sides) plus the max-abs scalar — without
+    # materialization DuckDB re-evaluates the whole chain per reference
+    # (2^squarings scans; the same plan-doubling trap the Spark side
+    # checkpoints away).
+    sq = """
+m{k} AS MATERIALIZED (SELECT l.i, r.j, CAST(SUM(l.v * r.v) AS BIGINT) AS v
+  FROM s{j} l JOIN s{j} r ON l.j = r.i GROUP BY l.i, r.j),
+s{k} AS MATERIALIZED (SELECT i, j,
+    CAST(FLOOR(v / (SELECT CASE WHEN MAX(ABS(v)) > {cap}
+      THEN FLOOR(MAX(ABS(v)) / {cap}.0) + 1 ELSE 1 END FROM m{k}))
+      AS BIGINT) AS v
+  FROM m{k})"""
+    sqs = ",".join(
+        sq.format(k=k, j=k - 1, cap=X111_CAP)
+        for k in range(1, X111_SQUARINGS + 1)
+    )
+    return f"""WITH em AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+  FROM embeddings),
+dims AS (SELECT vec_id, i - 1 AS dim, vm[i] AS val
+         FROM em CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix),
+mean AS (SELECT dim,
+           CAST(FLOOR(SUM(val) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
+         FROM dims GROUP BY dim),
+cdims AS MATERIALIZED (SELECT vec_id, dim, CAST(val - m AS BIGINT) AS c
+          FROM dims JOIN mean USING (dim)),
+g AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.c * b.c) AS BIGINT) AS v
+  FROM cdims a JOIN cdims b USING (vec_id) GROUP BY 1, 2),
+s0 AS MATERIALIZED (SELECT i, j,
+    CAST(FLOOR(v / (SELECT CASE WHEN MAX(ABS(v)) > {X111_CAP}
+      THEN FLOOR(MAX(ABS(v)) / {X111_CAP}.0) + 1 ELSE 1 END FROM g))
+      AS BIGINT) AS v
+  FROM g),{sqs},
+ydim AS (SELECT i AS dim, CAST(SUM(v) AS BIGINT) AS y
+         FROM s{X111_SQUARINGS} GROUP BY i),
+yarr AS (SELECT list(y ORDER BY dim) AS yarr FROM ydim)
+SELECT i - 1 AS dim,
+  CASE WHEN sqrt(list_aggregate(list_transform(yarr,
+         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 'sum')) > 0
+  THEN CAST(FLOOR(CAST(yarr[i] AS DOUBLE) * 1000000 /
+    sqrt(list_aggregate(list_transform(yarr,
+      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 'sum'))) AS BIGINT)
+  ELSE 0 END AS pc_micros
+FROM yarr CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix"""
+
+
 #: x109's anchor stride (x98's discipline: a deterministic query subset,
 #: never the full corpus on the broadcast side).
 X109_ANCHOR_MOD = 101
@@ -8585,5 +8757,12 @@ SPECS = [
         "T5 span-corruption sizing: spans, masked, ppm, encoder length",
         x110_span_corruption_mask,
         _X110_SQL,
+    ),
+    QuerySpec(
+        "x111_top_pc_power_iteration",
+        "X",
+        "top principal component: 3 exact-integer power iterations",
+        x111_top_pc_power_iteration,
+        _x111_sql(),
     ),
 ]

@@ -1145,3 +1145,34 @@ def test_x110_mask_geometry_is_consistent(spark, sf_dir, specs):
     # docs long enough always have at least one span, mask rate near 15%
     assert (nz["n_spans"] >= 1).all()
     assert 100_000 <= nz["mask_ppm"].mean() <= 200_000
+
+
+def test_x111_direction_matches_numpy_eigendecomposition(spark, sf_dir, specs):
+    """x111's fixed-point power iteration must actually find the top
+    principal component: compare against numpy's exact eigendecomposition
+    of the centered covariance — |cosine| > 0.99 after 3 iterations, and
+    the emitted vector is unit-scaled in micros."""
+    import numpy as np
+
+    pdf = (
+        specs["x111_top_pc_power_iteration"]
+        .build(spark, sf_dir)
+        .toPandas()
+        .sort_values("dim")
+    )
+    v = pdf["pc_micros"].to_numpy(dtype=float)
+    # unit in micros (floor rounding loses < 64 * 1 per component)
+    assert abs((v**2).sum() - 1e12) < 1e9
+    import duckdb
+
+    emb = duckdb.sql(
+        "SELECT list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+        f" * 1000000) AS BIGINT)) AS vm FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).df()
+    m = np.array(emb["vm"].tolist(), dtype=float)
+    m = m - np.floor(m.sum(axis=0) / len(m))  # the same floor-mean centering
+    cov = m.T @ m
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    cos = abs(top @ v) / (np.linalg.norm(top) * np.linalg.norm(v))
+    assert cos > 0.99, cos
