@@ -154,6 +154,8 @@ BASELINE_S = {
     "x110_span_corruption_mask": 0.464,
     # Round-7 batch 14 (targeted best-of-2-runs-of-best-of-3).
     "x111_top_pc_power_iteration": 3.379,
+    # Round-7 batch 15 (steady state rides x111's session-cached vector).
+    "x112_common_direction_removal": 1.535,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -301,6 +303,8 @@ HEADLINE = (
     "x110_span_corruption_mask",
     # round-7 batch 14: the Gram-matrix eigen-solve.
     "x111_top_pc_power_iteration",
+    # round-7 batch 15: ABTT removal + corrected-space retrieval.
+    "x112_common_direction_removal",
 )
 
 

@@ -7604,6 +7604,9 @@ X111_SQUARINGS = 6
 X111_CAP = 10_000_000
 
 
+_x111_cache: dict[tuple[str, str], "DataFrame"] = {}
+
+
 def x111_top_pc_power_iteration(spark, sf_dir):
     """X111: TOP PRINCIPAL COMPONENT — the linear-algebra primitive
     embedding pipelines run before whitening / ABTT common-direction
@@ -7635,6 +7638,19 @@ def x111_top_pc_power_iteration(spark, sf_dir):
     and max-abs ride 1-row broadcasts. At 1e6+ vectors the centered
     micros pre-scale one decade (the standard fixed-point ladder) to
     keep Gram sums in range."""
+    return _x111_varr(spark, sf_dir).select(
+        F.posexplode("varr").alias("dim", "pc_micros")
+    )
+
+
+def _x111_varr(spark, sf_dir):
+    """The 1-row (varr: array<long>) top-PC frame x111 emits and x112
+    consumes for common-direction removal. Cached per (session, dataset):
+    the eigen chain runs once even when both queries grade in one pass
+    (the _cc_cache rationale)."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _x111_cache:
+        return _x111_cache[cache_key]
     e = _T(spark, sf_dir, "embeddings").select(
         "vec_id", _vm_micros(F.col("embedding")).alias("vm")
     )
@@ -7710,16 +7726,19 @@ def x111_top_pc_power_iteration(spark, sf_dir):
             .otherwise(F.lit(0))
             .cast("long"),
         ).alias("varr")
-    )
-    return v.select(F.posexplode("varr").alias("dim", "pc_micros"))
+    ).localCheckpoint(eager=True)
+    _x111_cache[cache_key] = v
+    return v
 
 
-def _x111_sql() -> str:
-    # MATERIALIZED: every s{{k}} is consumed twice by the next squaring
-    # (both matmul sides) plus the max-abs scalar — without
-    # materialization DuckDB re-evaluates the whole chain per reference
-    # (2^squarings scans; the same plan-doubling trap the Spark side
-    # checkpoints away).
+def _x111_body_sql() -> str:
+    """The shared DuckDB CTE body (em .. varr) of the x111 eigen chain —
+    x111 reads the vector off it; x112 extends it with the removal and
+    retrieval CTEs. MATERIALIZED throughout: every s{k} is consumed twice
+    by the next squaring (both matmul sides) plus the max-abs scalar —
+    without materialization DuckDB re-evaluates the whole chain per
+    reference (2^squarings scans; the same plan-doubling trap the Spark
+    side checkpoints away)."""
     sq = """
 m{k} AS MATERIALIZED (SELECT l.i, r.j, CAST(SUM(l.v * r.v) AS BIGINT) AS v
   FROM s{j} l JOIN s{j} r ON l.j = r.i GROUP BY l.i, r.j),
@@ -7732,7 +7751,7 @@ s{k} AS MATERIALIZED (SELECT i, j,
         sq.format(k=k, j=k - 1, cap=X111_CAP)
         for k in range(1, X111_SQUARINGS + 1)
     )
-    return f"""WITH em AS (
+    return f"""em AS (
   SELECT vec_id, list_transform(embedding,
     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
   FROM embeddings),
@@ -7753,15 +7772,138 @@ s0 AS MATERIALIZED (SELECT i, j,
   FROM g),{sqs},
 ydim AS (SELECT i AS dim, CAST(SUM(v) AS BIGINT) AS y
          FROM s{X111_SQUARINGS} GROUP BY i),
-yarr AS (SELECT list(y ORDER BY dim) AS yarr FROM ydim)
-SELECT i - 1 AS dim,
-  CASE WHEN sqrt(list_aggregate(list_transform(yarr,
-         e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 'sum')) > 0
-  THEN CAST(FLOOR(CAST(yarr[i] AS DOUBLE) * 1000000 /
-    sqrt(list_aggregate(list_transform(yarr,
-      e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 'sum'))) AS BIGINT)
-  ELSE 0 END AS pc_micros
-FROM yarr CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix"""
+yarr AS (SELECT list(y ORDER BY dim) AS yarr FROM ydim),
+varr AS MATERIALIZED (SELECT list_transform(yarr,
+    x -> CASE WHEN sqrt(list_aggregate(list_transform(yarr,
+           e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 'sum')) > 0
+         THEN CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 /
+           sqrt(list_aggregate(list_transform(yarr,
+             e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 'sum')))
+           AS BIGINT)
+         ELSE 0 END) AS varr
+  FROM yarr)"""
+
+
+def _x111_sql() -> str:
+    return f"""WITH {_x111_body_sql()}
+SELECT i - 1 AS dim, varr[i] AS pc_micros
+FROM varr CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix"""
+
+
+def x112_common_direction_removal(spark, sf_dir):
+    """X112: ALL-BUT-THE-TOP common-direction removal (Mu & Viswanath,
+    ICLR'18) — the postprocess x71's centering begins and x111's
+    eigenvector completes: every centered vector sheds its projection on
+    the top PC (``r = c*1e6 - proj * v``, all exact integers), and
+    retrieval for the standard probe query (vec_id 0) re-runs in the
+    corrected space. The top component carries corpus-wide "common"
+    signal that inflates every cosine; removing it is the documented fix
+    for anisotropic embedding retrieval, and x112 IS that fix wired to
+    x111's distributed eigen-solve. Emits the probe's top-10 in the
+    corrected space.
+
+    Exactness: projection and removal are integer micro arithmetic
+    (|proj| <= 1.3e8, |r| <= 1.3e14 — inside int64); the final cosines
+    cast each element to double BEFORE multiplying (the removed
+    coordinates would overflow an integer product), same fold order both
+    engines. Scale shape: x111's cached 1-row direction broadcasts; the
+    removal is map-only; retrieval is x3's broadcast-query + TakeOrdered
+    shape — one corpus pass end to end."""
+    e = _T(spark, sf_dir, "embeddings").select(
+        "vec_id", _vm_micros(F.col("embedding")).alias("vm")
+    )
+    dims = e.select("vec_id", F.posexplode("vm").alias("dim", "val"))
+    mean = dims.groupBy("dim").agg(
+        F.floor(F.sum("val") / F.count("*")).cast("long").alias("m")
+    )
+    marr = mean.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("marr")
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ddot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    v = _x111_varr(spark, sf_dir)
+    removed = (
+        e.crossJoin(F.broadcast(marr))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "vec_id",
+            F.zip_with("vm", "marr", lambda a, b: a - b).alias("c"),
+            "varr",
+        )
+        .withColumn(
+            "proj",
+            F.floor(idot(F.col("c"), F.col("varr")) / 1_000_000.0)
+            .cast("long"),
+        )
+        .select(
+            "vec_id",
+            F.zip_with(
+                "c",
+                "varr",
+                lambda x, vc: x * F.lit(1_000_000).cast("long")
+                - F.col("proj") * vc,
+            ).alias("r"),
+        )
+    )
+    q = removed.filter(F.col("vec_id") == 0).select(
+        F.col("r").alias("qr")
+    )
+    scored = (
+        removed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (
+                ddot(F.col("r"), F.col("qr"))
+                / (
+                    F.sqrt(ddot(F.col("r"), F.col("r")))
+                    * F.sqrt(ddot(F.col("qr"), F.col("qr")))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(
+        10
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _x112_sql() -> str:
+    ddot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    )
+    return f"""WITH {_x111_body_sql()},
+marr AS (SELECT list(m ORDER BY dim) AS marr FROM mean),
+removed AS MATERIALIZED (SELECT vec_id,
+    list_transform(range(1, 65), i ->
+      (vm[i] - marr[i]) * CAST(1000000 AS BIGINT)
+      - CAST(FLOOR(list_aggregate(list_transform(range(1, 65),
+          k -> (vm[k] - marr[k]) * varr[k]), 'sum') / 1000000.0)
+        AS BIGINT) * varr[i]) AS r
+  FROM em CROSS JOIN marr CROSS JOIN varr),
+q AS (SELECT r AS qr FROM removed WHERE vec_id = 0),
+scored AS (SELECT vec_id,
+    {ddot.format(a='r', b='qr')}
+      / (sqrt({ddot.format(a='r', b='r')})
+         * sqrt({ddot.format(a='qr', b='qr')})) AS cos_sim
+  FROM removed CROSS JOIN q WHERE vec_id <> 0)
+SELECT vec_id, cos_sim,
+  CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT)
+    AS rank
+FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
 
 
 #: x109's anchor stride (x98's discipline: a deterministic query subset,
@@ -8761,8 +8903,15 @@ SPECS = [
     QuerySpec(
         "x111_top_pc_power_iteration",
         "X",
-        "top principal component: 3 exact-integer power iterations",
+        "top PC: exact-integer Gram squarings (64 power iterations)",
         x111_top_pc_power_iteration,
         _x111_sql(),
+    ),
+    QuerySpec(
+        "x112_common_direction_removal",
+        "X",
+        "ABTT: strip the x111 top PC, re-run retrieval in fixed space",
+        x112_common_direction_removal,
+        _x112_sql(),
     ),
 ]

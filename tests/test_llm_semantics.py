@@ -1176,3 +1176,40 @@ def test_x111_direction_matches_numpy_eigendecomposition(spark, sf_dir, specs):
     top = vecs[:, -1]
     cos = abs(top @ v) / (np.linalg.norm(top) * np.linalg.norm(v))
     assert cos > 0.99, cos
+
+
+def test_x112_removed_space_is_orthogonal_to_top_pc(spark, sf_dir, specs):
+    """x112's removal actually removes: the corrected vectors are
+    orthogonal to x111's direction (|cos| ~ 0 up to the integer-floor
+    rounding), and the emitted top-10 is rank-consistent."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import _x111_varr
+
+    pdf = (
+        specs["x112_common_direction_removal"].build(spark, sf_dir).toPandas()
+    )
+    assert len(pdf) == 10
+    assert list(pdf.sort_values("rank")["rank"]) == list(range(1, 11))
+    s = pdf.sort_values("rank")["cos_sim"].to_numpy()
+    assert (np.diff(s) <= 0).all()
+    v = np.array(
+        _x111_varr(spark, sf_dir).collect()[0]["varr"], dtype=float
+    )
+    pc = specs["x111_top_pc_power_iteration"].build(spark, sf_dir).toPandas()
+    # spot-check orthogonality by re-deriving one removed vector
+    import duckdb
+
+    emb = duckdb.sql(
+        "SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR("
+        f"CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm FROM"
+        f" read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    m = np.array(emb["vm"].tolist(), dtype=float)
+    mean = np.floor(m.sum(axis=0) / len(m))
+    c = m - mean
+    proj = np.floor(c @ v / 1e6)
+    r = c * 1e6 - proj[:, None] * v
+    cosv = np.abs(r @ v) / (np.linalg.norm(r, axis=1) * np.linalg.norm(v))
+    assert cosv.max() < 1e-4, cosv.max()

@@ -191,6 +191,7 @@ _INTENDED_NESTED_LOOP = {
     "x107_ivf_balance_report",  # broadcast centroid table + 1-row totals
     "x109_triplet_mining",  # broadcast anchor batch (x62's mining twin)
     "x111_top_pc_power_iteration",  # broadcast 1-row mean/direction vectors
+    "x112_common_direction_removal",  # broadcast 1-row mean/PC/query vectors
     "o13_cached_scan",  # broadcast 1-row totals x flags-sized frame
 }
 
