@@ -156,6 +156,9 @@ BASELINE_S = {
     "x111_top_pc_power_iteration": 3.379,
     # Round-7 batch 15 (steady state rides x111's session-cached vector).
     "x112_common_direction_removal": 1.535,
+    # Round-7 batch 16 (targeted best-of-2-runs-of-best-of-3).
+    "x113_knn_label_eval": 1.348,
+    "x114_cluster_purity": 3.369,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -305,6 +308,9 @@ HEADLINE = (
     "x111_top_pc_power_iteration",
     # round-7 batch 15: ABTT removal + corrected-space retrieval.
     "x112_common_direction_removal",
+    # round-7 batch 16: 5-NN label eval and cluster purity.
+    "x113_knn_label_eval",
+    "x114_cluster_purity",
 )
 
 

@@ -7906,6 +7906,149 @@ SELECT vec_id, cos_sim,
 FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
 
 
+#: x113's evaluation stride and vote size (x98's discipline: the eval
+#: batch is a deterministic subset, never the full corpus broadcast).
+X113_QUERY_MOD = 101
+X113_K = 5
+
+
+def x113_knn_label_eval(spark, sf_dir):
+    """X113: leave-one-out k-NN LABEL evaluation — the embedding-quality
+    readout beyond x45's recall and x70's MRR: for each probe vector,
+    predict its class by MAJORITY VOTE of its 5 nearest neighbors
+    (cosine, self excluded) and grade against the fixture label. The
+    probe-level verdicts are what an embedding-selection run compares
+    across candidate models; vote counts expose HOW wrong a miss was
+    (5-0 vs 3-2). Tie votes break by (count DESC, label ASC) — a total
+    order, so both engines elect the same winner.
+
+    Scale shape: ONE scored pass (probe batch broadcast, corpus streams
+    map-side), two-phase per-probe top-k so the shuffle carries
+    candidates; the vote is a groupBy over 5 rows per probe. Cosines are
+    the shared bit-exact double fold."""
+    e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    q = e.filter(F.col("vec_id") % X113_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= X113_K
+    )
+    votes = topk.groupBy("qid", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "qid",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+def _x113_sql() -> str:
+    return f"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+             label AS true_label
+           FROM embeddings WHERE vec_id % {X113_QUERY_MOD} = 0),
+scored AS (SELECT qid, true_label, e.vec_id, e.label,
+             {_cos_sql('e.embedding', 'qe')} AS cos_sim
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> qid),
+topk AS (SELECT qid, true_label, label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM scored) s
+  WHERE rn <= {X113_K}),
+votes AS (SELECT qid, true_label, label,
+            CAST(COUNT(*) AS BIGINT) AS n_votes
+          FROM topk GROUP BY 1, 2, 3)
+SELECT qid, true_label, label AS predicted_label, n_votes,
+  label = true_label AS correct
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY n_votes DESC, label ASC) AS vr FROM votes) s
+WHERE vr = 1"""
+
+
+def x114_cluster_purity(spark, sf_dir):
+    """X114: k-means cluster PURITY — the clustering-quality readout x29
+    implies but never grades: per x29 cluster, the member count, the
+    majority fixture label, its count, and the cluster purity in exact
+    ppm (n_majority / n_members). Corpus purity is the member-weighted
+    mean of these rows; a cluster at 40% purity is where SemDeDup-style
+    per-cluster curation (x50) silently mixes classes — this is the
+    audit that catches it before the curation pass runs.
+
+    Scale shape: x29's kernel reused verbatim (broadcast centroids,
+    centroid-sized shuffles), then one (cluster, label)-keyed partial agg
+    and a per-cluster argmax window over a LABELS-sized frame — output
+    clusters-sized at any corpus size. Tie labels break by (count DESC,
+    label ASC), total order both engines."""
+    assign = x29_kmeans_refine(spark, sf_dir).select("vec_id", "cluster_id")
+    labels = _T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cl = (
+        assign.join(labels, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cl.groupBy("cluster_id").agg(F.sum("n").alias("n_members"))
+    wv = Window.partitionBy("cluster_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    top = (
+        cl.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    return top.join(tot, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "majority_label",
+        "n_majority",
+        F.floor(F.col("n_majority") * 1_000_000 / F.col("n_members"))
+        .cast("long")
+        .alias("purity_ppm"),
+    )
+
+
+def _x114_sql() -> str:
+    return f"""WITH assign AS ({_x29_sql()}),
+cl AS (SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS n
+       FROM assign JOIN embeddings USING (vec_id) GROUP BY 1, 2),
+tot AS (SELECT cluster_id, CAST(SUM(n) AS BIGINT) AS n_members
+        FROM cl GROUP BY 1),
+top AS (SELECT cluster_id, label AS majority_label, n AS n_majority FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+      ORDER BY n DESC, label ASC) AS vr FROM cl) s
+  WHERE vr = 1)
+SELECT cluster_id, n_members, majority_label, n_majority,
+  CAST(FLOOR(n_majority * 1000000.0 / n_members) AS BIGINT) AS purity_ppm
+FROM top JOIN tot USING (cluster_id)"""
+
+
 #: x109's anchor stride (x98's discipline: a deterministic query subset,
 #: never the full corpus on the broadcast side).
 X109_ANCHOR_MOD = 101
@@ -8913,5 +9056,19 @@ SPECS = [
         "ABTT: strip the x111 top PC, re-run retrieval in fixed space",
         x112_common_direction_removal,
         _x112_sql(),
+    ),
+    QuerySpec(
+        "x113_knn_label_eval",
+        "X",
+        "leave-one-out 5-NN majority-vote label eval per probe",
+        x113_knn_label_eval,
+        _x113_sql(),
+    ),
+    QuerySpec(
+        "x114_cluster_purity",
+        "X",
+        "x29 cluster purity: majority label + exact ppm per cluster",
+        x114_cluster_purity,
+        _x114_sql(),
     ),
 ]

@@ -1213,3 +1213,27 @@ def test_x112_removed_space_is_orthogonal_to_top_pc(spark, sf_dir, specs):
     r = c * 1e6 - proj[:, None] * v
     cosv = np.abs(r @ v) / (np.linalg.norm(r, axis=1) * np.linalg.norm(v))
     assert cosv.max() < 1e-4, cosv.max()
+
+
+def test_x113_votes_and_verdicts_are_consistent(spark, sf_dir, specs):
+    """x113: one verdict per probe, vote counts within [1, 5], and
+    `correct` is exactly the label equality."""
+    pdf = specs["x113_knn_label_eval"].build(spark, sf_dir).toPandas()
+    assert pdf["qid"].is_unique and len(pdf)
+    assert pdf["n_votes"].between(1, 5).all()
+    assert (
+        pdf["correct"] == (pdf["predicted_label"] == pdf["true_label"])
+    ).all()
+
+
+def test_x114_purity_partitions_members(spark, sf_dir, specs):
+    """x114: majority counts never exceed members, purity is the exact
+    floor ppm, and member totals sum to the corpus."""
+    pdf = specs["x114_cluster_purity"].build(spark, sf_dir).toPandas()
+    n_vecs = specs["x5_embed_normalize"].build(spark, sf_dir).count()
+    assert pdf["n_members"].sum() == n_vecs
+    assert (pdf["n_majority"] <= pdf["n_members"]).all()
+    assert (
+        pdf["purity_ppm"]
+        == (pdf["n_majority"] * 1_000_000 // pdf["n_members"])
+    ).all()

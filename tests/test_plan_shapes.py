@@ -192,6 +192,8 @@ _INTENDED_NESTED_LOOP = {
     "x109_triplet_mining",  # broadcast anchor batch (x62's mining twin)
     "x111_top_pc_power_iteration",  # broadcast 1-row mean/direction vectors
     "x112_common_direction_removal",  # broadcast 1-row mean/PC/query vectors
+    "x113_knn_label_eval",  # broadcast probe batch (x32's evaluation twin)
+    "x114_cluster_purity",  # broadcast centroid tables (x29's kernel)
     "o13_cached_scan",  # broadcast 1-row totals x flags-sized frame
 }
 
