@@ -159,6 +159,9 @@ BASELINE_S = {
     # Round-7 batch 16 (targeted best-of-2-runs-of-best-of-3).
     "x113_knn_label_eval": 1.348,
     "x114_cluster_purity": 3.369,
+    # Round-7 batch 17 (u19 floored after the bucketed-key rewrite).
+    "u19_cogrouped_map": 1.089,
+    "x115_soft_dedup_reweight": 0.488,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -311,6 +314,9 @@ HEADLINE = (
     # round-7 batch 16: 5-NN label eval and cluster purity.
     "x113_knn_label_eval",
     "x114_cluster_purity",
+    # round-7 batch 17: cogrouped map and soft-dedup reweighting.
+    "u19_cogrouped_map",
+    "x115_soft_dedup_reweight",
 )
 
 

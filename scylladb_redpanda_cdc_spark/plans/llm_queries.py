@@ -7906,6 +7906,66 @@ SELECT vec_id, cos_sim,
 FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
 
 
+def x115_soft_dedup_reweight(spark, sf_dir):
+    """X115: SOFT deduplication — downweight duplicates instead of
+    dropping them (the SoftDedup alternative to x30's hard keep-list:
+    removal throws away the signal that a document was popular; soft
+    dedup keeps every copy but scales its sampling weight by
+    1/cluster_size so the CLUSTER contributes one document's worth of
+    gradient). Per doc: its x21 near-dup cluster, the cluster size, the
+    sampling weight in exact ppm (floor(1e6/size)), its token count, and
+    the weighted token contribution in exact token-micros — the number a
+    token-budget mix (x49) consumes directly.
+
+    Scale shape: labels from the cached x11->CC kernel; cluster sizes
+    are one count partial-agg on a CLUSTERS-sized key; token counts are
+    x16's map-only kernel; assembly is two id-keyed equi-joins. Strict
+    oracle: x21's recursive labels + the same integer arithmetic."""
+    labels = _cc_labels(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    toks = _T(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.floor(F.lit(1_000_000) / F.col("cluster_size"))
+            .cast("long")
+            .alias("weight_ppm"),
+            "n_tokens",
+            F.floor(F.col("n_tokens") * 1_000_000 / F.col("cluster_size"))
+            .cast("long")
+            .alias("weighted_token_micros"),
+        )
+    )
+
+
+_X115_SQL = f"""WITH RECURSIVE {_X11_CTES},
+jpairs AS ({_X11_FINAL}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM jpairs),
+reach AS (SELECT doc_id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.doc_id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+csize AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM labels GROUP BY 1),
+tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM toks)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+  CAST(FLOOR(1000000.0 / s.cluster_size) AS BIGINT) AS weight_ppm,
+  tk.n_tokens,
+  CAST(FLOOR(tk.n_tokens * 1000000.0 / s.cluster_size) AS BIGINT)
+    AS weighted_token_micros
+FROM labels l JOIN csize s USING (cluster_id)
+JOIN tk USING (doc_id)"""
+
+
 #: x113's evaluation stride and vote size (x98's discipline: the eval
 #: batch is a deterministic subset, never the full corpus broadcast).
 X113_QUERY_MOD = 101
@@ -9070,5 +9130,12 @@ SPECS = [
         "x29 cluster purity: majority label + exact ppm per cluster",
         x114_cluster_purity,
         _x114_sql(),
+    ),
+    QuerySpec(
+        "x115_soft_dedup_reweight",
+        "X",
+        "soft dedup: 1/cluster-size sampling weights, weighted tokens",
+        x115_soft_dedup_reweight,
+        _X115_SQL,
     ),
 ]

@@ -1237,3 +1237,21 @@ def test_x114_purity_partitions_members(spark, sf_dir, specs):
         pdf["purity_ppm"]
         == (pdf["n_majority"] * 1_000_000 // pdf["n_members"])
     ).all()
+
+
+def test_x115_soft_weights_conserve_cluster_mass(spark, sf_dir, specs):
+    """x115: every cluster's weights sum to ~1e6 ppm (one document's
+    worth, up to floor loss < cluster_size), weights match cluster sizes,
+    and the x21 cluster labels agree."""
+    pdf = specs["x115_soft_dedup_reweight"].build(spark, sf_dir).toPandas()
+    cc = specs["x21_dedup_cluster_cc"].build(spark, sf_dir).toPandas()
+    merged = pdf.merge(cc[["doc_id", "cluster_id"]], on="doc_id")
+    assert (merged["cluster_id_x"] == merged["cluster_id_y"]).all()
+    grp = pdf.groupby("cluster_id").agg(
+        n=("doc_id", "size"),
+        size=("cluster_size", "first"),
+        wsum=("weight_ppm", "sum"),
+    )
+    assert (grp["n"] == grp["size"]).all()
+    assert ((1_000_000 - grp["wsum"]) < grp["size"]).all()
+    assert (grp["wsum"] <= 1_000_000).all()

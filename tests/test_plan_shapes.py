@@ -217,6 +217,7 @@ _INTENDED_PYTHON = {
     "x58_media_resize",  # mapInPandas resize-geometry stage
     "x59_media_features",  # mapInPandas byte-histogram feature stage
     "u17_udtf_arrow",  # declared Arrow-optimized Python UDTF (useArrow)
+    "u19_cogrouped_map",  # declared FlatMapCoGroupsInPandas two-sided map
 }
 
 #: Builds that EXECUTE work (streams run to completion; x21 iterates) —
