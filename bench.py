@@ -162,6 +162,9 @@ BASELINE_S = {
     # Round-7 batch 17 (u19 floored after the bucketed-key rewrite).
     "u19_cogrouped_map": 1.089,
     "x115_soft_dedup_reweight": 0.488,
+    # Round-7 batch 18 (targeted best-of-2-runs-of-best-of-3).
+    "f21_fn_generator_outer": 0.315,
+    "u20_pandas_api_on_spark": 0.507,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -317,6 +320,9 @@ HEADLINE = (
     # round-7 batch 17: cogrouped map and soft-dedup reweighting.
     "u19_cogrouped_map",
     "x115_soft_dedup_reweight",
+    # round-7 batch 18: outer generators and the pandas frontend.
+    "f21_fn_generator_outer",
+    "u20_pandas_api_on_spark",
 )
 
 

@@ -891,3 +891,69 @@ SPECS = [
         _F20_SQL,
     ),
 ]
+
+
+def f21_fn_generator_outer(spark, sf_dir):
+    """F21: OUTER generator family — ``posexplode_outer`` + struct
+    expansion (the ``inline``-equivalent read-out). The non-outer
+    generators (f5/x-group explodes) DROP rows whose array is empty;
+    the *_outer forms preserve them as a single all-NULL fan row — the
+    semantics a left-join-shaped enrichment needs (a part with no
+    attributes must still appear in the attribute ledger). Each part
+    fans out its attribute structs when p_size >= 25 and stays as one
+    NULL row otherwise.
+
+    Scale shape: a generator is narrow map-side work — the scan absorbs
+    it; no shuffle anywhere. Strict oracle: DuckDB mirrors the OUTER
+    semantics by substituting a one-NULL-element list before unnest
+    (the documented rewrite), with identical pos/tag/value arithmetic."""
+    p = _T(spark, sf_dir, "part")
+    arr = F.when(
+        F.col("p_size") >= 25,
+        F.array(
+            F.struct(
+                F.lit("size").alias("tag"),
+                F.col("p_size").cast("long").alias("v"),
+            ),
+            F.struct(
+                F.lit("type_len").alias("tag"),
+                F.length("p_type").cast("long").alias("v"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<tag:string,v:bigint>>"))
+    return (
+        p.select("p_partkey", arr.alias("arr"))
+        .select("p_partkey", F.posexplode_outer("arr").alias("pos", "s"))
+        .select(
+            "p_partkey",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("s.tag").alias("tag"),
+            F.col("s.v").alias("v"),
+        )
+    )
+
+
+_F21_SQL = """WITH base AS (SELECT p_partkey,
+  CASE WHEN p_size >= 25 THEN
+    [{'tag': 'size', 'v': CAST(p_size AS BIGINT)},
+     {'tag': 'type_len', 'v': CAST(length(p_type) AS BIGINT)}]
+  ELSE [] END AS arr FROM part),
+fan AS (SELECT p_partkey,
+  CASE WHEN len(arr) = 0 THEN
+    [{'pos': CAST(NULL AS BIGINT),
+      's': CAST(NULL AS STRUCT(tag VARCHAR, v BIGINT))}]
+  ELSE list_transform(range(1, len(arr) + 1),
+         i -> {'pos': CAST(i - 1 AS BIGINT), 's': arr[i]}) END AS fans
+  FROM base),
+un AS (SELECT p_partkey, unnest(fans) AS u FROM fan)
+SELECT p_partkey, u.pos AS pos, u.s.tag AS tag, u.s.v AS v FROM un"""
+
+SPECS.append(
+    QuerySpec(
+        "f21_fn_generator_outer",
+        "F",
+        "posexplode_outer + struct expand: empty arrays keep their row",
+        f21_fn_generator_outer,
+        _F21_SQL,
+    )
+)

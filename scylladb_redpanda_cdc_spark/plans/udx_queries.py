@@ -933,3 +933,65 @@ SPECS.append(
         _U19_SQL,
     )
 )
+
+
+# -- U20: pandas API on Spark (pyspark.pandas) -------------------------------
+
+
+def u20_pandas_api_on_spark(spark, sf_dir):
+    """U20: the PANDAS API ON SPARK layer (``pyspark.pandas``, the Koalas
+    lineage merged in Spark 3.2) — an entire user-facing API surface the
+    registry exercised nowhere else: a pandas-shaped
+    ``groupby(...).agg(...)`` over a ps.DataFrame compiles to the SAME
+    Catalyst plan a DataFrame groupBy produces, and ``to_spark()`` hands
+    the result back losslessly. This is the migration path pandas users
+    take onto the cluster; proving it value-identical to the SQL oracle
+    is the point.
+
+    Scale shape: cents are floored JVM-side BEFORE entering the pandas
+    API (one narrow map), the ps groupby is a plain partial-agg shuffle
+    on the 5-value priority key, and no data ever moves through Python —
+    pandas-on-Spark is a FRONTEND, not an execution path (the plan shows
+    HashAggregate, not any Python node)."""
+    import warnings
+
+    o = _T(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # The pandas layer emits library-internal advice warnings (lost index
+    # on to_spark — intended here: the groupby key is re-materialized as a
+    # column by reset_index) and numpy deprecation chatter from its own
+    # typehints module; neither is actionable by a caller.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps  # noqa: F401  (bundled with pyspark)
+
+        g = (
+            o.pandas_api()
+            .groupby("o_orderpriority")
+            .agg(n=("cents", "count"), total_cents=("cents", "sum"))
+            .reset_index()
+        )
+        out = g.to_spark()
+    return out.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    )
+
+
+_U20_SQL = """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS total_cents
+FROM orders GROUP BY o_orderpriority"""
+
+SPECS.append(
+    QuerySpec(
+        "u20_pandas_api_on_spark",
+        "U",
+        "pyspark.pandas groupby-agg == SQL: the pandas frontend layer",
+        u20_pandas_api_on_spark,
+        _U20_SQL,
+    )
+)
