@@ -165,6 +165,8 @@ BASELINE_S = {
     # Round-7 batch 18 (targeted best-of-2-runs-of-best-of-3).
     "f21_fn_generator_outer": 0.315,
     "u20_pandas_api_on_spark": 0.507,
+    # Round-7 batch 19 (includes per-call DDL + ANALYZE scans).
+    "o14_cbo_stats_join": 1.154,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -323,6 +325,8 @@ HEADLINE = (
     # round-7 batch 18: outer generators and the pandas frontend.
     "f21_fn_generator_outer",
     "u20_pandas_api_on_spark",
+    # round-7 batch 19: CBO catalog statistics.
+    "o14_cbo_stats_join",
 )
 
 

@@ -865,6 +865,67 @@ SELECT l_returnflag, flag_qty_cents, total_qty_cents, n_statuses,
 FROM f, s"""
 
 
+# ---------------------------------------------------------------------------
+# O14 cost-based optimizer statistics (ANALYZE TABLE -> stats-driven plan)
+# ---------------------------------------------------------------------------
+
+
+def o14_cbo_stats_join(spark, sf_dir):
+    """O14: COST-BASED OPTIMIZER statistics — the catalog half of the
+    physical-strategy story (b69 proves hints steer the planner; o14
+    proves STATISTICS do, with no hint anywhere): both sides land in the
+    session catalog via ``saveAsTable``, ``ANALYZE TABLE .. COMPUTE
+    STATISTICS FOR ALL COLUMNS`` records row counts + column NDV/min/max,
+    and with CBO enabled the planner broadcasts the dimension because the
+    CATALOG says it is small — the decision a lake deployment gets from
+    its metastore stats, not from file-size guessing. Result equality
+    with the parquet oracle proves the round trip through the catalog
+    changed nothing; the plan test pins rowCount statistics visible and a
+    hint-free BroadcastHashJoin.
+
+    Scale: ANALYZE is one scan per table, run at write time and amortized
+    over every later query; the stats rows are catalog-sized. The join
+    itself is b5's broadcast shape."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, tbl in (("sg_o14_nation", "nation"), ("sg_o14_customer", "customer")):
+        # drop BOTH halves of a stale table: the catalog entry (this
+        # session) and the warehouse directory (which outlives the
+        # in-memory catalog and trips LOCATION_ALREADY_EXISTS otherwise)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+        _T(spark, sf_dir, tbl).write.saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        out = spark.sql(
+            """SELECT n_name, COUNT(*) AS n_customers,
+                 CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal_cents
+               FROM sg_o14_customer JOIN sg_o14_nation
+                 ON c_nationkey = n_nationkey
+               GROUP BY n_name"""
+        )
+        # Force OPTIMIZATION (not just analysis) while CBO is still on:
+        # QueryExecution caches the optimized plan, so the returned
+        # DataFrame keeps its stats-annotated plan after the conf is
+        # restored. `.schema` alone only runs the analyzer — measured:
+        # the cost plan then shows sizeInBytes but no rowCount.
+        out._jdf.queryExecution().optimizedPlan()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+    return out
+
+
+_O14_SQL = """SELECT n_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
 SPECS = [
     QuerySpec(
         "o1_partitioned_write",
@@ -956,5 +1017,12 @@ SPECS = [
         "Tungsten in-memory cache: one cached projection, many consumers",
         o13_cached_scan,
         _O13_SQL,
+    ),
+    QuerySpec(
+        "o14_cbo_stats_join",
+        "O",
+        "ANALYZE TABLE stats drive a hint-free CBO broadcast join",
+        o14_cbo_stats_join,
+        _O14_SQL,
     ),
 ]

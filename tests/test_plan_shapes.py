@@ -562,3 +562,13 @@ def test_b76_pagination_methods_return_identical_pages(spark, sf_dir, specs):
     key = pdf[pdf["method"] == "keyset"].sort_values("o_orderkey")
     assert len(off) == 20 and len(key) == 20
     assert list(off["o_orderkey"]) == list(key["o_orderkey"])
+
+
+def test_o14_stats_visible_and_broadcast_is_hint_free(spark, sf_dir, specs):
+    """o14: after ANALYZE, the catalog relation carries rowCount
+    statistics (explain cost shows them) and the planner broadcasts the
+    nation side with NO hint in the query text."""
+    plan = plan_of(spark, sf_dir, specs, "o14_cbo_stats_join", mode="cost")
+    assert "rowCount=" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
