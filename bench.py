@@ -167,6 +167,8 @@ BASELINE_S = {
     "u20_pandas_api_on_spark": 0.507,
     # Round-7 batch 19 (includes per-call DDL + ANALYZE scans).
     "o14_cbo_stats_join": 1.154,
+    # Round-7 batch 20 (targeted best-of-2-runs-of-best-of-3).
+    "x116_fim_transform": 0.391,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -327,6 +329,8 @@ HEADLINE = (
     "u20_pandas_api_on_spark",
     # round-7 batch 19: CBO catalog statistics.
     "o14_cbo_stats_join",
+    # round-7 batch 20: fill-in-the-middle sizing.
+    "x116_fim_transform",
 )
 
 

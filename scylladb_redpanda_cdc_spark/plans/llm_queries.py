@@ -7966,6 +7966,87 @@ FROM labels l JOIN csize s USING (cluster_id)
 JOIN tk USING (doc_id)"""
 
 
+#: x116's FIM policy: the documented 50% FIM rate and the PSM/SPM format
+#: split, both decided by independent content-hash bits so the transform
+#: is rerun-stable and composition-safe (same discipline as x23's split).
+X116_FIM_RATE_PCT = 50
+X116_MIN_TOKENS = 10
+
+
+def x116_fim_transform(spark, sf_dir):
+    """X116: FILL-IN-THE-MIDDLE transform sizing (Bavarian et al. 2022 —
+    the FIM data op code models train with): a deterministic fraction of
+    documents is reordered as prefix/middle/suffix with sentinel tokens;
+    x116 computes the per-doc decision and geometry — FIM'd or not
+    (content-hash bit, 50% documented rate), the PSM-vs-SPM format bit,
+    the two split points (independent hash residues over the token
+    count, ordered), and the three segment lengths whose sum plus 3
+    sentinels is the training-sequence length. Docs under
+    ``X116_MIN_TOKENS`` tokens pass through untransformed (the paper's
+    short-doc exemption).
+
+    Scale shape: pure per-row integer/hash arithmetic on the token count
+    — map-only, the scan absorbs it; the geometry needs no token
+    materialization (x110's discipline). Strict oracle: the same
+    sha-prefix residues and closed-form ordering in DuckDB."""
+    d = _T(spark, sf_dir, "documents")
+    n = F.size(words(F.col("text"))).cast("long")
+    h = F.sha2(F.col("text"), 256)
+    hb = lambda i: F.conv(  # noqa: E731
+        F.substring(h, i, 4), 16, 10
+    ).cast("long")
+    is_fim = (n >= X116_MIN_TOKENS) & (
+        hb(1) % 100 < X116_FIM_RATE_PCT
+    )
+    spm = hb(5) % 2 == 1
+    c1 = hb(9) % (n - 1) + 1
+    c2 = hb(13) % (n - 1) + 1
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    pre = F.when(is_fim, lo).otherwise(n)
+    mid = F.when(is_fim, hi - lo).otherwise(F.lit(0))
+    suf = F.when(is_fim, n - hi).otherwise(F.lit(0))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        is_fim.alias("is_fim"),
+        F.when(is_fim & spm, "SPM")
+        .when(is_fim, "PSM")
+        .otherwise("plain")
+        .alias("format"),
+        pre.cast("long").alias("len_prefix"),
+        mid.cast("long").alias("len_middle"),
+        suf.cast("long").alias("len_suffix"),
+        (n + F.when(is_fim, 3).otherwise(0)).cast("long").alias("seq_len"),
+    )
+
+
+_X116_SQL = f"""WITH {_TOKS_CTE},
+base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+           sha256(text) AS h
+         FROM toks),
+geo AS (SELECT doc_id, n,
+    n >= {X116_MIN_TOKENS} AND
+      CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) % 100
+        < {X116_FIM_RATE_PCT} AS is_fim,
+    CAST(concat('0x', substr(h, 5, 4)) AS BIGINT) % 2 = 1 AS spm,
+    CAST(concat('0x', substr(h, 9, 4)) AS BIGINT) % (n - 1) + 1 AS c1,
+    CAST(concat('0x', substr(h, 13, 4)) AS BIGINT) % (n - 1) + 1 AS c2
+  FROM base WHERE n >= 2
+  UNION ALL
+  SELECT doc_id, n, FALSE, FALSE, 0, 0 FROM base WHERE n < 2)
+SELECT doc_id, n AS n_tokens, is_fim,
+  CASE WHEN is_fim AND spm THEN 'SPM'
+       WHEN is_fim THEN 'PSM' ELSE 'plain' END AS format,
+  CAST(CASE WHEN is_fim THEN LEAST(c1, c2) ELSE n END AS BIGINT)
+    AS len_prefix,
+  CAST(CASE WHEN is_fim THEN GREATEST(c1, c2) - LEAST(c1, c2) ELSE 0 END
+    AS BIGINT) AS len_middle,
+  CAST(CASE WHEN is_fim THEN n - GREATEST(c1, c2) ELSE 0 END AS BIGINT)
+    AS len_suffix,
+  CAST(n + CASE WHEN is_fim THEN 3 ELSE 0 END AS BIGINT) AS seq_len
+FROM geo"""
+
+
 #: x113's evaluation stride and vote size (x98's discipline: the eval
 #: batch is a deterministic subset, never the full corpus broadcast).
 X113_QUERY_MOD = 101
@@ -9137,5 +9218,12 @@ SPECS = [
         "soft dedup: 1/cluster-size sampling weights, weighted tokens",
         x115_soft_dedup_reweight,
         _X115_SQL,
+    ),
+    QuerySpec(
+        "x116_fim_transform",
+        "X",
+        "fill-in-the-middle sizing: hash-derived splits, PSM/SPM, 50%",
+        x116_fim_transform,
+        _X116_SQL,
     ),
 ]

@@ -1255,3 +1255,24 @@ def test_x115_soft_weights_conserve_cluster_mass(spark, sf_dir, specs):
     assert (grp["n"] == grp["size"]).all()
     assert ((1_000_000 - grp["wsum"]) < grp["size"]).all()
     assert (grp["wsum"] <= 1_000_000).all()
+
+
+def test_x116_fim_geometry_balances(spark, sf_dir, specs):
+    """x116: segment lengths always sum to the token count, the FIM rate
+    sits near the documented 50% on eligible docs, short docs are always
+    plain, and seq_len adds exactly the 3 sentinels on FIM'd docs."""
+    pdf = specs["x116_fim_transform"].build(spark, sf_dir).toPandas()
+    assert (
+        pdf["len_prefix"] + pdf["len_middle"] + pdf["len_suffix"]
+        == pdf["n_tokens"]
+    ).all()
+    assert (pdf.loc[~pdf["is_fim"], "format"] == "plain").all()
+    assert set(pdf.loc[pdf["is_fim"], "format"]) <= {"PSM", "SPM"}
+    assert (pdf.loc[pdf["n_tokens"] < 10, "is_fim"] == False).all()  # noqa: E712
+    assert (
+        pdf["seq_len"] == pdf["n_tokens"] + pdf["is_fim"] * 3
+    ).all()
+    elig = pdf[pdf["n_tokens"] >= 10]
+    if len(elig) >= 200:
+        rate = elig["is_fim"].mean()
+        assert 0.4 <= rate <= 0.6, rate
