@@ -169,6 +169,8 @@ BASELINE_S = {
     "o14_cbo_stats_join": 1.154,
     # Round-7 batch 20 (targeted best-of-2-runs-of-best-of-3).
     "x116_fim_transform": 0.391,
+    # Round-7 batch 21 (targeted best-of-2-runs-of-best-of-3).
+    "x117_nonsplit_packing": 0.562,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -331,6 +333,8 @@ HEADLINE = (
     "o14_cbo_stats_join",
     # round-7 batch 20: fill-in-the-middle sizing.
     "x116_fim_transform",
+    # round-7 batch 21: non-splitting packing.
+    "x117_nonsplit_packing",
 )
 
 

@@ -8047,6 +8047,112 @@ SELECT doc_id, n AS n_tokens, is_fim,
 FROM geo"""
 
 
+#: x117's context length (x24's window) — the non-splitting packer fills
+#: windows of this many tokens without ever cutting a document.
+X117_CTX = 2048
+
+_X117_SCHEMA = (
+    "doc_id long, shard long, win_id long, token_offset long,"
+    " n_tokens long, n_truncated long"
+)
+
+
+def _pack_shard_greedy(pdf):
+    """Greedy non-splitting packer for ONE shard: docs in doc_id order,
+    each placed in the current window if it fits, else a new window opens;
+    docs longer than the context get their own window truncated to it.
+    A sequential scan by nature — the per-shard Python loop IS the
+    algorithm (no closed-form window function expresses carry-over bin
+    state), which is why the shard key bounds its extent."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id")
+    win, cur = 0, 0
+    rows = []
+    for doc_id, shard, t in zip(pdf["doc_id"], pdf["shard"], pdf["n_tokens"]):
+        t = int(t)
+        if cur > 0 and cur + t > X117_CTX:
+            win += 1
+            cur = 0
+        off = cur
+        placed = min(t, X117_CTX)
+        cur += placed
+        rows.append((int(doc_id), int(shard), win, off, t, t - placed))
+        if cur >= X117_CTX:
+            win += 1
+            cur = 0
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id",
+            "shard",
+            "win_id",
+            "token_offset",
+            "n_tokens",
+            "n_truncated",
+        ],
+    )
+
+
+def x117_nonsplit_packing(spark, sf_dir):
+    """X117: NON-SPLITTING sequence packing — the alternative x105's
+    straddle count motivates: x24's concat-then-chunk cuts documents at
+    window boundaries (attention-mask pollution); x117's greedy packer
+    never cuts — a doc that does not fit the current window's remainder
+    opens a new window (padding the remainder), and docs longer than the
+    context occupy a dedicated window truncated to it. Emits each doc's
+    (shard, window, offset) physical address plus its truncation loss —
+    the pad-vs-pollution trade x105 measures, resolved the other way.
+
+    Scale shape: bin state carries across documents, so packing is a
+    SEQUENTIAL scan by nature; the shard key (x24's PACK_SHARDS fan-out)
+    bounds each scan's extent and supplies the parallelism — one shuffle
+    on the shard key, then an Arrow-batched per-shard pass
+    (applyInPandas; the loop IS the algorithm — no closed-form window
+    function expresses carry-over bin state). Strict oracle: DuckDB
+    replays the identical scan as a per-shard RECURSIVE CTE."""
+    d = _T(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return base.groupBy("shard").applyInPandas(
+        lambda pdf: _pack_shard_greedy(pdf), _X117_SCHEMA
+    )
+
+
+_X117_SQL = f"""WITH RECURSIVE {_TOKS_CTE},
+base AS (SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                CAST(len(ws) AS BIGINT) AS n_tokens,
+                ROW_NUMBER() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                                   ORDER BY doc_id) AS rn
+         FROM toks),
+walk AS (
+  SELECT doc_id, shard, n_tokens, rn,
+    CAST(0 AS BIGINT) AS win_id,
+    CAST(0 AS BIGINT) AS token_offset,
+    LEAST(n_tokens, {X117_CTX}) AS cur_after
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.doc_id, b.shard, b.n_tokens, b.rn,
+    CASE WHEN w.cur_after >= {X117_CTX}
+           OR (w.cur_after > 0 AND w.cur_after + b.n_tokens > {X117_CTX})
+         THEN w.win_id + 1 ELSE w.win_id END,
+    CASE WHEN w.cur_after >= {X117_CTX}
+           OR (w.cur_after > 0 AND w.cur_after + b.n_tokens > {X117_CTX})
+         THEN 0 ELSE w.cur_after END,
+    CASE WHEN w.cur_after >= {X117_CTX}
+           OR (w.cur_after > 0 AND w.cur_after + b.n_tokens > {X117_CTX})
+         THEN LEAST(b.n_tokens, {X117_CTX})
+         ELSE w.cur_after + LEAST(b.n_tokens,
+                {X117_CTX} - w.cur_after) END
+  FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1)
+SELECT doc_id, shard, win_id, token_offset, n_tokens,
+  CAST(GREATEST(n_tokens - {X117_CTX}, 0) AS BIGINT) AS n_truncated
+FROM walk"""
+
+
 #: x113's evaluation stride and vote size (x98's discipline: the eval
 #: batch is a deterministic subset, never the full corpus broadcast).
 X113_QUERY_MOD = 101
@@ -9225,5 +9331,12 @@ SPECS = [
         "fill-in-the-middle sizing: hash-derived splits, PSM/SPM, 50%",
         x116_fim_transform,
         _X116_SQL,
+    ),
+    QuerySpec(
+        "x117_nonsplit_packing",
+        "X",
+        "non-splitting packer: greedy per-shard bins, recursive oracle",
+        x117_nonsplit_packing,
+        _X117_SQL,
     ),
 ]

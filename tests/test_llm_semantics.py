@@ -1276,3 +1276,26 @@ def test_x116_fim_geometry_balances(spark, sf_dir, specs):
     if len(elig) >= 200:
         rate = elig["is_fim"].mean()
         assert 0.4 <= rate <= 0.6, rate
+
+
+def test_x117_windows_never_overfull_and_docs_never_split(spark, sf_dir, specs):
+    """x117: every doc occupies exactly one window, placed extents fit the
+    context, window offsets within a (shard, win) are dense, and
+    truncation only happens to oversized docs."""
+    pdf = (
+        specs["x117_nonsplit_packing"]
+        .build(spark, sf_dir)
+        .toPandas()
+        .sort_values(["shard", "win_id", "token_offset"])
+    )
+    assert pdf["doc_id"].is_unique
+    placed = (pdf["n_tokens"] - pdf["n_truncated"]).clip(upper=2048)
+    assert (pdf["token_offset"] + placed <= 2048).all()
+    assert ((pdf["n_truncated"] > 0) == (pdf["n_tokens"] > 2048)).all()
+    for (_, _), g in pdf.groupby(["shard", "win_id"]):
+        offs = list(g["token_offset"])
+        ext = list((g["n_tokens"] - g["n_truncated"]).clip(upper=2048))
+        expect = 0
+        for o, e in zip(offs, ext):
+            assert o == expect
+            expect += e

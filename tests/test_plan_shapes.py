@@ -218,6 +218,7 @@ _INTENDED_PYTHON = {
     "x59_media_features",  # mapInPandas byte-histogram feature stage
     "u17_udtf_arrow",  # declared Arrow-optimized Python UDTF (useArrow)
     "u19_cogrouped_map",  # declared FlatMapCoGroupsInPandas two-sided map
+    "x117_nonsplit_packing",  # per-shard sequential bin scan (the algorithm)
 }
 
 #: Builds that EXECUTE work (streams run to completion; x21 iterates) —
