@@ -90,77 +90,103 @@ def registry() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query id {spec.qid}")
             specs[spec.qid] = spec
     prefix = [
-        # ROUND 7 ROTATION (round-6 verdict directive #1): the 43 queries
-        # that have never appeared in a driver CORRECTNESS sample head the
-        # prefix — rounds 1-6 certified the other 196 (CORRECTNESS_r01-r06;
-        # zero failures ever recorded). 43 ungraded + 7 slots of re-proofs
-        # = the 50-slot budget; a green r07 artifact completes 239/239
-        # cumulative driver coverage.
-        # Slots 1-5: the round-6 flagship compositions — highest
-        # information value (each composes kernels shared by many
-        # certified queries, so a grade here re-proves the kernels too).
-        "x86_minhash_dedup_e2e",
-        "x87_cdc_corpus_sync",
-        "x88_gopher_gates",
-        "x89_incremental_minhash",
-        "s21_stream_corpus_sync",
-        # slots 6-10: CDC + storage tails
-        "a25_cdc_lag_report",
-        "a26_cql_schema_translate",
-        "a27_wire_overhead_report",
-        "o8_partition_evolution",
-        "o9_stats_skipping_report",
-        # slots 11-20: batch / function / window / UDX tails
-        "b54_join_asof_forward_tolerance",
-        "b55_recursive_cte",
-        "b56_lateral_topk",
-        "b57_join_null_safe",
-        "f11_fn_collation",
-        "f12_fn_try_safe",
-        "f13_fn_variant",
-        "w10_win_ignore_nulls",
-        "u11_udf_arrow_optimized",
-        "u12_udtf_polymorphic",
-        # slots 21-43: the X-group tail (rounds 4-6 additions the 50-slot
-        # budget kept queueing behind bigger groups)
-        "x58_media_resize",
-        "x59_media_features",
-        "x62_hard_negatives",
-        "x63_class_prototypes",
-        "x64_length_histogram",
-        "x65_vocab_growth",
-        "x67_weighted_sample",
-        "x68_bpe_merge_apply",
-        "x69_collocation_lift",
-        "x70_retrieval_mrr",
-        "x71_centered_ann",
-        "x72_rank_fusion",
-        "x73_dataset_card",
-        "x75_quantile_normalize",
-        "x76_ngram_novelty",
-        "x77_feature_hashing",
-        "x78_ccnet_buckets",
-        "x79_blocklist_filter",
-        "x80_length_bucketing",
-        "x81_epoch_shuffle",
-        "x82_content_defined_chunks",
-        "x84_source_minhash_overlap",
-        "x85_dedup_method_report",
-        # slots 44-50: the seven operators ADDED in round 7 (never graded
-        # by construction) — the head is now exactly the 50 queries with
-        # no driver evidence, so a green r07 artifact completes 246/246
-        # cumulative driver coverage.
-        "x90_ivf_pq_ann",
-        "x91_shard_pack",
-        "a28_flush_batch_report",
-        "b58_group_by_all",
-        "o10_compaction_planner",
-        "u13_pandas_udaf_window",
-        "f14_fn_interval",
-        # slots 51+: every query above is ungraded; from here down the
-        # highest-value RE-proofs queue in case the budget is ever looser
-        # (the flagship, the dedup/stream/CDC kernels most other queries
-        # compose, and the judge-named composites).
+        # ROUND 8 ROTATION (round-7 verdict directive #1): rounds 1-7
+        # certified 246 distinct queries with zero failures ever
+        # (CORRECTNESS_r01-r07); 70 round-7 additions remain never graded
+        # — more than the 50-slot budget, so the head takes the 44 non-X
+        # never-graded entries plus the 6 highest-risk X entries, ordered
+        # heaviest-risk-first per the round-7 verdict (streaming drills,
+        # storage/physical ops, plan-rewrite pins, new U surfaces before
+        # sweep variants). The 20 deferred X sweeps queue directly below
+        # the cut so round 9's rotation (plus this round's throttled
+        # additions) closes cumulative certification.
+        # Slots 1-3: the streaming drills — checkpointed foreachBatch
+        # machinery is the surface most likely to disagree with DuckDB.
+        "s22_stream_scd2",
+        "s24_stream_state_recovery",
+        "s23_stream_observed_metrics",
+        # slots 4-7: storage/physical layout ops.
+        "o11_bucket_pruned_scan",
+        "o12_max_records_per_file",
+        "o13_cached_scan",
+        "o14_cbo_stats_join",
+        # slots 8-9: plan-rewrite pins.
+        "w11_window_group_limit",
+        "w12_named_window_clause",
+        # slots 10-16: the new UDF/UDTF surfaces.
+        "u14_sql_udf",
+        "u15_udtf_table_arg",
+        "u16_apply_in_arrow",
+        "u17_udtf_arrow",
+        "u18_python_datasource_writer",
+        "u19_cogrouped_map",
+        "u20_pandas_api_on_spark",
+        # slots 17-19: CDC tail (SCD2 history is a32's foundation).
+        "a29_envelope_audit_gates",
+        "a30_scd2_dimension_history",
+        "a31_tombstone_gc",
+        # slots 20-37: the batch-relational round-7 additions.
+        "b59_parameterized_sql",
+        "b60_transpose",
+        "b61_session_variables",
+        "b62_bitmap_distinct",
+        "b63_crosstab",
+        "b64_corr_covar",
+        "b65_min_max_by",
+        "b66_union_schema_drift",
+        "b67_sql_pipe_syntax",
+        "b68_observed_metrics",
+        "b69_join_strategy_invariance",
+        "b70_distribute_sort_by",
+        "b71_listagg",
+        "b72_lateral_alias",
+        "b73_sql_pivot_unpivot",
+        "b74_identifier_clause",
+        "b75_execute_immediate",
+        "b76_keyset_pagination",
+        # slots 38-44: scalar-function tail.
+        "f15_fn_xml",
+        "f16_fn_regexp",
+        "f17_fn_edit_distance",
+        "f18_fn_position",
+        "f19_fn_number_format",
+        "f20_fn_xml_write",
+        "f21_fn_generator_outer",
+        # slots 45-50: the six highest-risk X entries (multi-stage
+        # iterative kernels: distributed eigen-solve, k-means purity,
+        # semdedup sweep, candidate-verify DP, lineage chain).
+        "x111_top_pc_power_iteration",
+        "x112_common_direction_removal",
+        "x114_cluster_purity",
+        "x94_semdedup_sweep",
+        "x97_fuzzy_verify",
+        "x108_dedup_lineage",
+        # slots 51-70: the 20 deferred never-graded X sweeps — FIRST in
+        # line for round 9's head (plus this round's additions, appended
+        # after them as they land).
+        "x92_band_threshold_sweep",
+        "x93_oov_rate",
+        "x95_embedding_dim_stats",
+        "x96_lsh_multiprobe",
+        "x98_recall_matryoshka",
+        "x99_class_outliers",
+        "x100_vocab_budget_sweep",
+        "x101_simhash_hamming_pairs",
+        "x102_winnowing_overlap",
+        "x103_mmr_diverse_select",
+        "x104_leakage_free_split",
+        "x105_pack_efficiency_sweep",
+        "x106_langid_confusion",
+        "x107_ivf_balance_report",
+        "x109_triplet_mining",
+        "x110_span_corruption_mask",
+        "x113_knn_label_eval",
+        "x115_soft_dedup_reweight",
+        "x116_fim_transform",
+        "x117_nonsplit_packing",
+        # slots 71+: highest-value RE-proofs queue in case the budget is
+        # ever looser (the flagship, the dedup/stream/CDC kernels most
+        # other queries compose, and the judge-named composites).
         "flagship_cdc_materialize",
         "x2_dedup_fuzzy_minhash",
         "s10_foreachbatch_upsert",
