@@ -184,7 +184,19 @@ def registry() -> dict[str, QuerySpec]:
         "x115_soft_dedup_reweight",
         "x116_fim_transform",
         "x117_nonsplit_packing",
-        # slots 71+: highest-value RE-proofs queue in case the budget is
+        # slots 71+: operators ADDED in round 8 (never graded by
+        # construction) queue behind the deferred sweeps so round 9's
+        # head can take all of them.
+        "a32_asof_point_in_time",
+        "s25_stream_before_image",
+        "b77_two_phase_skew_agg",
+        "o15_shuffle_skew_probe",
+        "x118_paragraph_dedup",
+        "x119_template_prefix_cluster",
+        "x120_filter_funnel",
+        "x121_curriculum_order",
+        "x122_media_dedup",
+        # then highest-value RE-proofs in case the budget is ever looser in case the budget is
         # ever looser (the flagship, the dedup/stream/CDC kernels most
         # other queries compose, and the judge-named composites).
         "flagship_cdc_materialize",

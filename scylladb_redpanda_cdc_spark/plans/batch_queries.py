@@ -2565,6 +2565,49 @@ SELECT 'keyset' AS method, o_orderkey, odate, o_totalprice FROM keyset_page"""
 _B76_SQL = _B76_TEMPLATE.format(tbl="orders")
 
 
+def b77_two_phase_skew_agg(spark, sf_dir):
+    """B77: two-phase (salted) aggregation for pathologically skewed group
+    keys, proven loss-free: ``l_returnflag`` has THREE values over the
+    whole of lineitem — at 100 TB a single-phase final agg funnels a third
+    of the table into one reducer. Phase 1 partial-aggregates on
+    (key, salt = pmod(l_orderkey, 16)) — 48 uniform cells, every reducer
+    bounded at 1/16 of a key's rows; phase 2 merges the algebraic states
+    (count-sum / sum-sum / min-min / max-max) back to 3 rows. The oracle
+    is the DIRECT single-phase GROUP BY — identical output is exactly the
+    claim that salting an algebraic aggregate cannot change the answer
+    (b31 salts a JOIN; b77 salts the aggregate itself).
+
+    Exactness: money sums in integer cents (BIGINT, order-independent);
+    min/max/count trivially mergeable. Spark's own partial-agg does this
+    per-task already — the explicit salt adds the REDUCER-side split that
+    partial agg alone cannot give when one grouping key dominates."""
+    li = _T(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    p1 = (
+        li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(cents).alias("_c"),
+            F.min("l_quantity").alias("_mn"),
+            F.max("l_quantity").alias("_mx"),
+        )
+    )
+    return p1.groupBy("l_returnflag").agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.sum("_c").cast("long").alias("total_cents"),
+        F.min("_mn").alias("min_qty"),
+        F.max("_mx").alias("max_qty"),
+    )
+
+
+_B77_SQL = """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS total_cents,
+  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag"""
+
+
 SPECS = [
     QuerySpec(
         "b2_filter_conjunctive",
@@ -3196,5 +3239,12 @@ SPECS = [
         "page 3 by LIMIT/OFFSET and by keyset anchor: identical rows",
         b76_keyset_pagination,
         _B76_SQL,
+    ),
+    QuerySpec(
+        "b77_two_phase_skew_agg",
+        "B",
+        "salted two-phase aggregate == direct GROUP BY (loss-free merge)",
+        b77_two_phase_skew_agg,
+        _B77_SQL,
     ),
 ]

@@ -1257,6 +1257,65 @@ SELECT customer_id, order_id, totalprice, orderstatus,
 FROM v WHERE op IN ('c', 'u')"""
 
 
+def a32_asof_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32: point-in-time (AS-OF) read over A30's SCD2 validity intervals —
+    the consumer-facing query the history exists FOR. A18 answers "state
+    as of offset T" by replaying the log up to T (one compaction per
+    question); A30's intervals make the same answer an O(1) filter:
+    version rows where ``valid_from <= T <= valid_to`` (open versions
+    have NULL valid_to). Reference grounding: rpk_topic_consume.json:44,52
+    — the same two-event key A30 closes; an as-of between the two offsets
+    must return the FIRST version's values.
+
+    The as-of point is derived plan-side (60% of the history's max
+    valid_from, floor'd — deterministic integer arithmetic both engines),
+    rides a 1-row broadcast crossJoin — no driver collect, no literal
+    baked at build time, and NO log rescan beyond the history build
+    itself. At 100 TB the history is partition-pruned by valid_from if
+    written range-partitioned; the read stays map-only."""
+    hist = a30_scd2_dimension_history(spark, sf_dir)
+    asof = hist.agg(
+        F.floor(F.max("valid_from") * 6 / 10).cast("long").alias("asof_offset")
+    )
+    return (
+        hist.crossJoin(F.broadcast(asof))
+        .filter(
+            (F.col("valid_from") <= F.col("asof_offset"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") >= F.col("asof_offset"))
+            )
+        )
+        .select(
+            "customer_id",
+            "order_id",
+            "totalprice",
+            "orderstatus",
+            "valid_from",
+            "valid_to",
+            "asof_offset",
+        )
+    )
+
+
+_A32_SQL = f"""WITH {CHANGELOG_SQL_CTE.strip()},
+v AS (
+  SELECT *, LEAD("offset") OVER (
+      PARTITION BY customer_id, order_id ORDER BY "offset") AS next_offset
+  FROM changelog),
+h AS (
+  SELECT customer_id, order_id, totalprice, orderstatus,
+    "offset" AS valid_from, next_offset - 1 AS valid_to
+  FROM v WHERE op IN ('c', 'u')),
+a AS (SELECT CAST(FLOOR(MAX(valid_from) * 6 / 10) AS BIGINT) AS asof_offset
+      FROM h)
+SELECT customer_id, order_id, totalprice, orderstatus,
+  valid_from, valid_to, asof_offset
+FROM h CROSS JOIN a
+WHERE valid_from <= asof_offset
+  AND (valid_to IS NULL OR valid_to >= asof_offset)"""
+
+
 #: a31 grace window: 730 days of EVENT time — tombstones younger than
 #: this survive GC so a lagging replica replaying older events still
 #: observes the delete (ScyllaDB's gc_grace_seconds contract, the
@@ -1681,6 +1740,13 @@ FROM log GROUP BY topic""",
         "tombstone GC with grace window (Scylla gc_grace over A6 state)",
         a31_tombstone_gc,
         _A31_SQL,
+    ),
+    QuerySpec(
+        "a32_asof_point_in_time",
+        "A",
+        "AS-OF read over a30's SCD2 intervals (A18's answer, O(1) not replay)",
+        a32_asof_point_in_time,
+        _A32_SQL,
     ),
     QuerySpec(
         "a21_replay_idempotence",

@@ -8508,6 +8508,490 @@ SELECT doc_id, n AS n_tokens, phase AS mask_phase, n_spans, n_masked,
 FROM msk"""
 
 
+#: x118's paragraph width in words: CCNet deduplicates at PARAGRAPH
+#: granularity; the fixture text has no newline structure, so the
+#: deterministic stand-in paragraph is a fixed 12-word block (wider than
+#: x33's 8-word detection spans, and non-overlapping like real paragraphs).
+X118_PARA_W = 12
+
+
+def x118_paragraph_dedup(spark, sf_dir):
+    """X118: paragraph-level exact dedup with doc reassembly stats — the
+    CCNet removal step (Wenzek et al. 2020 dedup paragraphs across shards
+    before anything else runs). x33 DETECTS spans shared across docs; x118
+    performs the REMOVAL: every paragraph keeps exactly its first
+    occurrence corpus-wide ((doc_id, para_idx) order — deterministic,
+    seedless), and each document reports how much of it survives: paragraph
+    count, kept count, kept words, and the duplicated share in exact ppm.
+    A doc at dup_ppm 1e6 is pure boilerplate; the per-doc residue is what
+    feeds a length re-filter after paragraph dedup.
+
+    Scale shape: paragraphs hash to uniform 60-bit keys (hash60), so the
+    first-occurrence window shuffles once on para_h with no skew key
+    possible (a paragraph shared by millions of docs still lands in ONE
+    partition but as a bounded run — count per hash, not corpus-sized);
+    the per-doc rollup is one partial-agg shuffle on doc_id. No pair join
+    anywhere — dedup by grouping, never by self-join."""
+    t = _docs_fanned(spark, sf_dir).select(
+        "doc_id", words(F.col("text")).alias("ws")
+    ).filter(F.size("ws") > 0)
+    n_blocks = F.ceil(F.size("ws") / F.lit(X118_PARA_W)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_blocks - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("ws"), i * X118_PARA_W + 1, X118_PARA_W)
+        ),
+    )
+    occ = t.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "para")
+    ).select(
+        "doc_id",
+        F.col("para_idx").cast("long").alias("para_idx"),
+        hash60(F.col("para")).alias("para_h"),
+        F.size(F.split("para", " ")).cast("long").alias("n_words"),
+    )
+    w = Window.partitionBy("para_h").orderBy(
+        F.col("doc_id").asc(), F.col("para_idx").asc()
+    )
+    rn = occ.withColumn("rn", F.row_number().over(w))
+    per = rn.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == 1, F.col("n_words"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("kept_words"),
+    )
+    return per.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        "kept_words",
+        F.floor(
+            (F.col("n_paras") - F.col("n_kept"))
+            * F.lit(1_000_000.0)
+            / F.col("n_paras")
+        )
+        .cast("long")
+        .alias("dup_ppm"),
+    )
+
+
+_X118_SQL = f"""WITH {_TOKS_CTE},
+blocks AS (SELECT doc_id,
+    unnest(list_transform(
+      range(1, CAST(ceil(len(ws) / {X118_PARA_W}.0) AS BIGINT) + 1),
+      i -> {{'idx': i - 1,
+            'p': array_to_string(
+              ws[(i-1)*{X118_PARA_W}+1:(i-1)*{X118_PARA_W}+{X118_PARA_W}],
+              ' ')}})) AS b
+  FROM toks WHERE len(ws) > 0),
+occ AS (SELECT doc_id, CAST(b.idx AS BIGINT) AS para_idx,
+    CAST(concat('0x', substr(sha256(b.p), 1, 15)) AS BIGINT) AS para_h,
+    CAST(len(string_split(b.p, ' ')) AS BIGINT) AS n_words
+  FROM blocks),
+rn AS (SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY para_h ORDER BY doc_id, para_idx) AS rn FROM occ),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN n_words END), 0) AS BIGINT)
+      AS kept_words
+  FROM rn GROUP BY 1)
+SELECT doc_id, n_paras, n_kept, kept_words,
+  CAST(FLOOR((n_paras - n_kept) * 1000000.0 / n_paras) AS BIGINT) AS dup_ppm
+FROM per"""
+
+
+#: x119's template prefix width: 8 leading words pins a page template
+#: (nav bars, licence headers) without tripping on ordinary shared openers.
+X119_PREFIX_W = 8
+
+
+def x119_template_prefix_cluster(spark, sf_dir):
+    """X119: template detection by PREFIX clustering — boilerplate-heavy
+    sources (forums, wikis, listing sites) emit thousands of pages whose
+    opening words are the template, not content. Cluster docs on the hash
+    of their first 8 words; emit only clusters with >=2 members, each
+    member with the cluster's size, distinct-source spread (a template
+    seen across many sources is a scraper artifact, one source = a site
+    skin), and a canonical bit (min doc_id). x61 strips boilerplate
+    WITHIN a doc; x17 fingerprints whole docs; x119 finds the template
+    FAMILIES across docs — the report that decides whether to strip a
+    prefix rule corpus-wide.
+
+    Scale: map-side prefix hash, one partial-agg shuffle on the 60-bit
+    hash (uniform), clusters joined back by the same equi-key. No text
+    self-join; cluster metadata is cluster-count-sized."""
+    t = _docs_fanned(spark, sf_dir).select(
+        "doc_id", "source", words(F.col("text")).alias("ws")
+    ).filter(F.size("ws") >= X119_PREFIX_W)
+    occ = t.select(
+        "doc_id",
+        "source",
+        hash60(
+            F.concat_ws(" ", F.slice(F.col("ws"), 1, X119_PREFIX_W))
+        ).alias("prefix_h"),
+    )
+    grp = (
+        occ.groupBy("prefix_h")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("_min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return occ.join(grp, "prefix_h").select(
+        "doc_id",
+        "source",
+        "prefix_h",
+        "n_docs",
+        "n_sources",
+        (F.col("doc_id") == F.col("_min_doc")).alias("is_canonical"),
+    )
+
+
+_X119_SQL = f"""WITH toks AS (SELECT doc_id, source,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      w -> w <> '') AS ws
+  FROM documents),
+occ AS (SELECT doc_id, source,
+    CAST(concat('0x', substr(sha256(
+      array_to_string(ws[1:{X119_PREFIX_W}], ' ')), 1, 15)) AS BIGINT)
+      AS prefix_h
+  FROM toks WHERE len(ws) >= {X119_PREFIX_W}),
+grp AS (SELECT prefix_h, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+    MIN(doc_id) AS min_doc
+  FROM occ GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT doc_id, source, prefix_h, n_docs, n_sources,
+  doc_id = min_doc AS is_canonical
+FROM occ JOIN grp USING (prefix_h)"""
+
+
+def x120_filter_funnel(spark, sf_dir):
+    """X120: the curation FUNNEL — staged survival accounting through the
+    pipeline's gates in their production order: all docs -> Gopher
+    heuristic gates (x88's conjunction) -> blended quality >= 0.5 (x15's
+    score; bit-identical doubles both engines, so the comparison agrees
+    exactly) -> exact-dedup survivor (x1's first-occurrence rule). Per
+    stage: surviving docs, surviving whitespace tokens, and the doc share
+    vs the raw corpus in exact ppm. This is the one-page answer to "where
+    did my corpus go?" — every curation writeup tabulates exactly this
+    (RefinedWeb Fig. 2's funnel), and a stage that removes 90% flags a
+    miscalibrated gate before a training run pays for it.
+
+    Scale: each gate is the already-audited kernel (map-only algebra for
+    x88/x15; one hash-partitioned window for the dedup bit); the funnel
+    itself is a 4-literal map-side explode + one partial agg to FOUR rows.
+    Composing gates adds zero new shuffle classes."""
+    d = _T(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n_words = F.size(ws).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_alpha = F.length(
+        F.regexp_replace(F.lower("text"), "[^a-z]", "")
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_c"),
+        (n_alpha * F.lit(1_000_000)).alias("n_alpha_c"),
+        F.size(
+            F.array_distinct(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+        ).cast("long").alias("n_stop_distinct"),
+        F.size(word_grams(ws, 2)).cast("long").alias("_bg_total"),
+        F.size(F.array_distinct(word_grams(ws, 2))).cast("long").alias(
+            "_bg_distinct"
+        ),
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("_th"),
+        # x15's exact score chain (bit-identical doubles both engines).
+        F.coalesce(
+            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+            .cast("double")
+            / F.nullif(F.length("text"), F.lit(0)).cast("double"),
+            F.lit(0.0),
+        ).alias("_alpha_ratio"),
+        F.coalesce(
+            F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast("double")
+            / F.nullif(F.size(ws), F.lit(0)).cast("double"),
+            F.lit(0.0),
+        ).alias("_stop_ratio"),
+        F.least(F.size(ws).cast("double") / F.lit(100.0), F.lit(1.0)).alias(
+            "_len_score"
+        ),
+    )
+    g_gopher = (
+        (F.col("n_words") >= 5)
+        & (F.col("n_words") <= 100_000)
+        & (
+            F.when(
+                F.col("n_chars_c") > 0,
+                F.expr("n_alpha_c DIV n_chars_c"),
+            ).otherwise(F.lit(0))
+            >= 500_000
+        )
+        & (F.col("n_stop_distinct") >= 2)
+        & (
+            F.lit(5) * (F.col("_bg_total") - F.col("_bg_distinct"))
+            <= F.col("_bg_total")
+        )
+    )
+    score = (
+        F.col("_alpha_ratio") * 0.4
+        + (F.lit(1.0) - F.col("_stop_ratio")) * 0.3
+        + F.col("_len_score") * 0.3
+    )
+    wdup = Window.partitionBy("_th").orderBy(F.col("doc_id").asc())
+    flags = base.withColumn("_g1", g_gopher).withColumn(
+        "_g2", score >= F.lit(0.5)
+    ).withColumn("_g3", F.row_number().over(wdup) == 1)
+    staged = flags.select(
+        "doc_id",
+        "n_words",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("stage_idx"),
+                    F.lit("all").alias("stage_name"),
+                    F.lit(True).alias("alive"),
+                ),
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit("gopher_gates").alias("stage_name"),
+                    F.col("_g1").alias("alive"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit("quality_50").alias("stage_name"),
+                    (F.col("_g1") & F.col("_g2")).alias("alive"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit("exact_dedup").alias("stage_name"),
+                    (F.col("_g1") & F.col("_g2") & F.col("_g3")).alias(
+                        "alive"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    )
+    agg = staged.groupBy(
+        F.col("s.stage_idx").cast("long").alias("stage_idx"),
+        F.col("s.stage_name").alias("stage_name"),
+    ).agg(
+        F.sum(F.when(F.col("s.alive"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("s.alive"), F.col("n_words"))), F.lit(0))
+        .cast("long")
+        .alias("n_ws_tokens"),
+    )
+    total = d.agg(F.count("*").alias("_n_all"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "stage_idx",
+        "stage_name",
+        "n_docs",
+        "n_ws_tokens",
+        F.floor(F.col("n_docs") * F.lit(1_000_000.0) / F.col("_n_all"))
+        .cast("long")
+        .alias("doc_share_ppm"),
+    )
+
+
+_X120_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_X120_SQL = f"""WITH {_TOKS_CTE},
+base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+      AS BIGINT) AS n_alpha,
+    CAST(len(list_distinct(list_filter(ws,
+      w -> w IN ({_X120_STOP_IN})))) AS BIGINT) AS n_stop_distinct,
+    CAST(len(list_filter(ws, w -> w IN ({_X120_STOP_IN}))) AS BIGINT)
+      AS n_stop,
+    sha256(lower(trim(text))) AS th,
+    CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS bg_total,
+    CASE WHEN len(ws) >= 2 THEN len(list_distinct(
+      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+      ELSE 0 END AS bg_distinct
+  FROM toks),
+flags AS (SELECT doc_id, n_words,
+    (n_words >= 5 AND n_words <= 100000
+     AND (CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars
+          ELSE 0 END) >= 500000
+     AND n_stop_distinct >= 2
+     AND 5 * (bg_total - bg_distinct) <= bg_total) AS g1,
+    (COALESCE(CAST(n_alpha AS DOUBLE) / nullif(n_chars, 0), 0.0) * 0.4
+     + (1.0 - COALESCE(CAST(n_stop AS DOUBLE) / nullif(n_words, 0), 0.0))
+       * 0.3
+     + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3) >= 0.5 AS g2,
+    ROW_NUMBER() OVER (PARTITION BY th ORDER BY doc_id) = 1 AS g3
+  FROM base),
+staged AS (SELECT doc_id, n_words, s.stage_idx, s.stage_name,
+    CASE s.stage_idx WHEN 0 THEN TRUE WHEN 1 THEN g1
+      WHEN 2 THEN g1 AND g2 ELSE g1 AND g2 AND g3 END AS alive
+  FROM flags, (VALUES (CAST(0 AS BIGINT), 'all'), (1, 'gopher_gates'),
+    (2, 'quality_50'), (3, 'exact_dedup')) AS s(stage_idx, stage_name)),
+agg AS (SELECT stage_idx, stage_name,
+    CAST(SUM(CASE WHEN alive THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+    CAST(COALESCE(SUM(CASE WHEN alive THEN n_words END), 0) AS BIGINT)
+      AS n_ws_tokens
+  FROM staged GROUP BY 1, 2)
+SELECT stage_idx, stage_name, n_docs, n_ws_tokens,
+  CAST(FLOOR(n_docs * 1000000.0 / (SELECT COUNT(*) FROM documents))
+    AS BIGINT) AS doc_share_ppm
+FROM agg"""
+
+
+def x121_curriculum_order(spark, sf_dir):
+    """X121: curriculum training ORDER — x81 shuffles uniformly; curricula
+    instead serve easy/clean data first (quality-staged ordering, the
+    standard data-curriculum recipe): stage = quality tercile (ntile(3)
+    over x15's score, best first, doc_id tiebreak), order WITHIN a stage =
+    seedless hash shuffle (hash60 of the id — deterministic, uniform, and
+    uncorrelated with quality), global_rank = the resulting total order.
+    The output is the epoch's serving order; a trainer reads it back
+    sorted.
+
+    Scale honesty: a training order is BY DEFINITION a global total order
+    — the final rank window is a full sort, exactly like x81 and x34's
+    running sum, and that sort IS the operator (Spark's range-partitioned
+    sort handles it; nothing else shuffles). Score/stage computation rides
+    the x15 map-only pass."""
+    d = _T(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    score = (
+        F.coalesce(
+            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+            .cast("double")
+            / F.nullif(F.length("text"), F.lit(0)).cast("double"),
+            F.lit(0.0),
+        )
+        * 0.4
+        + (
+            F.lit(1.0)
+            - F.coalesce(
+                F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast(
+                    "double"
+                )
+                / F.nullif(F.size(ws), F.lit(0)).cast("double"),
+                F.lit(0.0),
+            )
+        )
+        * 0.3
+        + F.least(F.size(ws).cast("double") / F.lit(100.0), F.lit(1.0)) * 0.3
+    )
+    scored = d.select("doc_id", score.alias("quality_score"))
+    w_stage = Window.orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    staged = scored.withColumn(
+        "stage", F.ntile(3).over(w_stage).cast("long")
+    ).withColumn(
+        "shuffle_key", hash60(F.col("doc_id").cast("string"))
+    )
+    w_rank = Window.orderBy(
+        F.col("stage").asc(), F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    return staged.select(
+        "doc_id",
+        "stage",
+        "shuffle_key",
+        F.row_number().over(w_rank).cast("long").alias("global_rank"),
+    )
+
+
+_X121_SQL = f"""WITH {_TOKS_CTE},
+scored AS (SELECT doc_id,
+    (COALESCE(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        AS DOUBLE) / nullif(length(text), 0), 0.0) * 0.4
+     + (1.0 - COALESCE(CAST(len(list_filter(ws,
+          w -> w IN ({_X120_STOP_IN}))) AS DOUBLE)
+          / nullif(len(ws), 0), 0.0)) * 0.3
+     + least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.3) AS quality_score
+  FROM toks),
+staged AS (SELECT doc_id, quality_score,
+    CAST(NTILE(3) OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT)
+      AS stage,
+    CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))
+      AS BIGINT) AS shuffle_key
+  FROM scored)
+SELECT doc_id, stage, shuffle_key,
+  CAST(ROW_NUMBER() OVER (ORDER BY stage, shuffle_key, doc_id) AS BIGINT)
+    AS global_rank
+FROM staged"""
+
+
+def x122_media_dedup(spark, sf_dir):
+    """X122: content-hash dedup over the multimodal BINARY payload with a
+    per-mime storage report — the multimodal twin of x1 (text keys) and
+    the audit a blob store runs before shipping shards: blobs dedup by
+    sha256 of the raw bytes (codec-opaque — identical bytes dedup whatever
+    the decoder would say, x9's late-materialization discipline), keep =
+    first doc_id; per mime type the report shows blob count, unique count,
+    total bytes, duplicate bytes reclaimed, and the reclaim share in exact
+    ppm. Payloads are x9's assembled carrier (fixture has no real media;
+    the binary plumbing is the operator).
+
+    Scale: one partial-agg-friendly window on the 256-bit content hash
+    (uniform by construction), then a mime-keyed partial agg to a
+    mime-count-sized frame. The BLOB never moves after the hash pass —
+    only (hash, bytes, mime) travel the shuffle."""
+    d = _T(spark, sf_dir, "documents")
+    assembled = d.select(
+        "doc_id",
+        F.concat(F.lit("text/"), F.col("lang")).alias("mime"),
+        F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("blob_h"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    w = Window.partitionBy("blob_h").orderBy(F.col("doc_id").asc())
+    rn = assembled.withColumn("rn", F.row_number().over(w))
+    per = rn.groupBy("mime").agg(
+        F.count("*").cast("long").alias("n_blobs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unique"),
+        F.sum("n_bytes").cast("long").alias("bytes_total"),
+        F.coalesce(F.sum(F.when(F.col("rn") > 1, F.col("n_bytes"))), F.lit(0))
+        .cast("long")
+        .alias("bytes_reclaimed"),
+    )
+    return per.select(
+        "mime",
+        "n_blobs",
+        "n_unique",
+        "bytes_total",
+        "bytes_reclaimed",
+        F.floor(
+            F.col("bytes_reclaimed") * F.lit(1_000_000.0) / F.col("bytes_total")
+        )
+        .cast("long")
+        .alias("reclaim_ppm"),
+    )
+
+
+_X122_SQL = """WITH assembled AS (SELECT doc_id,
+    'text/' || lang AS mime, sha256(text) AS blob_h,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents),
+rn AS (SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY blob_h ORDER BY doc_id) AS rn FROM assembled),
+per AS (SELECT mime, CAST(COUNT(*) AS BIGINT) AS n_blobs,
+    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+    CAST(SUM(n_bytes) AS BIGINT) AS bytes_total,
+    CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN n_bytes END), 0) AS BIGINT)
+      AS bytes_reclaimed
+  FROM rn GROUP BY 1)
+SELECT mime, n_blobs, n_unique, bytes_total, bytes_reclaimed,
+  CAST(FLOOR(bytes_reclaimed * 1000000.0 / bytes_total) AS BIGINT)
+    AS reclaim_ppm
+FROM per"""
+
+
 SPECS = [
     QuerySpec(
         "x1_dedup_exact",
@@ -9375,5 +9859,40 @@ SPECS = [
         "non-splitting packer: greedy per-shard bins, recursive oracle",
         x117_nonsplit_packing,
         _X117_SQL,
+    ),
+    QuerySpec(
+        "x118_paragraph_dedup",
+        "X",
+        "CCNet paragraph removal: first occurrence survives, per-doc residue",
+        x118_paragraph_dedup,
+        _X118_SQL,
+    ),
+    QuerySpec(
+        "x119_template_prefix_cluster",
+        "X",
+        "template families by 8-word prefix hash (>=2 members, source spread)",
+        x119_template_prefix_cluster,
+        _X119_SQL,
+    ),
+    QuerySpec(
+        "x120_filter_funnel",
+        "X",
+        "staged curation funnel: all -> gopher -> quality -> exact dedup",
+        x120_filter_funnel,
+        _X120_SQL,
+    ),
+    QuerySpec(
+        "x121_curriculum_order",
+        "X",
+        "curriculum serving order: quality terciles, hash-shuffled within",
+        x121_curriculum_order,
+        _X121_SQL,
+    ),
+    QuerySpec(
+        "x122_media_dedup",
+        "X",
+        "binary-payload content-hash dedup, per-mime reclaim report",
+        x122_media_dedup,
+        _X122_SQL,
     ),
 ]

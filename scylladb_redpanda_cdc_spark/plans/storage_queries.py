@@ -926,6 +926,70 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
 
 
+#: o15's simulated shuffle width. 32 mirrors the session's
+#: spark.sql.shuffle.partitions so the probe's verdict reads directly on
+#: the plans the other queries actually run.
+O15_PARTS = 32
+
+
+def o15_shuffle_skew_probe(spark, sf_dir):
+    """O15: shuffle-partition SKEW probe — the pre-flight audit that
+    predicts reducer imbalance for a planned shuffle key BEFORE the job
+    runs: bucket every lineitem row by a portable hash of its join key
+    (``l_suppkey``) into the session's 32 shuffle partitions, and report
+    per partition the row count, the load factor vs perfect balance in
+    exact thousandths, and a hot flag (load > 2x mean — the threshold
+    where AQE's skew-join split starts paying). A hot partition here means
+    "salt this key or let AQE split it" — the decision b31/AQE then
+    executes. The hash is the sha-prefix portable family (hash60 mod
+    width), NOT Spark's internal murmur — deliberately: the probe must be
+    engine-reproducible so the DuckDB oracle certifies the histogram, and
+    any uniform hash predicts skew equally (skew lives in the KEY
+    distribution, not the hash choice).
+
+    Scale: one partial-agg shuffle to a WIDTH-sized frame (32 rows at any
+    corpus size); totals ride a 1-row broadcast combine. The probe costs
+    one scan — amortized against the shuffle it de-risks."""
+    from scylladb_redpanda_cdc_spark.operators.llm import hash60
+
+    li = _T(spark, sf_dir, "lineitem").select(
+        F.pmod(hash60(F.col("l_suppkey").cast("string")), F.lit(O15_PARTS))
+        .cast("long")
+        .alias("shuffle_part")
+    )
+    counts = li.groupBy("shuffle_part").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    tot = counts.agg(F.sum("n_rows").alias("_n_total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "shuffle_part",
+        "n_rows",
+        F.floor(
+            F.col("n_rows") * F.lit(O15_PARTS) * F.lit(1000.0)
+            / F.col("_n_total")
+        )
+        .cast("long")
+        .alias("load_x1000"),
+        (
+            F.col("n_rows") * F.lit(O15_PARTS) > F.lit(2) * F.col("_n_total")
+        ).alias("is_hot"),
+    )
+
+
+_O15_SQL = f"""WITH b AS (SELECT
+    CAST(concat('0x', substr(sha256(CAST(l_suppkey AS VARCHAR)), 1, 15))
+      AS BIGINT) % {O15_PARTS} AS shuffle_part
+  FROM lineitem),
+counts AS (SELECT shuffle_part, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM b GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM counts)
+SELECT shuffle_part, n_rows,
+  CAST(FLOOR(n_rows * {O15_PARTS} * 1000.0 / n_total) AS BIGINT)
+    AS load_x1000,
+  n_rows * {O15_PARTS} > 2 * n_total AS is_hot
+FROM counts CROSS JOIN tot"""
+
+
 SPECS = [
     QuerySpec(
         "o1_partitioned_write",
@@ -1024,5 +1088,12 @@ SPECS = [
         "ANALYZE TABLE stats drive a hint-free CBO broadcast join",
         o14_cbo_stats_join,
         _O14_SQL,
+    ),
+    QuerySpec(
+        "o15_shuffle_skew_probe",
+        "O",
+        "pre-flight reducer-skew histogram for a planned shuffle key",
+        o15_shuffle_skew_probe,
+        _O15_SQL,
     ),
 ]

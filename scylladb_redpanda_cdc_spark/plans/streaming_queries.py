@@ -759,6 +759,80 @@ _S24_SQL = f"""SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts))
 FROM events GROUP BY 1"""
 
 
+def s25_stream_before_image(spark, sf_dir):
+    """S25: BEFORE-IMAGE reconstruction on the stream — every arriving
+    update/delete event enriched with the version it replaces, via a
+    stream-static INTERVAL join against a30's SCD2 history: the matching
+    version is the one valid AS OF offset-1 (the instant before the event
+    applied). This rebuilds Debezium's ``before`` cell from history when
+    the source doesn't ship it (rpk_topic_consume.json:3 carries
+    before=null for inserts; ScyllaDB CDC ships preimages only when the
+    table enables them — this operator recovers them downstream), and is
+    a32's AS-OF semantics run per-event instead of at one literal.
+
+    Join correctness: an update at offset o opened its OWN version at o,
+    but ``valid_from <= o-1`` excludes it; the version the event closed
+    has ``valid_to = o-1`` exactly — each u/d event matches precisely one
+    prior version (inserts have none and are filtered).
+
+    Scale: the dimension is key-count-sized (one open + closed versions
+    per key) and broadcast here; past broadcast size the same join
+    hash-partitions on the event key — the topic's own partitioning —
+    with the interval residual as a post-join filter. The stream side
+    never buffers state (static join, no watermark needed)."""
+    from scylladb_redpanda_cdc_spark.plans.cdc_queries import (
+        a30_scd2_dimension_history,
+    )
+
+    hist = a30_scd2_dimension_history(spark, sf_dir).select(
+        F.col("customer_id").alias("h_cust"),
+        F.col("order_id").alias("h_ord"),
+        F.col("totalprice").alias("prior_totalprice"),
+        F.col("orderstatus").alias("prior_orderstatus"),
+        "valid_from",
+        "valid_to",
+    )
+    changes = stage_changelog_stream(spark, sf_dir, n_files=3)
+    ev = changes.filter(F.col("op").isin("u", "d"))
+    joined = ev.join(
+        F.broadcast(hist),
+        (ev["customer_id"] == F.col("h_cust"))
+        & (ev["order_id"] == F.col("h_ord"))
+        & (F.col("valid_from") <= F.col("offset") - 1)
+        & (F.col("valid_to") >= F.col("offset") - 1),
+        "inner",
+    )
+    out = joined.select(
+        "offset",
+        "op",
+        "customer_id",
+        "order_id",
+        "prior_totalprice",
+        "prior_orderstatus",
+        F.col("valid_from").alias("prior_valid_from"),
+    )
+    return run_to_table(out, mode="append")
+
+
+_S25_SQL = f"""WITH {CHANGELOG_SQL_CTE.strip()},
+v AS (
+  SELECT *, LEAD("offset") OVER (
+      PARTITION BY customer_id, order_id ORDER BY "offset") AS next_offset
+  FROM changelog),
+h AS (
+  SELECT customer_id, order_id, totalprice, orderstatus,
+    "offset" AS valid_from, next_offset - 1 AS valid_to
+  FROM v WHERE op IN ('c', 'u')),
+ev AS (SELECT * FROM changelog WHERE op IN ('u', 'd'))
+SELECT ev."offset", ev.op, ev.customer_id, ev.order_id,
+  h.totalprice AS prior_totalprice, h.orderstatus AS prior_orderstatus,
+  h.valid_from AS prior_valid_from
+FROM ev JOIN h ON ev.customer_id = h.customer_id
+  AND ev.order_id = h.order_id
+  AND h.valid_from <= ev."offset" - 1
+  AND h.valid_to >= ev."offset" - 1"""
+
+
 SPECS = [
     QuerySpec(
         "s1_stream_ingest_kafka",
@@ -973,6 +1047,13 @@ ORDER BY n DESC, tok ASC LIMIT 20""",
         "windowed-agg state survives a query RESTART (checkpoint recovery)",
         s24_stream_state_recovery,
         _S24_SQL,
+    ),
+    QuerySpec(
+        "s25_stream_before_image",
+        "S",
+        "before-image rebuild: stream-static AS-OF join vs SCD2 history",
+        s25_stream_before_image,
+        _S25_SQL,
     ),
     QuerySpec(
         "s20_stream_partitioned_sink",
