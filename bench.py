@@ -171,6 +171,17 @@ BASELINE_S = {
     "x116_fim_transform": 0.391,
     # Round-7 batch 21 (targeted best-of-2-runs-of-best-of-3).
     "x117_nonsplit_packing": 0.562,
+    # Round-8 batch 1 (targeted best-of-2-runs-of-best-of-3): the nine
+    # round-8 additions.
+    "a32_asof_point_in_time": 0.507,
+    "s25_stream_before_image": 2.458,
+    "b77_two_phase_skew_agg": 0.256,
+    "o15_shuffle_skew_probe": 0.685,
+    "x118_paragraph_dedup": 0.849,
+    "x119_template_prefix_cluster": 0.827,
+    "x120_filter_funnel": 1.719,
+    "x121_curriculum_order": 0.536,
+    "x122_media_dedup": 0.243,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -335,6 +346,16 @@ HEADLINE = (
     "x116_fim_transform",
     # round-7 batch 21: non-splitting packing.
     "x117_nonsplit_packing",
+    # round-8 batch 1: the nine round-8 additions.
+    "a32_asof_point_in_time",
+    "s25_stream_before_image",
+    "b77_two_phase_skew_agg",
+    "o15_shuffle_skew_probe",
+    "x118_paragraph_dedup",
+    "x119_template_prefix_cluster",
+    "x120_filter_funnel",
+    "x121_curriculum_order",
+    "x122_media_dedup",
 )
 
 
