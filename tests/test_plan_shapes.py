@@ -195,6 +195,9 @@ _INTENDED_NESTED_LOOP = {
     "x113_knn_label_eval",  # broadcast probe batch (x32's evaluation twin)
     "x114_cluster_purity",  # broadcast centroid tables (x29's kernel)
     "o13_cached_scan",  # broadcast 1-row totals x flags-sized frame
+    "a32_asof_point_in_time",  # broadcast 1-row as-of literal
+    "o15_shuffle_skew_probe",  # broadcast 1-row row-count total
+    "x120_filter_funnel",  # broadcast 1-row corpus count
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
@@ -573,3 +576,70 @@ def test_o14_stats_visible_and_broadcast_is_hint_free(spark, sf_dir, specs):
     assert "rowCount=" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_a32_asof_literal_is_broadcast_no_history_rescan(spark, sf_dir, specs):
+    """a32's 100 TB claim: the as-of point rides a 1-row BroadcastExchange
+    into a nested-loop filter join; the windowed history build appears
+    ONCE (the scalar's max() side prunes to an aggregate — no second
+    lead() pass over the log)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, specs, "a32_asof_point_in_time")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+    # formatted mode prints each node twice (tree line + detail header)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_b77_two_phase_agg_has_two_shuffle_levels(spark, sf_dir, specs):
+    """b77's loss-free salt: the plan must contain the (key, salt) partial
+    stage AND the final key merge — at least two Exchange/HashAggregate
+    levels — and no Window/Sort (pure algebraic merge)."""
+    plan = plan_of(spark, sf_dir, specs, "b77_two_phase_skew_agg")
+    assert plan.count("HashAggregate") >= 3  # partial+final per phase
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_o15_probe_output_is_width_sized(spark, sf_dir, specs):
+    """o15's scale shape: one partial-agg over the scan, totals via a
+    1-row broadcast — no join wider than broadcast, no window, no sort."""
+    plan = plan_of(spark, sf_dir, specs, "o15_shuffle_skew_probe")
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals crossJoin
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_x118_dedup_is_window_on_hash_plus_rollup(spark, sf_dir, specs):
+    """x118: exactly one first-occurrence window (on para_h) and the
+    per-doc rollup as partial+final hash agg; no self-join of text."""
+    import re
+
+    plan = plan_of(spark, sf_dir, specs, "x118_paragraph_dedup")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_x120_funnel_is_single_scan_family_no_joins(spark, sf_dir, specs):
+    """x120: three gate kernels fold into expression algebra + one dedup
+    window; the only join is the 1-row corpus-total broadcast."""
+    plan = plan_of(spark, sf_dir, specs, "x120_filter_funnel")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_x122_blob_never_travels_the_shuffle(spark, sf_dir, specs):
+    """x122's late-materialization claim: after the hash projection only
+    (hash, bytes, mime) move — the exchanged attributes must not include
+    the blob/text payload."""
+    plan = plan_of(spark, sf_dir, specs, "x122_media_dedup", mode="extended")
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        # payload attributes render as text#N / blob#N; hash cols (blob_h)
+        # are exactly what SHOULD travel
+        assert not re.search(r"\btext#|\bblob#", m.group(1)), m.group(0)
