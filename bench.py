@@ -182,6 +182,8 @@ BASELINE_S = {
     "x120_filter_funnel": 1.719,
     "x121_curriculum_order": 0.536,
     "x122_media_dedup": 0.243,
+    # Round-8 batch 2 (targeted best-of-2-runs-of-best-of-3).
+    "o16_dynamic_partition_pruning": 0.468,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -356,6 +358,8 @@ HEADLINE = (
     "x120_filter_funnel",
     "x121_curriculum_order",
     "x122_media_dedup",
+    # round-8 batch 2: dynamic partition pruning.
+    "o16_dynamic_partition_pruning",
 )
 
 

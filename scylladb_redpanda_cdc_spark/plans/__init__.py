@@ -196,6 +196,7 @@ def registry() -> dict[str, QuerySpec]:
         "x120_filter_funnel",
         "x121_curriculum_order",
         "x122_media_dedup",
+        "o16_dynamic_partition_pruning",
         # then highest-value RE-proofs in case the budget is ever looser in case the budget is
         # ever looser (the flagship, the dedup/stream/CDC kernels most
         # other queries compose, and the judge-named composites).

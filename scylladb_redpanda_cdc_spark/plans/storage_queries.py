@@ -990,6 +990,73 @@ SELECT shuffle_part, n_rows,
 FROM counts CROSS JOIN tot"""
 
 
+def o16_dynamic_partition_pruning(spark, sf_dir):
+    """O16: DYNAMIC partition pruning — the runtime half of the pruning
+    story (o1 proves STATIC pruning: a literal predicate on the partition
+    column skips directories at plan time). Here the selective predicate
+    lives on the DIMENSION side only: orders staged hive-partitioned on
+    o_orderpriority (5 directories), a priority→code lookup staged as its
+    own parquet dim, the filter on the dim's NON-join column (code <= 2).
+    No static predicate ever touches the fact — the surviving partition
+    set exists only at runtime, when Catalyst re-uses the broadcast
+    build side as a pruning subquery inside the fact scan
+    (``PartitionFilters: [dynamicpruning#...]``, pinned by the plan-shape
+    test). At 100 TB this is the difference between scanning 5/5 and 3/5
+    of a date-partitioned fact when the filter arrives via a dim join —
+    the star-schema access path every lakehouse relies on.
+
+    Exactness: the rollup is count + integer-cents sums per surviving
+    priority; the oracle applies the dim predicate as a WHERE on the raw
+    table (the semijoin is 1:1 — priorities are unique in the dim)."""
+
+    def write_fact(base: str) -> None:
+        (
+            _T(spark, sf_dir, "orders")
+            .repartition("o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(base)
+        )
+
+    def write_dim(base: str) -> None:
+        (
+            _T(spark, sf_dir, "orders")
+            .select("o_orderpriority")
+            .distinct()
+            .select(
+                F.col("o_orderpriority").alias("pri"),
+                F.substring("o_orderpriority", 1, 1).cast("int").alias(
+                    "pri_code"
+                ),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(base)
+        )
+
+    fact = spark.read.parquet(_stage(spark, sf_dir, "o16_fact", write_fact))
+    dim = spark.read.parquet(_stage(spark, sf_dir, "o16_dim", write_dim))
+    picked = dim.filter(F.col("pri_code") <= 2)
+    joined = fact.join(
+        F.broadcast(picked), fact["o_orderpriority"] == picked["pri"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+_O16_SQL = """SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS total_cents
+FROM orders
+WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2
+GROUP BY o_orderpriority"""
+
+
 SPECS = [
     QuerySpec(
         "o1_partitioned_write",
@@ -1095,5 +1162,12 @@ SPECS = [
         "pre-flight reducer-skew histogram for a planned shuffle key",
         o15_shuffle_skew_probe,
         _O15_SQL,
+    ),
+    QuerySpec(
+        "o16_dynamic_partition_pruning",
+        "O",
+        "runtime partition pruning: dim-side filter prunes the fact scan",
+        o16_dynamic_partition_pruning,
+        _O16_SQL,
     ),
 ]

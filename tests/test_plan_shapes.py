@@ -643,3 +643,12 @@ def test_x122_blob_never_travels_the_shuffle(spark, sf_dir, specs):
         # payload attributes render as text#N / blob#N; hash cols (blob_h)
         # are exactly what SHOULD travel
         assert not re.search(r"\btext#|\bblob#", m.group(1)), m.group(0)
+
+
+def test_o16_fact_scan_is_dynamically_pruned(spark, sf_dir, specs):
+    """o16's whole point: the fact scan's PartitionFilters must carry a
+    runtime dynamicpruning expression (the dim-side filter reused as a
+    pruning subquery), not a static literal."""
+    plan = plan_of(spark, sf_dir, specs, "o16_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan, plan
+    assert "BroadcastHashJoin" in plan
