@@ -184,6 +184,8 @@ BASELINE_S = {
     "x122_media_dedup": 0.243,
     # Round-8 batch 2 (targeted best-of-2-runs-of-best-of-3).
     "o16_dynamic_partition_pruning": 0.468,
+    # Round-8 batch 3 (targeted best-of-2-runs-of-best-of-3).
+    "f22_fn_timezone": 0.663,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -360,6 +362,8 @@ HEADLINE = (
     "x122_media_dedup",
     # round-8 batch 2: dynamic partition pruning.
     "o16_dynamic_partition_pruning",
+    # round-8 batch 3: timezone conversion.
+    "f22_fn_timezone",
 )
 
 

@@ -197,6 +197,7 @@ def registry() -> dict[str, QuerySpec]:
         "x121_curriculum_order",
         "x122_media_dedup",
         "o16_dynamic_partition_pruning",
+        "f22_fn_timezone",
         # then highest-value RE-proofs in case the budget is ever looser in case the budget is
         # ever looser (the flagship, the dedup/stream/CDC kernels most
         # other queries compose, and the judge-named composites).

@@ -957,3 +957,65 @@ SPECS.append(
         _F21_SQL,
     )
 )
+
+
+def f22_fn_timezone(spark, sf_dir):
+    """F22: the timezone-conversion family — the one datetime surface f2
+    leaves untouched, and the one a CDC consumer hits first (the envelope's
+    ts_ms is a UTC instant, rpk_topic_consume.json:4; every downstream
+    report renders it in a business zone). ``convert_timezone`` from the
+    UTC instant into a DST-observing zone (America/New_York — the
+    1992-1998 order dates straddle EST/EDT, so the offset itself is data)
+    and a fixed-offset zone (Asia/Kolkata, +05:30), each as a rendered
+    wall-clock string; plus the NY UTC-offset in MINUTES (the wall-vs-
+    instant difference: -300 standard, -240 daylight — the column that
+    proves the conversion consulted the IANA rules, not a constant).
+
+    Exactness note: both engines resolve named zones through IANA tzdata;
+    the fixture's 1992-1998 range predates the 2007 US DST rule change and
+    is stable across tzdata versions. Offsets are exact integer minutes
+    (epoch-ms subtraction DIV 60000); wall clocks compare as strings.
+
+    Scale: map-only expression algebra — zero shuffles, rides any scan."""
+    o = _T(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    ny = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), ts)
+    kol = F.convert_timezone(F.lit("UTC"), F.lit("Asia/Kolkata"), ts)
+    return o.select(
+        "o_orderkey",
+        F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_wall"),
+        F.date_format(kol, "yyyy-MM-dd HH:mm:ss").alias("kolkata_wall"),
+        # NTZ wall cast back to instant in the UTC session ("wall as
+        # instant"); minus the true instant = the zone's UTC offset.
+        (
+            (F.unix_millis(ny.cast("timestamp")) - F.unix_millis(ts))
+            / F.lit(60000)
+        )
+        .cast("long")
+        .alias("ny_offset_min"),
+        F.hour(ny).cast("long").alias("ny_hour"),
+    )
+
+
+_F22_SQL = """WITH base AS (
+  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders),
+conv AS (SELECT o_orderkey, ts,
+    timezone('America/New_York', timezone('UTC', ts)) AS ny,
+    timezone('Asia/Kolkata', timezone('UTC', ts)) AS kol
+  FROM base)
+SELECT o_orderkey,
+  strftime(ny, '%Y-%m-%d %H:%M:%S') AS ny_wall,
+  strftime(kol, '%Y-%m-%d %H:%M:%S') AS kolkata_wall,
+  CAST((epoch_ms(ny) - epoch_ms(ts)) // 60000 AS BIGINT) AS ny_offset_min,
+  CAST(hour(ny) AS BIGINT) AS ny_hour
+FROM conv"""
+
+SPECS.append(
+    QuerySpec(
+        "f22_fn_timezone",
+        "F",
+        "convert_timezone UTC -> DST zone + fixed offset; offset minutes",
+        f22_fn_timezone,
+        _F22_SQL,
+    )
+)
