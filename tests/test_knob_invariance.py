@@ -178,8 +178,10 @@ def test_shuffle_partition_width_is_result_invariant():
     concern, never a semantic one. Exercised on the queries whose shapes
     would expose a partition-count dependence if one existed — the
     flagship's offset-authority compaction, x2's banded candidate join,
-    w6's two-stacked-window sessionization, b24's per-group top-k, and
-    x25's salted two-phase stratified sample — each compared against its
+    w6's two-stacked-window sessionization, b24's per-group top-k, x25's
+    salted two-phase stratified sample, and the round-8 shapes (a32's
+    broadcast as-of read, x118's first-occurrence window, x121's global
+    curriculum sort, b77's salted merge) — each compared against its
     DuckDB oracle in a fresh subprocess (parity at the odd width IS the
     invariance claim)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -202,7 +204,13 @@ for t in ("region nation customer supplier part orders lineitem events"
 specs = registry()
 for qid in ("flagship_cdc_materialize", "x2_dedup_fuzzy_minhash",
             "w6_win_sessionize", "b24_topk_per_group",
-            "x25_stratified_sample"):
+            "x25_stratified_sample",
+            # round-8 shapes with partition-sensitive surfaces if any
+            # existed: a32's 1-row as-of broadcast over a windowed
+            # history, x118's first-occurrence window + rollup, x121's
+            # global ntile/rank sort, b77's salted two-phase merge.
+            "a32_asof_point_in_time", "x118_paragraph_dedup",
+            "x121_curriculum_order", "b77_two_phase_skew_agg"):
     spec = specs[qid]
     pdf = spec.build(spark, sf).toPandas()
     odf = con.sql(spec.oracle).df()
