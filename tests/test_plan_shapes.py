@@ -652,3 +652,11 @@ def test_o16_fact_scan_is_dynamically_pruned(spark, sf_dir, specs):
     plan = plan_of(spark, sf_dir, specs, "o16_dynamic_partition_pruning")
     assert "dynamicpruning" in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_f22_timezone_is_map_only(spark, sf_dir, specs):
+    """f22: timezone conversion is pure per-row expression algebra — any
+    Exchange means someone added a shuffle to a pass that must ride the
+    scan at 100 TB."""
+    plan = plan_of(spark, sf_dir, specs, "f22_fn_timezone")
+    assert "Exchange" not in plan, plan
