@@ -8687,9 +8687,14 @@ def x120_filter_funnel(spark, sf_dir):
     Scale: each gate is the already-audited kernel (map-only algebra for
     x88/x15; one hash-partitioned window for the dedup bit); the funnel
     itself is a 4-literal map-side explode + one partial agg to FOUR rows.
-    Composing gates adds zero new shuffle classes."""
-    d = _T(spark, sf_dir, "documents")
-    ws = words(F.col("text"))
+    Composing gates adds zero new shuffle classes. The token array is
+    PROJECTED once and referenced as a column (x33's discipline: an
+    inline tokenize expression re-evaluates per consumer — measured ~1.5x
+    on this op)."""
+    d = _T(spark, sf_dir, "documents").select(
+        "doc_id", "text", words(F.col("text")).alias("_ws")
+    )
+    ws = F.col("_ws")
     n_words = F.size(ws).cast("long")
     n_chars = F.length("text").cast("long")
     n_alpha = F.length(
@@ -8861,9 +8866,12 @@ def x121_curriculum_order(spark, sf_dir):
     — the final rank window is a full sort, exactly like x81 and x34's
     running sum, and that sort IS the operator (Spark's range-partitioned
     sort handles it; nothing else shuffles). Score/stage computation rides
-    the x15 map-only pass."""
-    d = _T(spark, sf_dir, "documents")
-    ws = words(F.col("text"))
+    the x15 map-only pass, with the token array projected once (x33's
+    re-evaluation discipline — measured ~1.7x on this op)."""
+    d = _T(spark, sf_dir, "documents").select(
+        "doc_id", "text", words(F.col("text")).alias("_ws")
+    )
+    ws = F.col("_ws")
     score = (
         F.coalesce(
             F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
