@@ -2603,9 +2603,12 @@ def x57_curation_report(spark, sf_dir):
     projection; stages 0-2 aggregate to a single row in one pass
     (conditional aggs); only the dedup stage shuffles, and only the
     (q AND r) survivor subset, keyed by content hash with map-side
-    partial agg."""
-    d = _docs_fanned(spark, sf_dir)
-    ws = words(F.col("text"))
+    partial agg. Token array projected once (x33's re-evaluation
+    discipline — four consumers below)."""
+    d = _docs_fanned(spark, sf_dir).select(
+        "doc_id", "text", words(F.col("text")).alias("_ws")
+    )
+    ws = F.col("_ws")
     n_words = F.size(ws).cast("long")
     n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast("long")
     n_distinct = F.size(F.array_distinct(ws)).cast("long")
@@ -5689,9 +5692,13 @@ def x88_gopher_gates(spark, sf_dir):
 
     Scale: map-only expression algebra over the token array — zero
     shuffles, rides the same tokenize pass as x15/x16/x48 (one scan fuses
-    them at 100 TB)."""
-    d = _T(spark, sf_dir, "documents")
-    ws = words(F.col("text"))
+    them at 100 TB). The token array is projected ONCE and referenced as
+    a column (x33's discipline — the gate suite reads it ten times, and
+    an inline tokenize expression re-evaluates per reference)."""
+    d = _T(spark, sf_dir, "documents").select(
+        "doc_id", "text", words(F.col("text")).alias("_ws")
+    )
+    ws = F.col("_ws")
     n_words = F.size(ws).cast("long")
     n_chars = F.length("text").cast("long")
     n_alpha = F.length(
@@ -6909,9 +6916,14 @@ def x102_winnowing_overlap(spark, sf_dir):
     Fingerprint density is ~2/(W+1) per token — the index is ~40% of
     corpus token count, each entry 16 bytes. Strict oracle: hash60 gram
     hashes + identical slice/min/cap arithmetic in DuckDB."""
-    d = _docs_fanned(spark, sf_dir)
+    # Project the gram-hash array ONCE (x33's re-evaluation discipline):
+    # the W shifted slices below would otherwise each re-run the
+    # tokenize+gram+hash chain.
     ws = words(F.col("text"))
-    hs = F.transform(word_grams(ws, 3), hash60)
+    d = _docs_fanned(spark, sf_dir).select(
+        "doc_id", F.transform(word_grams(ws, 3), hash60).alias("_hs")
+    )
+    hs = F.col("_hs")
     n = F.size(hs)
     w = X102_WINNOW_W
     zipped = F.arrays_zip(*[F.slice(hs, j + 1, n - w + 1) for j in range(w)])
