@@ -164,8 +164,8 @@ def _x2_pairs(spark, sf_dir):
     (doc_a, doc_b, n_shared_bands) over the bucket-capped banding. Shared
     by x2 (threshold applied) and x92 (threshold SWEPT)."""
     d = _docs_fanned(spark, sf_dir)
-    sh = d.select(
-        "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
+    sh = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
+        "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
     ).select("doc_id", hash60(F.col("s")).alias("h"))
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -256,7 +256,9 @@ def x11_dedup_ngram_jaccard(spark, sf_dir):
     # inverted-index-before-fan-out shape every production near-dup
     # pipeline uses.
     sh_raw = d.select(
-        "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
+        "doc_id", words(F.col("text")).alias("_ws")
+    ).select(
+        "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
     ).persist()
     keep = (
         sh_raw.groupBy("s")
@@ -717,7 +719,8 @@ def x22_text_repetition(spark, sf_dir):
     total) so both engines decide knife-edge cases identically; the ratio
     itself is a single IEEE division, bit-equal across engines."""
     d = _T(spark, sf_dir, "documents")
-    grams = word_grams(words(F.col("text")), 2)
+    d = d.select("doc_id", word_grams(words(F.col("text")), 2).alias("_g2"))
+    grams = F.col("_g2")
     t = F.size(grams).cast("long")
     dct = F.size(F.array_distinct(grams)).cast("long")
     ratio = F.when(
@@ -835,9 +838,9 @@ def x26_decontaminate(spark, sf_dir):
     the corpus side streams through one explode + broadcast hash join +
     partial agg, never shuffling the corpus. Plan-asserted."""
     d = _T(spark, sf_dir, "documents")
-    grams = d.select(
+    grams = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
         "doc_id",
-        F.explode(word_shingles(words(F.col("text")), 4)).alias("s"),
+        F.explode(word_shingles(F.col("_ws"), 4)).alias("s"),
     )
     ev = grams.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "s"
@@ -1507,7 +1510,9 @@ def x40_ngram_topk(spark, sf_dir):
     global sort of the gram histogram). Ordering (n DESC, gram ASC) is a
     total order, so the cut line is deterministic in both engines."""
     d = _docs_fanned(spark, sf_dir)
-    g = d.select(F.explode(word_grams(words(F.col("text")), 5)).alias("gram"))
+    g = d.select(words(F.col("text")).alias("_ws")).select(
+        F.explode(word_grams(F.col("_ws"), 5)).alias("gram")
+    )
     return (
         g.groupBy("gram")
         .agg(F.count("*").alias("n"))
@@ -1793,8 +1798,8 @@ def x46_dedup_est_quality(spark, sf_dir):
     side). x21's discipline; a cluster deployment uses a reliable
     checkpoint dir."""
     d = _docs_fanned(spark, sf_dir)
-    sh = d.select(
-        "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
+    sh = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
+        "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
     ).select("doc_id", hash60(F.col("s")).alias("h"))
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -1893,9 +1898,9 @@ def x47_contamination_score(spark, sf_dir):
     shuffling corpus-sized data (the agg key is doc_id, whose partial agg
     collapses map-side to one row per doc)."""
     d = _docs_fanned(spark, sf_dir)
-    grams = d.select(
+    grams = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
         "doc_id",
-        F.explode(word_shingles(words(F.col("text")), 4)).alias("s"),
+        F.explode(word_shingles(F.col("_ws"), 4)).alias("s"),
     )
     ev = grams.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
     corpus = grams.filter(F.col("doc_id") % 97 != 0)
@@ -4945,8 +4950,8 @@ def x76_ngram_novelty(spark, sf_dir):
     shuffle), joined back along the same key, then a doc-sized rollup.
     Never pairwise."""
     d = _T(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
+    sh = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
+        "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
     )
     first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     per = (
@@ -5378,8 +5383,8 @@ def x84_source_minhash_overlap(spark, sf_dir):
     comparison is |sources|² over a tiny frame (declared bounded cross
     join) — never doc-pairwise."""
     d = _T(spark, sf_dir, "documents")
-    sh = d.select(
-        "source", F.explode(word_shingles(words(F.col("text")))).alias("s")
+    sh = d.select("source", words(F.col("text")).alias("_ws")).select(
+        "source", F.explode(word_shingles(F.col("_ws"))).alias("s")
     ).select("source", hash60(F.col("s")).alias("h"))
     sigs = sh.groupBy("source").agg(
         *[
@@ -5793,8 +5798,8 @@ def x89_incremental_minhash(spark, sf_dir):
     small; nothing corpus-sized moves per batch. Strict oracle: the
     identical banding CTE chain recomputed by DuckDB."""
     d = _docs_fanned(spark, sf_dir)
-    sh = d.select(
-        "doc_id", F.explode(word_shingles(words(F.col("text")))).alias("s")
+    sh = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
+        "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
     ).select("doc_id", hash60(F.col("s")).alias("h"))
     sigs = sh.groupBy("doc_id").agg(
         *[
