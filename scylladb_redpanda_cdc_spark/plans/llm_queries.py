@@ -4905,20 +4905,34 @@ def x75_quantile_normalize(spark, sf_dir):
     tiebreak); ppm = ((rn-1) * 1e6) DIV (n-1) — pure integer algebra,
     single-doc sources pinned to 0 by CASE.
 
-    Scale: one shuffle on source + a per-source sort — and source
-    cardinality is small while groups are huge, so the real deployment
-    shape is the two-phase variant (sample per-source quantile boundaries,
-    broadcast, map-side bucket); this exact form is the oracle-checkable
-    contract for it."""
-    d = _T(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wc = Window.partitionBy("source")
-    t = d.select(
-        "doc_id",
+    Scale (the shipped plan, not just prose): source cardinality is small
+    while groups are huge, so a per-source rank window would sort a
+    dominant source in ONE task. The rank is therefore two-phase:
+    (1) a (source, n_chars) count histogram — partial-agg map-side, and
+    value-domain-sized (≤ sources × distinct lengths), NOT corpus-sized —
+    carries each length's cumulative offset within its source plus the
+    source total; (2) the corpus ranks only WITHIN (source, n_chars) —
+    thousands of fine partitions instead of one per source — and
+    rn = offset + within-rank. The histogram joins back via broadcast, so
+    the corpus is shuffled exactly once, on the fine (source, n_chars)
+    key. The offset window itself runs per-source over the histogram
+    frame (stats-sized, bounded by the length domain)."""
+    d = _T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    hist = d.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = hist.select(
         "source",
         "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wc).alias("n"),
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    w_in = Window.partitionBy("source", "n_chars").orderBy("doc_id")
+    t = d.withColumn("rn_in", F.row_number().over(w_in)).join(
+        F.broadcast(offs), ["source", "n_chars"]
     )
     return t.select(
         "doc_id",
@@ -4926,7 +4940,7 @@ def x75_quantile_normalize(spark, sf_dir):
         "n_chars",
         F.expr(
             "CASE WHEN n = 1 THEN 0"
-            " ELSE ((rn - 1) * 1000000) DIV (n - 1) END"
+            " ELSE ((off + rn_in - 1) * 1000000) DIV (n - 1) END"
         )
         .cast("long")
         .alias("qnorm_ppm"),
@@ -5204,11 +5218,17 @@ def x81_epoch_shuffle(spark, sf_dir):
     permutation fingerprint (exact Σ position·doc_id — any ordering
     difference moves it) and the first doc — small, fully exact.
 
-    Scale: position assignment is one sort per epoch over (hash, id); a
-    deployment shards first (x24's pattern) so each shard sorts locally
-    and epoch order is (shard, intra-shard position) — same fingerprint
-    algebra. tests pin that the three fingerprints pairwise differ (the
-    shuffles are genuinely different permutations)."""
+    Scale (the shipped plan — x24's shard-first pattern): a per-epoch
+    rank window would sort each epoch's FULL corpus in one task (3
+    partitions total). Instead the hash key's top 6 bits pick one of 64
+    FIXED hash-range shards — hk is uniform in [0, 2^60), so shard
+    boundaries are constant ranges and ordering by (shard, hk, doc_id)
+    IS ordering by (hk, doc_id). Each (epoch, shard) ranks locally (192
+    fine partitions), a 192-row count frame carries the per-shard
+    cumulative offsets back via broadcast, and pos = offset + local
+    rank — identical fingerprint algebra, no epoch-sized sort anywhere.
+    tests pin that the three fingerprints pairwise differ (the shuffles
+    are genuinely different permutations)."""
     d = _T(spark, sf_dir, "documents").select("doc_id")
     epochs = None
     for e in range(3):
@@ -5220,9 +5240,23 @@ def x81_epoch_shuffle(spark, sf_dir):
             ).alias("hk"),
         )
         epochs = de if epochs is None else epochs.unionByName(de)
-    w = Window.partitionBy("epoch").orderBy("hk", "doc_id")
-    pos = epochs.select(
-        "epoch", "doc_id", F.row_number().over(w).alias("pos")
+    sharded = epochs.withColumn("shard", F.shiftright(F.col("hk"), 54))
+    counts = sharded.groupBy("epoch", "shard").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy("epoch")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "epoch",
+        "shard",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_in = Window.partitionBy("epoch", "shard").orderBy("hk", "doc_id")
+    pos = (
+        sharded.withColumn("pos_in", F.row_number().over(w_in))
+        .join(F.broadcast(offs), ["epoch", "shard"])
+        .select("epoch", "doc_id", (F.col("off") + F.col("pos_in")).alias("pos"))
     )
     return pos.groupBy("epoch").agg(
         F.count("*").alias("n_docs"),
@@ -8879,12 +8913,21 @@ def x121_curriculum_order(spark, sf_dir):
     The output is the epoch's serving order; a trainer reads it back
     sorted.
 
-    Scale honesty: a training order is BY DEFINITION a global total order
-    — the final rank window is a full sort, exactly like x81 and x34's
-    running sum, and that sort IS the operator (Spark's range-partitioned
-    sort handles it; nothing else shuffles). Score/stage computation rides
-    the x15 map-only pass, with the token array projected once (x33's
-    re-evaluation discipline — measured ~1.7x on this op)."""
+    Scale (the shipped plan): a training order is a global total order,
+    but neither rank may plan a single-task sort. Both are two-phase:
+    (1) the quality rank buckets the bounded [0,1] score onto a fixed
+    64-cell grid (a deployment with an unbounded score domain samples
+    boundaries instead — x75's histogram discipline), ranks WITHIN each
+    cell, and adds the per-cell cumulative offset; (2) the serving rank
+    splits each stage into 64 FIXED hash-range shards of the uniform
+    shuffle_key (x81's pattern — shard = top 6 bits, so (stage, shard,
+    key) ordering IS (stage, key) ordering) and again ranks within
+    (stage, shard) + offset. Offsets and the corpus size ride ONE-row
+    broadcast histogram maps (≤64 / ≤192 entries — pure expression
+    algebra on the map, no corpus-sized window anywhere); the stage
+    tercile is NTILE(3) arithmetic applied to the exact rank. Score
+    computation rides the x15 map-only pass with the token array
+    projected once (x33's re-evaluation discipline)."""
     d = _T(spark, sf_dir, "documents").select(
         "doc_id", "text", words(F.col("text")).alias("_ws")
     )
@@ -8911,22 +8954,89 @@ def x121_curriculum_order(spark, sf_dir):
         + F.least(F.size(ws).cast("double") / F.lit(100.0), F.lit(1.0)) * 0.3
     )
     scored = d.select("doc_id", score.alias("quality_score"))
-    w_stage = Window.orderBy(
+    # Phase 1 — exact quality rank (DESC, doc_id tiebreak), two-phase.
+    b = scored.withColumn(
+        "qb",
+        F.least(F.floor(F.col("quality_score") * 64), F.lit(63)).cast("long"),
+    )
+    m1 = b.groupBy("qb").agg(F.count("*").alias("cnt")).agg(
+        F.map_from_arrays(
+            F.collect_list("qb"), F.collect_list("cnt")
+        ).alias("qcnt")
+    )
+    w_in = Window.partitionBy("qb").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()
     )
-    staged = scored.withColumn(
-        "stage", F.ntile(3).over(w_stage).cast("long")
-    ).withColumn(
-        "shuffle_key", hash60(F.col("doc_id").cast("string"))
+    ranked = (
+        b.withColumn("rn_in", F.row_number().over(w_in))
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "doc_id",
+            # DESC order: offset = count of docs in HIGHER score cells.
+            (
+                F.expr(
+                    "aggregate(map_keys(qcnt), 0L,"
+                    " (a, k) -> a + IF(k > qb, qcnt[k], 0L))"
+                )
+                + F.col("rn_in")
+            ).alias("r"),
+            F.expr("aggregate(map_values(qcnt), 0L, (a, v) -> a + v)").alias(
+                "n"
+            ),
+        )
     )
-    w_rank = Window.orderBy(
-        F.col("stage").asc(), F.col("shuffle_key").asc(), F.col("doc_id").asc()
-    )
-    return staged.select(
+    # NTILE(3) arithmetic on the exact rank: base = n DIV 3 rows per
+    # bucket, the first n % 3 buckets take one extra (SQL NTILE's law).
+    staged = ranked.select(
         "doc_id",
-        "stage",
-        "shuffle_key",
-        F.row_number().over(w_rank).cast("long").alias("global_rank"),
+        F.expr(
+            "CASE WHEN r <= (n % 3) * (n DIV 3 + 1)"
+            " THEN (r - 1) DIV (n DIV 3 + 1) + 1"
+            " ELSE (n % 3) + (r - (n % 3) * (n DIV 3 + 1) - 1)"
+            "   DIV (n DIV 3) + 1 END"
+        )
+        .cast("long")
+        .alias("stage"),
+        hash60(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    # Phase 2 — global_rank over (stage, shuffle_key, doc_id), two-phase
+    # via x81's fixed hash-range shards of the uniform 60-bit key. The
+    # staged frame (four longs/row) feeds both the shard histogram and
+    # the rank window — localCheckpoint it once so the tokenize+score
+    # pass doesn't run twice (the x11/x33 materialize-once discipline).
+    sh = staged.withColumn(
+        "shard", F.shiftright(F.col("shuffle_key"), 54)
+    ).localCheckpoint(eager=True)
+    m2 = (
+        sh.groupBy("stage", "shard")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.map_from_arrays(
+                F.collect_list(F.col("stage") * 64 + F.col("shard")),
+                F.collect_list("cnt"),
+            ).alias("scnt")
+        )
+    )
+    w_in2 = Window.partitionBy("stage", "shard").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        sh.withColumn("rn2", F.row_number().over(w_in2))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "doc_id",
+            "stage",
+            "shuffle_key",
+            (
+                F.expr(
+                    "aggregate(map_keys(scnt), 0L,"
+                    " (a, k) -> a + IF(k < stage * 64 + shard, scnt[k], 0L))"
+                )
+                + F.col("rn2")
+            )
+            .cast("long")
+            .alias("global_rank"),
+        )
     )
 
 

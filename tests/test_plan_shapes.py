@@ -198,6 +198,7 @@ _INTENDED_NESTED_LOOP = {
     "a32_asof_point_in_time",  # broadcast 1-row as-of literal
     "o15_shuffle_skew_probe",  # broadcast 1-row row-count total
     "x120_filter_funnel",  # broadcast 1-row corpus count
+    "x121_curriculum_order",  # broadcast 1-row histogram maps (rank offsets)
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
@@ -652,6 +653,53 @@ def test_o16_fact_scan_is_dynamically_pruned(spark, sf_dir, specs):
     plan = plan_of(spark, sf_dir, specs, "o16_dynamic_partition_pruning")
     assert "dynamicpruning" in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_x75_rank_is_two_phase_fine_keyed(spark, sf_dir, specs):
+    """x75 (round-8 verdict perf-weak #3, now the shipped plan): the
+    corpus rank window must be keyed by (source, n_chars) — NOT by source
+    alone, where a dominant source serializes one task — with the
+    histogram offsets joining back via broadcast and no single-partition
+    exchange anywhere."""
+    import re
+
+    plan = plan_of(spark, sf_dir, specs, "x75_quantile_normalize", mode="simple")
+    assert re.search(r"Exchange hashpartitioning\(source#\d+, n_chars#\d+", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_x81_epoch_sort_is_sharded(spark, sf_dir, specs):
+    """x81 (round-8 verdict perf-weak #2, now the shipped plan): the rank
+    window must be keyed by (epoch, shard) — 192 fixed hash-range shards,
+    not 3 epoch-sized sort tasks — offsets broadcast, no single-partition
+    exchange."""
+    import re
+
+    plan = plan_of(spark, sf_dir, specs, "x81_epoch_shuffle", mode="simple")
+    assert re.search(r"Exchange hashpartitioning\(epoch#\d+, shard#\d+", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_x121_no_corpus_single_partition_sort(spark, sf_dir, specs):
+    """x121 (round-8 verdict perf-weak #1, now the shipped plan): the
+    serving rank must run within (stage, shard) fine partitions; the only
+    SinglePartition exchanges allowed are stats-sized aggregates (their
+    consumer — the line above in the tree — is an Aggregate node, never a
+    Sort feeding a corpus window). Phase 1 (quality rank) shares x75's
+    pinned histogram shape and is materialized at build."""
+    import re
+
+    plan = plan_of(spark, sf_dir, specs, "x121_curriculum_order", mode="simple")
+    assert re.search(r"Exchange hashpartitioning\(stage#\d+L?, shard#\d+", plan), plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            consumer = lines[i - 1]
+            assert "Sort" not in consumer, plan
+            assert "Aggregate" in consumer, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_f22_timezone_is_map_only(spark, sf_dir, specs):
