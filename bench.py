@@ -7,6 +7,16 @@ ONE JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Artifact-size contract (round-8 verdict task 5): the driver records only
+the trailing ~2 KB of bench stdout, and 121 full query names no longer fit
+(BENCH_r07/r08 captured a mid-line tail and parsed as null). The printed
+line therefore keys ``queries`` by the short SURVEY §2 id (``x111`` for
+``x111_top_pc_power_iteration`` — unique by construction, pinned by test)
+and stays under ~1.7 KB, while the FULL long-name per-query map is written
+to ``--out`` (default ``BENCH_SELF_LATEST.json`` next to this file; the
+line's ``queries_full`` field names it) so both the driver line and the
+in-tree artifact carry every figure.
+
 Timing discipline: each query is fully executed via the ``noop`` sink
 (consumes every row on the executors, no driver collect, no disk write),
 which is the closest local proxy for cluster-side throughput.
@@ -180,7 +190,11 @@ BASELINE_S = {
     "x118_paragraph_dedup": 0.849,
     "x119_template_prefix_cluster": 0.827,
     "x120_filter_funnel": 1.719,
-    "x121_curriculum_order": 0.536,
+    # x121 re-floored 0.536 -> 1.348 in round 9: the shipped plan swapped
+    # the SinglePartition corpus sort for the two-phase histogram-offset
+    # rank (BASELINE.md "Round-9 re-floor"; best of the two round-9
+    # full-tree runs, the same-round flooring convention).
+    "x121_curriculum_order": 1.348,
     "x122_media_dedup": 0.243,
     # Round-8 batch 2 (targeted best-of-2-runs-of-best-of-3).
     "o16_dynamic_partition_pruning": 0.468,
@@ -382,9 +396,45 @@ def _session(cpus: str) -> SparkSession:
     )
 
 
+def render_output(
+    timings: dict[str, float], sf: float | str, out_name: str
+) -> tuple[str, dict]:
+    """(stdout line, full document). The line keys queries by short id and
+    must stay inside the driver's ~2 KB stdout-tail capture; the document
+    keys by full name and is written to ``out_name``. Pure function so the
+    size/uniqueness contract is testable without running Spark."""
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {q: round(t, 3) for q, t in timings.items()},
+        "sf": sf,
+    }
+    line_doc = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        # short id = the SURVEY §2 ID before the first underscore; 2
+        # decimals (full 3-decimal figures live in the --out document)
+        "queries": {q.split("_", 1)[0]: round(t, 2) for q, t in timings.items()},
+        "sf": sf,
+        "queries_full": out_name,
+    }
+    line = json.dumps(line_doc, separators=(",", ":"))
+    if len(line) > 1900:  # absurd timings only; keep the line parseable
+        line_doc["queries"] = {}
+        line = json.dumps(line_doc, separators=(",", ":"))
+    return line, full
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF_LATEST.json"
+    )
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
     spark = _session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry()
@@ -430,17 +480,13 @@ def main() -> None:
         timings[qid] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
+    line, full = render_output(
+        timings, float(sf) if sf else sf_dir, os.path.basename(out_path)
     )
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(line)
     spark.stop()
 
 

@@ -5042,10 +5042,16 @@ def x78_ccnet_buckets(spark, sf_dir):
     scaled mean ``(freq_mass*1e6) DIV n_tokens`` with doc_id tiebreak, so
     ntile boundaries are identical in both engines (no float ordering).
 
-    Scale: x28's broadcast-tf scoring + ONE shuffle on lang for the
-    tercile window; output is langs x 3 rows. A deployment replaces the
-    full per-lang sort with sampled score-boundary broadcast (x75's
-    documented rewrite) — same contract, this is the checkable form."""
+    Scale (the shipped plan, round 9 — x75/x121's two-phase rank applied
+    per lang): a per-lang ntile window would sort each language's FULL
+    corpus in one task. The score's integer domain is data-dependent
+    (mean corpus frequency), so instead of x75's value histogram the
+    cells are the score's BINARY MAGNITUDE — cell = length(bin(score)),
+    an exact integer op, monotone in the score, <=64 cells per lang.
+    Rank = per-(lang, cell) window + broadcast cumulative cell offsets;
+    the tercile is NTILE(3) arithmetic on the exact rank (x121's law).
+    A deployment with balance guarantees samples score boundaries
+    instead of the fixed log grid; output is identical either way."""
     d = _T(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
@@ -5062,12 +5068,41 @@ def x78_ccnet_buckets(spark, sf_dir):
         "lang",
         "n_tokens",
         F.expr("(freq_mass * 1000000) DIV n_tokens").alias("score_scaled"),
+    ).withColumn(
+        # bin() drops leading zeros, so length(bin(x)) = floor(log2 x)+1:
+        # exact, integer-only, monotone non-decreasing in the score.
+        "cell",
+        F.length(F.bin(F.col("score_scaled"))).cast("long"),
     )
-    w = Window.partitionBy("lang").orderBy(
+    hist = scored.groupBy("lang", "cell").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("cell").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = hist.select(
+        "lang",
+        "cell",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    w_in = Window.partitionBy("lang", "cell").orderBy(
         F.col("score_scaled").desc(), F.col("doc_id").asc()
     )
-    b = scored.select(
-        "lang", "n_tokens", F.ntile(3).over(w).alias("bucket")
+    t = (
+        scored.withColumn("rn_in", F.row_number().over(w_in))
+        .join(F.broadcast(offs), ["lang", "cell"])
+        .withColumn("r", F.col("off") + F.col("rn_in"))
+    )
+    b = t.select(
+        "lang",
+        "n_tokens",
+        F.expr(
+            "CASE WHEN r <= (n % 3) * (n DIV 3 + 1)"
+            " THEN (r - 1) DIV (n DIV 3 + 1) + 1"
+            " ELSE (n % 3) + (r - (n % 3) * (n DIV 3 + 1) - 1)"
+            "   DIV (n DIV 3) + 1 END"
+        ).alias("bucket"),
     )
     return b.groupBy("lang", "bucket").agg(
         F.count("*").alias("n_docs"),
@@ -6657,8 +6692,10 @@ def x99_class_outliers(spark, sf_dir):
 
     Scale shape: the prototype table is labels x dims partial-agged
     then collapsed to ONE row per label (10 rows) and BROADCAST to the
-    corpus pass; per-class bottom-k is a window over label-partitioned
-    rows — one label-keyed shuffle, no all-pairs anywhere."""
+    corpus pass; per-class bottom-k is TWO-PHASE (round 9) — k per
+    (label, vec_id%16) slice first, so the final label-keyed rank sees
+    <=16k survivors instead of sorting a whole class in one task. No
+    all-pairs anywhere."""
     e = _T(spark, sf_dir, "embeddings")
     proto = (
         e.select("label", F.posexplode("embedding").alias("dim", "x"))
@@ -6688,11 +6725,23 @@ def x99_class_outliers(spark, sf_dir):
         "vec_id",
         cosine(F.col("embedding"), F.col("proto")).alias("cos_proto"),
     )
+    # Two-phase bottom-k (x25/x32's salt discipline, round 9): a per-label
+    # window alone would sort each CLASS's full membership in one task —
+    # labels are few while classes are huge. Phase 1 keeps k per
+    # (label, salt) slice (16-way, any slice superset-safe: the global
+    # bottom-k within a label is contained in the union of per-slice
+    # bottom-ks), so the final label-keyed window ranks <= 16k survivors.
+    w1 = Window.partitionBy("label", F.col("vec_id") % 16).orderBy(
+        F.col("cos_proto").asc(), F.col("vec_id").asc()
+    )
+    survivors = scored.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= X99_OUTLIERS_PER_CLASS
+    )
     w = Window.partitionBy("label").orderBy(
         F.col("cos_proto").asc(), F.col("vec_id").asc()
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= X99_OUTLIERS_PER_CLASS)
         .select("label", "vec_id", "cos_proto", "rk")
     )
@@ -8955,10 +9004,13 @@ def x121_curriculum_order(spark, sf_dir):
     )
     scored = d.select("doc_id", score.alias("quality_score"))
     # Phase 1 — exact quality rank (DESC, doc_id tiebreak), two-phase.
+    # The scored frame (doc_id, score, cell — three narrow columns) feeds
+    # BOTH the cell histogram and the rank window; localCheckpoint it so
+    # the tokenize+score scan runs exactly once (x33's discipline).
     b = scored.withColumn(
         "qb",
         F.least(F.floor(F.col("quality_score") * 64), F.lit(63)).cast("long"),
-    )
+    ).localCheckpoint(eager=True)
     m1 = b.groupBy("qb").agg(F.count("*").alias("cnt")).agg(
         F.map_from_arrays(
             F.collect_list("qb"), F.collect_list("cnt")

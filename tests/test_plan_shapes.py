@@ -702,6 +702,25 @@ def test_x121_no_corpus_single_partition_sort(spark, sf_dir, specs):
     assert "rangepartitioning" not in plan, plan
 
 
+def test_x78_tercile_rank_is_two_phase(spark, sf_dir, specs):
+    """x78 (round-9, x75's class): the corpus rank must run within
+    (lang, cell) — binary-magnitude cells of the score — never a whole
+    language in one task; cell offsets broadcast back."""
+    import re
+
+    plan = plan_of(spark, sf_dir, specs, "x78_ccnet_buckets", mode="simple")
+    assert re.search(r"Exchange hashpartitioning\(lang#\d+, cell#\d+", plan), plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_x99_bottom_k_is_two_phase(spark, sf_dir, specs):
+    """x99 (round-9, x25's salt discipline): per-(label, salt) local
+    bottom-k BEFORE the label-keyed final rank — collapsing to one window
+    would sort a whole class in one task."""
+    plan = plan_of(spark, sf_dir, specs, "x99_class_outliers")
+    assert plan.count("Window") >= 2, plan
+
+
 def test_f22_timezone_is_map_only(spark, sf_dir, specs):
     """f22: timezone conversion is pure per-row expression algebra — any
     Exchange means someone added a shuffle to a pass that must ride the
