@@ -3,13 +3,23 @@
 The arbitrary-stateful-processing surface has two generations: the
 ``applyInPandasWithState`` API (S11, ``streaming/ops.py`` — runs
 everywhere) and Spark 4's ``StatefulProcessor``/``transformWithState``
-API, whose Python worker speaks a protobuf state-server protocol and
+API, whose Python WORKER speaks a protobuf state-server protocol and
 therefore needs the ``google.protobuf`` package at RUNTIME. That package
-is absent in this sandbox (and installs are out of scope), so these
-operators are code-complete but execute only where protobuf exists —
-``tests/test_transform_with_state.py`` runs them under
+is absent in this sandbox (and installs are out of scope), so the
+streaming execution path runs only where protobuf exists —
+``tests/test_transform_with_state.py`` drives it under
 ``pytest.importorskip`` (the same honesty contract as the Kafka broker
 path, ``tests/test_kafka_live.py``).
+
+Importing ``StatefulProcessor`` itself needs no protobuf, so the
+processor LOGIC is a module-level class and :func:`drive_locally` runs a
+key's full lifecycle (init → handleInputRows per micro-batch → close)
+against :class:`LocalStatefulHandle` — a minimal in-memory twin of the
+state-server handle covering exactly the slice this processor uses
+(``getValueState`` → exists/get/update). That upgrades the processor
+semantics from import-skipped to sandbox-verified
+(``tests/test_transform_with_state.py::test_local_lifecycle_*``); only
+the wire protocol remains environment-gated.
 
 Semantics: per-key running aggregate with explicit ValueState — the
 transformWithState restatement of S11's running-state operator, so the
@@ -19,6 +29,10 @@ two APIs are directly comparable on identical input.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+from pyspark.sql.types import LongType, StructField, StructType
+
+_STATE_SCHEMA = StructType([StructField("n", LongType())])
 
 
 def tws_available() -> bool:
@@ -31,6 +45,94 @@ def tws_available() -> bool:
         return False
 
 
+class LocalValueState:
+    """In-memory twin of the state-server ValueState: exists/get/update —
+    the exact call surface :class:`RunningCountProcessor` uses. No wire
+    protocol, no TTL, no timers; a sandbox harness, not a reimplementation
+    of the state store."""
+
+    def __init__(self) -> None:
+        self._value: tuple | None = None
+
+    def exists(self) -> bool:
+        return self._value is not None
+
+    def get(self) -> tuple | None:
+        return self._value
+
+    def update(self, value: tuple) -> None:
+        self._value = tuple(value)
+
+    def clear(self) -> None:
+        self._value = None
+
+
+class LocalStatefulHandle:
+    """Minimal StatefulProcessorHandle stand-in: hands out named
+    LocalValueState slots (one namespace per key, managed by
+    :func:`drive_locally`)."""
+
+    def __init__(self) -> None:
+        self._states: dict[str, LocalValueState] = {}
+
+    def getValueState(self, name: str, schema) -> LocalValueState:  # noqa: N802
+        return self._states.setdefault(name, LocalValueState())
+
+
+class RunningCountProcessor(StatefulProcessor):
+    """Per-key running event count: ValueState("n") accumulates across
+    micro-batches; each batch emits (key, n_so_far)."""
+
+    def __init__(self, key_field: str = "user_id") -> None:
+        self._key_field = key_field
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._n = handle.getValueState("n", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+        import pandas as pd
+
+        total = sum(len(pdf) for pdf in rows)
+        prev = self._n.get()[0] if self._n.exists() else 0
+        self._n.update((prev + total,))
+        yield pd.DataFrame(
+            {self._key_field: [key[0]], "n_events": [prev + total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def drive_locally(
+    make_processor, batches: list[list[tuple[tuple, object]]]
+) -> list:
+    """Run the StatefulProcessor LIFECYCLE without the protobuf state
+    server: per distinct key a processor instance is init-ed once against
+    a :class:`LocalStatefulHandle` (state persists across micro-batches,
+    exactly the contract the real state store provides), every micro-batch
+    routes each key's pandas batches through ``handleInputRows``, and
+    ``close`` runs at the end. Returns the concatenated emitted frames in
+    emission order.
+
+    ``batches`` is a list of micro-batches; each micro-batch is a list of
+    ``(key_tuple, pandas_batch)`` pairs. ``make_processor`` builds a fresh
+    processor per key (mirroring worker-side per-key isolation)."""
+    per_key: dict[tuple, tuple] = {}
+    out: list = []
+    for batch in batches:
+        for key, pdf in batch:
+            if key not in per_key:
+                proc = make_processor()
+                handle = LocalStatefulHandle()
+                proc.init(handle)
+                per_key[key] = (proc, handle)
+            proc, _handle = per_key[key]
+            out.extend(proc.handleInputRows(key, iter([pdf]), None))
+    for proc, _handle in per_key.values():
+        proc.close()
+    return out
+
+
 def running_count_per_key(grouped_stream, key_field: str = "user_id") -> DataFrame:
     """Per-key running event count via Spark 4's StatefulProcessor.
 
@@ -39,31 +141,11 @@ def running_count_per_key(grouped_stream, key_field: str = "user_id") -> DataFra
     ``google.protobuf`` (see module docstring); callers should check
     :func:`tws_available` first.
     """
-    import pandas as pd
-
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-    from pyspark.sql.types import LongType, StructField, StructType
-
     out_schema = StructType(
         [StructField(key_field, LongType()), StructField("n_events", LongType())]
     )
-    state_schema = StructType([StructField("n", LongType())])
-
-    class RunningCount(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._n = handle.getValueState("n", state_schema)
-
-        def handleInputRows(self, key, rows, timerValues):
-            total = sum(len(pdf) for pdf in rows)
-            prev = self._n.get()[0] if self._n.exists() else 0
-            self._n.update((prev + total,))
-            yield pd.DataFrame({key_field: [key[0]], "n_events": [prev + total]})
-
-        def close(self) -> None:
-            pass
-
     return grouped_stream.transformWithStateInPandas(
-        RunningCount(),
+        RunningCountProcessor(key_field),
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",

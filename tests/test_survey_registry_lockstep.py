@@ -141,6 +141,32 @@ def test_bench_headline_and_floors_are_in_lockstep():
     assert not missing, f"bench names unregistered queries: {missing}"
 
 
+def test_bench_stdout_line_fits_driver_capture():
+    """Round-8 verdict task 5: the driver records only the trailing ~2 KB
+    of bench stdout (BENCH_r07/r08 carried a mid-line tail, parsed: null).
+    The printed line must (a) stay under 2000 bytes even with fat
+    timings, (b) key queries by short ids that are UNIQUE across the
+    headline set, and (c) parse back with the metric/value/sf contract
+    plus the queries_full pointer; the full document must keep every
+    long-name figure."""
+    import importlib
+    import json
+
+    bench = importlib.import_module("bench")
+    timings = {q: 99.999 for q in bench.HEADLINE}
+    shorts = [q.split("_", 1)[0] for q in bench.HEADLINE]
+    assert len(set(shorts)) == len(shorts), "short ids collide"
+    line, full = bench.render_output(timings, 0.1, "BENCH_SELF_LATEST.json")
+    assert len(line.encode()) < 2000, len(line)
+    doc = json.loads(line)
+    assert doc["metric"] == "headline_queries_total_wall"
+    assert doc["unit"] == "sec" and doc["sf"] == 0.1
+    assert doc["queries_full"] == "BENCH_SELF_LATEST.json"
+    assert set(doc["queries"]) == set(shorts)
+    assert set(full["queries"]) == set(bench.HEADLINE)
+    assert full["value"] == round(sum(timings.values()), 3)
+
+
 def test_bench_self_artifact_covers_current_contract():
     """BENCH_SELF_r{N}.json — the builder's own full per-query record,
     written in-tree each round so the judge can audit every figure even

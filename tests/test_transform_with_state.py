@@ -1,24 +1,77 @@
-"""Spark 4 transformWithState surface (environment-gated; see
-streaming/tws.py). Skipped where google.protobuf is absent — the
-state-server protocol cannot start without it. Where it runs, the
-per-key running count must converge to the batch groupBy answer, and
-the final per-key value must equal S11's applyInPandasWithState result
-on the same input (two stateful APIs, one semantics)."""
+"""Spark 4 transformWithState surface (streaming/tws.py).
+
+Two tiers (round-8 verdict task 8): the processor LIFECYCLE — init →
+handleInputRows per micro-batch with persistent ValueState → close — runs
+sandbox-green through drive_locally's in-memory state handle (no
+protobuf, no stream). The WIRE path (the worker's protobuf state-server
+protocol) still needs google.protobuf and is importorskip-gated inside
+the e2e test only, the same honesty contract as the Kafka broker path
+(tests/test_kafka_live.py). Where it runs, the per-key running count
+must converge to the batch groupBy answer."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
-pytest.importorskip(
-    "google.protobuf",
-    reason="transformWithState's Python worker needs protobuf "
-    "(absent in the sandbox; see streaming/tws.py)",
+from scylladb_redpanda_cdc_spark.streaming.tws import (
+    LocalStatefulHandle,
+    RunningCountProcessor,
+    drive_locally,
 )
 
-from pyspark.sql import functions as F
+
+def _batch(n: int) -> pd.DataFrame:
+    return pd.DataFrame({"user_id": [0] * n})
+
+
+def test_local_lifecycle_accumulates_across_microbatches():
+    """State persists per key across micro-batches (the state-store
+    contract): three batches for two interleaved keys emit strictly
+    running totals, and the finals equal the per-key input row counts."""
+    batches = [
+        [((1,), _batch(3)), ((2,), _batch(1))],
+        [((1,), _batch(2))],
+        [((2,), _batch(4)), ((1,), _batch(1))],
+    ]
+    out = drive_locally(lambda: RunningCountProcessor("user_id"), batches)
+    emitted = [(df["user_id"][0], df["n_events"][0]) for df in out]
+    assert emitted == [(1, 3), (2, 1), (1, 5), (2, 5), (1, 6)]
+
+
+def test_local_lifecycle_keys_are_isolated():
+    """One key's state never leaks into another: a fresh key starting
+    after another key accumulated still counts from zero."""
+    batches = [
+        [((7,), _batch(5))],
+        [((8,), _batch(2)), ((7,), _batch(5))],
+    ]
+    out = drive_locally(lambda: RunningCountProcessor("user_id"), batches)
+    emitted = [(df["user_id"][0], df["n_events"][0]) for df in out]
+    assert emitted == [(7, 5), (8, 2), (7, 10)]
+
+
+def test_local_handle_value_state_contract():
+    """The exists/get/update/clear surface RunningCountProcessor relies
+    on, pinned directly."""
+    h = LocalStatefulHandle()
+    s = h.getValueState("n", None)
+    assert not s.exists() and s.get() is None
+    s.update((3,))
+    assert s.exists() and s.get() == (3,)
+    assert h.getValueState("n", None) is s  # named slots are stable
+    s.clear()
+    assert not s.exists()
 
 
 def test_running_count_matches_batch_groupby(spark, sf_dir):
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python worker needs protobuf "
+        "(absent in the sandbox; see streaming/tws.py)",
+    )
+    from pyspark.sql import functions as F
+
     from scylladb_redpanda_cdc_spark.streaming.core import (
         events_stream,
         run_to_table,
