@@ -39,13 +39,18 @@ class QuerySpec:
 
 
 #: Re-proof priority for grading slots left over once every never-graded /
-#: latest-grade-failed query is in the head: first the six queries that
-#: each failed ONE driver grade in rounds 1-2 (all re-proven green by
-#: round 3 and never red since — keep stacking fresh green rows on them),
-#: then the flagship and the kernels most other queries compose (CDC
-#: compaction, foreachBatch upsert, the MinHash dedup chain), then the
-#: judge-named heavy composites.
+#: latest-grade-failed query is in the head: first any certified query
+#: whose PLAN was rewritten since its last grade (round 9: the
+#: two-phase-rank swaps — their old grades certified the old plans),
+#: then the six queries that each failed ONE driver grade in rounds 1-2
+#: (all re-proven green by round 3 and never red since — keep stacking
+#: fresh green rows on them), then the flagship and the kernels most
+#: other queries compose (CDC compaction, foreachBatch upsert, the
+#: MinHash dedup chain), then the judge-named heavy composites.
 _REPROOF = (
+    "x75_quantile_normalize",
+    "x78_ccnet_buckets",
+    "x81_epoch_shuffle",
     "a14_envelope_encode",
     "b17_agg_approx_distinct",
     "x2_dedup_fuzzy_minhash",
