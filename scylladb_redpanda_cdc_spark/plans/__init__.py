@@ -51,6 +51,7 @@ _REPROOF = (
     "x75_quantile_normalize",
     "x78_ccnet_buckets",
     "x81_epoch_shuffle",
+    "b40_rfm_segmentation",
     "a14_envelope_encode",
     "b17_agg_approx_distinct",
     "x2_dedup_fuzzy_minhash",

@@ -1705,11 +1705,17 @@ def b40_rfm_segmentation(spark, sf_dir):
     cut lines are deterministic in both engines; quartile 4 = most
     recent / most frequent / highest value.
 
-    Scale shape: the corpus-sized work is one user-keyed partial agg; the
-    three NTILE windows then run over the USERS-sized aggregate (already
-    corpus-shrunk). At extreme user counts the documented rewrite is
-    approx-percentile cutoffs + a map-only bucket join — exact NTILE is
-    the honest plan while the user table fits a sort."""
+    Scale shape (round 9 — x75/x121's two-phase rank, per metric): the
+    corpus-sized work is one user-keyed partial agg; a users-sized frame
+    still grows with the data, so each NTILE must NOT be an
+    unpartitioned window (one task sorts every user, three times).
+    Instead each metric gets exact two-phase ranks: equal-width integer
+    cells between the metric's broadcast min/max ((v-lo) DIV width,
+    width = (hi-lo) DIV 64 + 1 — monotone, overflow-free, ≤65 cells),
+    within-cell row_number windows, and 1-row broadcast histogram maps
+    carrying the cumulative offsets (x121's kernel); NTILE(4) is then
+    exact-rank arithmetic. The users frame is localCheckpointed once so
+    the events agg runs a single time."""
     e = _T(spark, sf_dir, "events")
     per = (
         e.select(
@@ -1723,23 +1729,73 @@ def b40_rfm_segmentation(spark, sf_dir):
             F.count("*").alias("freq"),
             F.sum("vm").alias("monetary_micros"),
         )
+    ).localCheckpoint(eager=True)
+    bounds = per.agg(
+        F.min("last_us").alias("r_lo"),
+        F.max("last_us").alias("r_hi"),
+        F.min("freq").alias("f_lo"),
+        F.max("freq").alias("f_hi"),
+        F.min("monetary_micros").alias("m_lo"),
+        F.max("monetary_micros").alias("m_hi"),
+        F.count("*").alias("n"),
     )
-    w_r = Window.orderBy(F.col("last_us").asc(), F.col("user_id").asc())
-    w_f = Window.orderBy(F.col("freq").asc(), F.col("user_id").asc())
-    w_m = Window.orderBy(
-        F.col("monetary_micros").asc(), F.col("user_id").asc()
-    )
-    return per.select(
+    t = per.crossJoin(F.broadcast(bounds))
+    cells = {
+        "r": "(last_us - r_lo) DIV ((r_hi - r_lo) DIV 64 + 1)",
+        "f": "(freq - f_lo) DIV ((f_hi - f_lo) DIV 64 + 1)",
+        "m": "(monetary_micros - m_lo) DIV ((m_hi - m_lo) DIV 64 + 1)",
+    }
+    for k, cell in cells.items():
+        t = t.withColumn(f"c_{k}", F.expr(cell))
+    hists = None
+    for k in cells:
+        h = t.groupBy(f"c_{k}").agg(F.count("*").alias("cnt")).agg(
+            F.map_from_arrays(
+                F.collect_list(f"c_{k}"), F.collect_list("cnt")
+            ).alias(f"h_{k}")
+        )
+        hists = h if hists is None else hists.crossJoin(h)
+    orders = {
+        "r": ("last_us", "r_q"),
+        "f": ("freq", "f_q"),
+        "m": ("monetary_micros", "m_q"),
+    }
+    ranked = t.crossJoin(F.broadcast(hists))
+    for k, (metric, _q) in orders.items():
+        w = Window.partitionBy(f"c_{k}").orderBy(
+            F.col(metric).asc(), F.col("user_id").asc()
+        )
+        ranked = ranked.withColumn(
+            f"rank_{k}",
+            F.expr(
+                f"aggregate(map_keys(h_{k}), 0L,"
+                f" (a, kk) -> a + IF(kk < c_{k}, h_{k}[kk], 0L))"
+            )
+            + F.row_number().over(w),
+        )
+    # NTILE(4) on the exact rank: base = n DIV 4, first n % 4 buckets
+    # take one extra row (SQL NTILE's law, the x121 arithmetic at k=4).
+    for k, (_metric, q) in orders.items():
+        ranked = ranked.withColumn(
+            q,
+            F.expr(
+                f"CASE WHEN rank_{k} <= (n % 4) * (n DIV 4 + 1)"
+                f" THEN (rank_{k} - 1) DIV (n DIV 4 + 1) + 1"
+                f" ELSE (n % 4) + (rank_{k} - (n % 4) * (n DIV 4 + 1) - 1)"
+                f"   DIV (n DIV 4) + 1 END"
+            ).cast("int"),
+        )
+    return ranked.select(
         "user_id",
         "last_us",
         "freq",
         "monetary_micros",
-        F.ntile(4).over(w_r).alias("r_q"),
-        F.ntile(4).over(w_f).alias("f_q"),
-        F.ntile(4).over(w_m).alias("m_q"),
-    ).withColumn(
-        "rfm_code",
-        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int"),
+        "r_q",
+        "f_q",
+        "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("int")
+        .alias("rfm_code"),
     )
 
 

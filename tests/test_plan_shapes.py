@@ -199,6 +199,7 @@ _INTENDED_NESTED_LOOP = {
     "o15_shuffle_skew_probe",  # broadcast 1-row row-count total
     "x120_filter_funnel",  # broadcast 1-row corpus count
     "x121_curriculum_order",  # broadcast 1-row histogram maps (rank offsets)
+    "b40_rfm_segmentation",  # broadcast 1-row bounds + histogram maps
 }
 
 #: Specs whose plans INTENTIONALLY evaluate Python: the declared UDF/UDTF
@@ -357,10 +358,21 @@ def test_boilerplate_list_is_broadcast(spark, sf_dir, specs):
 
 
 def test_rfm_windows_run_after_the_user_agg(spark, sf_dir, specs):
-    """b40: exactly one corpus-sized shuffle (the user agg); the NTILE
-    windows run over the users-sized aggregate."""
+    """b40 (round 9): the corpus-sized events agg is materialized once
+    (checkpoint — not visible in the returned plan); each quartile rank
+    then runs within its metric's equal-width cells — every Window in
+    the plan is cell-keyed, never an unpartitioned users-wide sort, and
+    every SinglePartition exchange feeds an aggregate (the 1-row
+    bounds/histogram frames)."""
     plan = plan_of(spark, sf_dir, specs, "b40_rfm_segmentation", mode="simple")
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    import re
+
+    assert re.search(r"Exchange hashpartitioning\(c_[rfm]#\d+", plan), plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            assert "Aggregate" in lines[i - 1], plan
+            assert "Sort" not in lines[i - 1], plan
 
 
 def test_snapshot_diff_joins_on_the_id_key(spark, sf_dir, specs):

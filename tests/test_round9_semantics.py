@@ -80,10 +80,11 @@ def test_two_phase_rank_exact_on_one_cell_corpus(spark, degenerate_sf_dir, qid):
     _oracle_matches(spark, specs, qid, degenerate_sf_dir)
 
 
-def test_ntile_arithmetic_law_matches_sparks_ntile(spark):
-    """The exact-rank NTILE(3) CASE (x78/x121) against Spark's own
-    ntile() for every group size 1..25 plus jumps — including n < k,
-    n % 3 == 0/1/2 — over a single frame with one group per n."""
+@pytest.mark.parametrize("k", [3, 4])
+def test_ntile_arithmetic_law_matches_sparks_ntile(spark, k):
+    """The exact-rank NTILE(k) CASE (x78/x121 at k=3, b40 at k=4)
+    against Spark's own ntile() for every group size 1..25 plus jumps —
+    including n < k and every n % k residue — one group per n."""
     sizes = list(range(1, 26)) + [47, 99, 100, 101]
     rows = [(n, r) for n in sizes for r in range(1, n + 1)]
     df = spark.createDataFrame(rows, "n int, r int")
@@ -93,12 +94,12 @@ def test_ntile_arithmetic_law_matches_sparks_ntile(spark):
     got = df.select(
         "n",
         "r",
-        F.ntile(3).over(w).alias("want"),
+        F.ntile(k).over(w).alias("want"),
         F.expr(
-            "CASE WHEN r <= (n % 3) * (n DIV 3 + 1)"
-            " THEN (r - 1) DIV (n DIV 3 + 1) + 1"
-            " ELSE (n % 3) + (r - (n % 3) * (n DIV 3 + 1) - 1)"
-            "   DIV (n DIV 3) + 1 END"
+            f"CASE WHEN r <= (n % {k}) * (n DIV {k} + 1)"
+            f" THEN (r - 1) DIV (n DIV {k} + 1) + 1"
+            f" ELSE (n % {k}) + (r - (n % {k}) * (n DIV {k} + 1) - 1)"
+            f"   DIV (n DIV {k}) + 1 END"
         ).alias("got"),
     )
     bad = got.filter(F.col("want") != F.col("got")).count()
