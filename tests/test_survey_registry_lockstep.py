@@ -167,6 +167,23 @@ def test_bench_stdout_line_fits_driver_capture():
     assert full["value"] == round(sum(timings.values()), 3)
 
 
+def test_bench_stdout_line_fallback_stays_parseable():
+    """If timings ever became absurd enough to blow the 1900-byte cap,
+    the line must drop the per-query map rather than truncate mid-JSON —
+    still parseable, still carrying metric/value/queries_full."""
+    import importlib
+    import json
+
+    bench = importlib.import_module("bench")
+    timings = {q: 123456789.999 for q in bench.HEADLINE}
+    line, full = bench.render_output(timings, 0.1, "BENCH_SELF_LATEST.json")
+    assert len(line.encode()) < 2000
+    doc = json.loads(line)
+    assert doc["queries"] == {}
+    assert doc["queries_full"] == "BENCH_SELF_LATEST.json"
+    assert set(full["queries"]) == set(bench.HEADLINE)
+
+
 def test_bench_self_artifact_covers_current_contract():
     """BENCH_SELF_r{N}.json — the builder's own full per-query record,
     written in-tree each round so the judge can audit every figure even
