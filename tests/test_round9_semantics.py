@@ -106,6 +106,44 @@ def test_ntile_arithmetic_law_matches_sparks_ntile(spark, k):
     assert bad == 0
 
 
+def test_b40_exact_on_degenerate_events(spark, tmp_path):
+    """b40's equal-width cells under their worst inputs: every event at
+    the SAME timestamp (hi == lo → width-1, one cell), all-equal values,
+    one power user vs 30 single-event users (freq magnitude cells), and
+    n = 31 (n % 4 == 3 NTILE edge) — must still match the DuckDB NTILE
+    oracle exactly."""
+    import datetime
+
+    d = str(tmp_path)
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, ts, i, "view", 2.5, "{}") for i in range(30)]
+    rows += [(100 + j, ts, 999, "click", 2.5, "{}") for j in range(50)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "ev"))
+    part_dir = os.path.join(d, "ev")
+    part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+    os.replace(os.path.join(part_dir, part), os.path.join(d, "events.parquet"))
+
+    specs = registry()
+    pdf = specs["b40_rfm_segmentation"].build(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    odf = con.sql(specs["b40_rfm_segmentation"].oracle).df()
+    a = sorted(
+        map(str, pdf.reindex(sorted(pdf.columns), axis=1).itertuples(index=False, name=None))
+    )
+    b = sorted(
+        map(str, odf.reindex(sorted(odf.columns), axis=1).itertuples(index=False, name=None))
+    )
+    assert sorted(pdf.columns) == sorted(odf.columns)
+    assert a == b
+
+
 def test_x99_two_phase_bottom_k_is_superset_safe(spark, sf_dir):
     """The (label, vec%16) phase-1 cut must never evict a true global
     bottom-k member: x99's output equals the single-window reference on
