@@ -210,7 +210,12 @@ for qid in ("flagship_cdc_materialize", "x2_dedup_fuzzy_minhash",
             # history, x118's first-occurrence window + rollup, x121's
             # global ntile/rank sort, b77's salted two-phase merge.
             "a32_asof_point_in_time", "x118_paragraph_dedup",
-            "x121_curriculum_order", "b77_two_phase_skew_agg"):
+            "x121_curriculum_order", "b77_two_phase_skew_agg",
+            # round-9 two-phase rank rewrites: cell histograms +
+            # broadcast offsets must be width-invariant too.
+            "x75_quantile_normalize", "x78_ccnet_buckets",
+            "x81_epoch_shuffle", "x99_class_outliers",
+            "b40_rfm_segmentation"):
     spec = specs[qid]
     pdf = spec.build(spark, sf).toPandas()
     odf = con.sql(spec.oracle).df()
