@@ -74,7 +74,7 @@ _REPROOF = (
 )
 
 
-def _grading_history() -> tuple[set[str], set[str]]:
+def _grading_history(root: str | None = None) -> tuple[set[str], set[str]]:
     """Parse every CORRECTNESS_r*.json the driver has written next to the
     repo root: (all qids ever graded, qids whose LATEST grade failed).
 
@@ -82,8 +82,12 @@ def _grading_history() -> tuple[set[str], set[str]]:
     recorded; artifacts that are missing, unreadable, or not the expected
     ``{qid: {...}}`` shape contribute nothing (a fresh clone simply grades
     in declaration order). Malformed per-query rows count as graded-but-
-    failing, so they rotate back into the head for a regrade."""
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    failing, so they rotate back into the head for a regrade. ``root``
+    overrides the artifact directory (tests pin the ordering contract
+    against synthetic artifacts)."""
+    repo = root or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     graded: set[str] = set()
     latest: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):

@@ -101,6 +101,55 @@ def test_prefix_head_is_entirely_never_graded():
     )
 
 
+def test_grading_history_parses_synthetic_artifacts(tmp_path):
+    """The rotation mechanism's parsing contract, pinned against
+    synthetic artifacts: later rounds override earlier grades, a failed
+    latest grade (rows/schema/hash mismatch or err) lands in `failing`,
+    malformed rows count as graded-but-failing, unreadable files and
+    non-matching names contribute nothing."""
+    import json as _json
+
+    from scylladb_redpanda_cdc_spark.plans import _grading_history
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    bad = {"rows_match": False, "schema_match": True, "hash_match": False, "err": None}
+    err = {"rows_match": True, "schema_match": True, "hash_match": True, "err": "boom"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        _json.dumps({"q_pass": ok, "q_flip": bad, "q_err": ok, "q_malformed": ok})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        _json.dumps({"q_flip": ok, "q_err": err, "q_malformed": 42})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")  # ignored
+    (tmp_path / "CORRECTNESS_rXX.json").write_text(_json.dumps({"q_ghost": ok}))
+    graded, failing = _grading_history(str(tmp_path))
+    assert graded == {"q_pass", "q_flip", "q_err", "q_malformed"}
+    # q_flip failed r01 but its LATEST (r02) passed; q_err's latest has
+    # err set; q_malformed's latest row isn't a dict.
+    assert failing == {"q_err", "q_malformed"}
+
+
+def test_registry_orders_ungraded_then_failing_then_reproof():
+    """The derived-order law on the REAL tree: every never-graded query
+    precedes every graded one, latest-failing queries (if any) precede
+    the re-proof block, and the re-proof block follows _REPROOF's own
+    order filtered to graded-and-passing queries."""
+    from scylladb_redpanda_cdc_spark.plans import _REPROOF, _grading_history
+
+    graded, failing = _grading_history()
+    order = list(registry())
+    first_graded = next(i for i, q in enumerate(order) if q in graded)
+    assert all(q in graded for q in order[first_graded:]), (
+        "an ungraded query sits below a graded one"
+    )
+    expected_reproof = [
+        q for q in _REPROOF if q in set(order) and q in graded and q not in failing
+    ]
+    n_fail = len([q for q in order if q in failing])
+    got = order[first_graded + n_fail : first_graded + n_fail + len(expected_reproof)]
+    assert got == expected_reproof
+
+
 def test_baseline_md_floors_match_bench_constants():
     """BASELINE.md's recorded per-query floor tables and bench.py's
     BASELINE_S dict must agree float-for-float (round-6 verdict task 7):
