@@ -91,6 +91,24 @@ def _docs_fanned(spark, sf_dir):
 
 _FAN_DECISION: dict[tuple[str, int], bool] = {}
 
+
+def _embs_fanned(spark, sf_dir):
+    """``embeddings``, fanned out for per-row heavy vector math (the
+    interpreted HOF dot/norm folds) — ``_docs_fanned``'s discipline on the
+    other fixture: fan out ONLY when the scan's split count cannot feed
+    the cluster. The sf0.1 fixture is one row group = ONE task, which
+    serializes a 64-dim cosine per (vector, centroid) pair on a single
+    core; a 100 TB embedding table already scans as ~10^6 splits, so at
+    scale this branch never fires and the plan stays scan -> narrow map."""
+    e = _T(spark, sf_dir, "embeddings")
+    cores = spark.sparkContext.defaultParallelism
+    key = (sf_dir + "#emb", cores)
+    if key not in _FAN_DECISION:
+        _FAN_DECISION[key] = e.rdd.getNumPartitions() < cores
+    if _FAN_DECISION[key]:
+        e = e.repartition(cores, "vec_id")
+    return e
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -376,25 +394,15 @@ def x13_sim_ivf_probe(spark, sf_dir):
     cent = pre.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
-    # assign every vector to its nearest centroid; norms precomputed once
-    # per side (same bit-exact dot/(na*nb) arithmetic as the cosine
-    # kernel — see _kmeans_assign) instead of 3 HOF folds per pair
-    cent_n = cent.withColumn("_nb", l2_norm(F.col("cemb")))
-    ac = (
-        e.withColumn("_na", l2_norm(F.col("embedding")))
-        .crossJoin(F.broadcast(cent_n))
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            (
-                dot_d(F.col("embedding"), F.col("cemb"))
-                / (F.col("_na") * F.col("_nb"))
-            ).alias("c_cos"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
-    assigned = ac.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # assign every vector to its nearest centroid — _kmeans_assign's
+    # map-only array_max argmin over the broadcast centroid array (zero
+    # exchanges; the corpus x K fan-out never materializes as rows),
+    # same bit-exact dot/(na*nb) arithmetic as the cosine kernel. The
+    # assignment stream is _embs_fanned (the pre-pass stays on the raw
+    # scan: index structures are tiny, only the full pass needs cores).
+    assigned = _kmeans_assign(
+        _embs_fanned(spark, sf_dir).select("vec_id", "embedding"), cent
+    ).select("vec_id", "cid", "embedding")
     # the query's 2 nearest centroids
     q = pre.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     probes = (
@@ -932,21 +940,51 @@ def _kmeans_assign(vecs, cents):
     fold is the dominant cost, and the naive form runs it 3x per pair
     (dot + both norms), K+1 redundant norm folds per vector. The final
     expression is still dot / (na * nb), the exact arithmetic the shared
-    kernel and the DuckDB twin use — values are bit-identical."""
-    v = vecs.withColumn("_na", l2_norm(F.col("embedding")))
-    c = cents.withColumn("_nb", l2_norm(F.col("cemb")))
-    ac = v.crossJoin(F.broadcast(c)).withColumn(
-        "c_cos",
-        dot_d(F.col("embedding"), F.col("cemb"))
-        / (F.col("_na") * F.col("_nb")),
+    kernel and the DuckDB twin use — values are bit-identical.
+
+    The argmin itself is MAP-ONLY (round-10; the round-9 verdict asked
+    for a max_by partial agg to cut the window's corpus x K shuffle —
+    this goes one further): the K centroids are collapsed into ONE
+    array-of-structs row (a K-row aggregate, index-build-sized) and
+    broadcast, and each vector picks its winner row-locally via
+    ``array_max(transform(...))`` over that array. The corpus x K
+    fan-out never materializes as rows, and the assignment adds ZERO
+    exchanges — at 100 TB it rides the scan. The ordering struct
+    (c_cos, -cid) reproduces the window's (cos DESC, cid ASC) tiebreak
+    exactly and is unique per vector (cid distinct), and ``array_max``
+    is order-independent, so collect_list's nondeterministic order
+    cannot leak — the strict DuckDB oracle is preserved bit-for-bit."""
+    carr = (
+        cents.withColumn("_nb", l2_norm(F.col("cemb")))
+        .agg(
+            F.collect_list(
+                F.struct(F.col("cid"), F.col("cemb"), F.col("_nb"))
+            ).alias("_cents")
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cid").asc()
+    scored = (
+        vecs.withColumn("_na", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(carr))
+        .withColumn(
+            "_best",
+            F.array_max(
+                F.transform(
+                    F.col("_cents"),
+                    lambda cc: F.struct(
+                        (
+                            dot_d(F.col("embedding"), cc["cemb"])
+                            / (F.col("_na") * cc["_nb"])
+                        ).alias("c_cos"),
+                        (-cc["cid"]).alias("_ncid"),
+                    ),
+                )
+            ),
+        )
     )
-    return (
-        ac.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "cemb", "_na", "_nb")
+    return scored.select(
+        *vecs.columns,
+        (-F.col("_best._ncid")).alias("cid"),
+        F.col("_best.c_cos").alias("c_cos"),
     )
 
 
@@ -969,7 +1007,10 @@ def _x29_assign(spark, sf_dir):
     cent0 = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
-    a1 = _kmeans_assign(e, cent0)
+    # the two full assignment passes run over the fanned scan (the
+    # centroid seeds stay on the raw one-split read: K rows)
+    ef = _embs_fanned(spark, sf_dir).select("vec_id", "embedding")
+    a1 = _kmeans_assign(ef, cent0)
     comp = a1.select("cid", F.posexplode("embedding").alias("dim", "val"))
     micros = F.floor(F.col("val").cast("double") * F.lit(1000000.0)).alias("vm")
     sums = (
@@ -987,7 +1028,7 @@ def _x29_assign(spark, sf_dir):
             F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda t: t["m"]
         ).alias("cemb")
     )
-    a2 = _kmeans_assign(e, cent1)
+    a2 = _kmeans_assign(ef, cent1)
     out = a2.select("vec_id", "cid", "c_cos").localCheckpoint(eager=True)
     _x29_cache[cache_key] = out
     return out
@@ -5948,30 +5989,18 @@ def x90_ivf_pq_ann(spark, sf_dir):
     Scale shape: centroid table, probe list, codebook, and distance
     table are all broadcast; the corpus streams past them map-side; the
     only corpus-sized shuffles are the two partial-agg argmins (coarse
-    rn=1 via window on vec_id, PQ struct-MIN). Nothing all-pairs."""
+    max_by on vec_id, PQ struct-MIN) — both combine map-side, so the
+    corpus x K fan-out never crosses an exchange. Nothing all-pairs."""
     e = _T(spark, sf_dir, "embeddings")
     pre = e.filter(F.col("vec_id") % 25 == 0).localCheckpoint(eager=True)
     # --- coarse IVF stage (x13's kernel) ---
     cent = pre.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
-    cent_n = cent.withColumn("_nb", l2_norm(F.col("cemb")))
-    ac = (
-        e.withColumn("_na", l2_norm(F.col("embedding")))
-        .crossJoin(F.broadcast(cent_n))
-        .select(
-            "vec_id",
-            "cid",
-            (
-                dot_d(F.col("embedding"), F.col("cemb"))
-                / (F.col("_na") * F.col("_nb"))
-            ).alias("c_cos"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
-    assigned = (
-        ac.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("coarse_cid"))
-    )
+    # coarse assignment = _kmeans_assign's map-only array_max argmin over
+    # the broadcast centroid array (zero exchanges, no materialized
+    # fan-out); the full pass runs over the fanned scan
+    assigned = _kmeans_assign(
+        _embs_fanned(spark, sf_dir).select("vec_id", "embedding"), cent
+    ).select("vec_id", F.col("cid").alias("coarse_cid"))
     q = pre.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     probes = (
         cent.crossJoin(F.broadcast(q))

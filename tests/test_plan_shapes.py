@@ -739,3 +739,43 @@ def test_f22_timezone_is_map_only(spark, sf_dir, specs):
     scan at 100 TB."""
     plan = plan_of(spark, sf_dir, specs, "f22_fn_timezone")
     assert "Exchange" not in plan, plan
+
+
+def test_coarse_argmin_is_map_only_not_window(spark, sf_dir, specs):
+    """Round-10 (verdict task 1): the nearest-centroid argmin in the
+    kmeans/IVF family (x13/x29/x90/x114 via _kmeans_assign) must never be
+    a Window over the corpus x K broadcast fan-out (that shuffles K times
+    the corpus). The shipped shape goes further than the prescribed
+    max_by partial agg: the K centroids collapse to ONE broadcast
+    array-of-structs row and each vector picks its winner row-locally
+    (array_max over transform) — the assignment itself adds ZERO
+    exchanges beyond the K-row centroid collapse."""
+    # (x114 also rides _kmeans_assign via _x29_assign, but keeps a
+    # legitimate labels-sized per-cluster argmax window downstream, so
+    # only the fan-out consumers that must be window-free are pinned.)
+    for qid in (
+        "x13_sim_ivf_probe",
+        "x29_kmeans_refine",
+        "x90_ivf_pq_ann",
+    ):
+        plan = plan_of(spark, sf_dir, specs, qid)
+        assert "Window" not in plan, (qid, plan)
+
+    # the assignment kernel in isolation: its only exchanges are the
+    # K-row centroid collapse (SinglePartition agg over index-build-sized
+    # input) + its broadcast — never a corpus-keyed hashpartitioning.
+    from pyspark.sql import functions as F
+
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import _kmeans_assign
+    from scylladb_redpanda_cdc_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _kmeans_assign(e, cents).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
