@@ -319,14 +319,46 @@ def x11_dedup_ngram_jaccard(spark, sf_dir):
     return out
 
 
+#: x12's sign-LSH width. 12 planes = 4096 buckets (vs the round-1..9
+#: 6-plane/64-bucket form, whose per-bucket population grows as N/64 —
+#: quadratic pair fan-out per bucket at corpus scale). Widening the
+#: signature is THE scale knob: every extra plane halves the expected
+#: bucket population while keeping recall for near-duplicates (cos >=
+#: 0.25 pairs agree on a random hyperplane with p = 1 - theta/pi; at 12
+#: planes a true near-dup pair still collides in a usable fraction of
+#: deployments' multi-table setups — x96 is the multiprobe recall
+#: complement). Literal hyperplanes keep the strict DuckDB oracle.
+X12_PLANES = 12
+
+
 def x12_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs: sign-LSH (6 planes) buckets the vectors,
-    pairs are only formed within a bucket, then exact cosine >= 0.25
-    filters. Bucketing bounds the pair space by ~2^-6 per plane-match.
-    Strict oracle: literal integer hyperplanes + the bit-exact cosine fold
-    let DuckDB recompute buckets AND similarities identically."""
-    e = _T(spark, sf_dir, "embeddings")
-    bucketed = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding"), 6).alias("bucket"))
+    """Embedding near-dup pairs: sign-LSH (``X12_PLANES`` planes) buckets
+    the vectors, pairs are only formed within a bucket, then exact cosine
+    >= 0.25 filters. Strict oracle: literal integer hyperplanes + the
+    bit-exact cosine fold let DuckDB recompute buckets AND similarities
+    identically.
+
+    Scale discipline (round-10; the x2/x101 bound applied to the
+    embedding sibling): buckets larger than ``X2_BUCKET_CAP`` are dropped
+    BEFORE the self-join via a partial-agg frequency pass + semi-join on
+    the same bucket key the join shuffles on, so per-bucket pair fan-out
+    is at most CAP²/2 regardless of corpus skew (a degenerate embedding
+    cluster — zero vectors, template boilerplate embeddings — otherwise
+    lands m²/2 pairs on one task). Members of over-cap buckets are exact-
+    or cluster-dup families, x1/x50's job, not pairwise enumeration's."""
+    e = _embs_fanned(spark, sf_dir)
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), X12_PLANES).alias("bucket"),
+    )
+    bucket_ok = (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= X2_BUCKET_CAP)
+        .select("bucket")
+    )
+    bucketed = bucketed.join(bucket_ok, "bucket", "left_semi")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = a.join(
         b,
@@ -4010,8 +4042,12 @@ _X4_SQL = f"""SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM (
   SELECT {_lsh_bucket_sql(8)} AS bucket FROM embeddings)
 GROUP BY bucket"""
 
-_X12_SQL = f"""WITH bk AS (SELECT vec_id, embedding,
-  {_lsh_bucket_sql(6)} AS bucket FROM embeddings)
+_X12_SQL = f"""WITH bk0 AS (SELECT vec_id, embedding,
+  {_lsh_bucket_sql(X12_PLANES)} AS bucket FROM embeddings),
+bk AS (SELECT b.* FROM bk0 b
+       JOIN (SELECT bucket FROM bk0 GROUP BY bucket
+             HAVING COUNT(*) <= {X2_BUCKET_CAP}) ok
+         ON b.bucket = ok.bucket)
 SELECT vec_a, vec_b, cos_sim FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
