@@ -434,7 +434,10 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF_LATEST.json"
     )
     if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+        idx = sys.argv.index("--out")
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("-"):
+            sys.exit("bench.py: --out requires a path argument")
+        out_path = sys.argv[idx + 1]
     spark = _session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry()

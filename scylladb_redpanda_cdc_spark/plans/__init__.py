@@ -38,45 +38,37 @@ class QuerySpec:
     oracle: str | None = None
 
 
-#: Re-proof priority for grading slots left over once every never-graded /
-#: latest-grade-failed query is in the head: first any certified query
-#: whose PLAN was rewritten since its last grade (round 9: the
-#: two-phase-rank swaps — their old grades certified the old plans),
-#: then the six queries that each failed ONE driver grade in rounds 1-2
-#: (all re-proven green by round 3 and never red since — keep stacking
-#: fresh green rows on them), then the flagship and the kernels most
-#: other queries compose (CDC compaction, foreachBatch upsert, the
-#: MinHash dedup chain), then the judge-named heavy composites.
-_REPROOF = (
-    "x75_quantile_normalize",
-    "x78_ccnet_buckets",
-    "x81_epoch_shuffle",
-    "b40_rfm_segmentation",
-    "a14_envelope_encode",
-    "b17_agg_approx_distinct",
-    "x2_dedup_fuzzy_minhash",
-    "x4_sim_lsh_approx",
-    "x10_dedup_simhash",
+#: Certified queries whose PLAN was rewritten since their last driver
+#: grade — their existing green rows certify the OLD plans, so they jump
+#: the staleness queue (tier 3). MAINTENANCE CONTRACT: the derived
+#: rotation can detect never-graded and latest-failed queries from the
+#: artifacts, but it CANNOT see a plan rewrite of an already-certified
+#: query — any round that materially rewrites a certified query's plan
+#: MUST add it here (and may drop entries once a post-rewrite artifact
+#: certifies the new plan; entries whose latest grade post-dates the
+#: rewrite are harmless but occupy head slots). Round 10: the map-only
+#: coarse-argmin family (x13/x29/x90/x114 share _kmeans_assign) and
+#: x12's widened+capped LSH join; x121's phase-2 rework.
+_REWRITTEN = (
     "x12_dedup_embedding_cosine",
-    "flagship_cdc_materialize",
-    "a6_latest_state_materialize",
-    "s10_foreachbatch_upsert",
-    "s22_stream_scd2",
-    "x1_dedup_exact",
-    "x86_minhash_dedup_e2e",
-    "x87_cdc_corpus_sync",
-    "s21_stream_corpus_sync",
-    "x54_pq_ann",
-    "x74_graph_pagerank",
-    "x111_top_pc_power_iteration",
-    "b44_q3_composite",
-    "w6_win_sessionize",
+    "x13_sim_ivf_probe",
+    "x29_kmeans_refine",
+    "x90_ivf_pq_ann",
+    "x114_cluster_purity",
+    "x121_curriculum_order",
 )
 
+# Kept as an alias for one round so external readers of the round-9
+# name keep working; the rotation itself consumes _REWRITTEN.
+_REPROOF = _REWRITTEN
 
-def _grading_history(root: str | None = None) -> tuple[set[str], set[str]]:
+
+def _grading_history(
+    root: str | None = None,
+) -> tuple[set[str], set[str], dict[str, int]]:
     """Parse every CORRECTNESS_r*.json the driver has written next to the
-    repo root: (all qids ever graded, qids whose LATEST grade failed).
+    repo root: (all qids ever graded, qids whose LATEST grade failed,
+    {qid: round of its latest grade}).
 
     A grade passes when rows+schema+hash all match and no error was
     recorded; artifacts that are missing, unreadable, or not the expected
@@ -84,13 +76,33 @@ def _grading_history(root: str | None = None) -> tuple[set[str], set[str]]:
     in declaration order). Malformed per-query rows count as graded-but-
     failing, so they rotate back into the head for a regrade. ``root``
     overrides the artifact directory (tests pin the ordering contract
-    against synthetic artifacts)."""
+    against synthetic artifacts).
+
+    NOTE the artifacts are working-directory state, not package state:
+    two checkouts of the same commit with different CORRECTNESS_r*.json
+    files present produce different (deliberately so) grading orders.
+    Parsed results are memoized per-process on the artifact (path,
+    mtime, size) signature — registry() is called repeatedly by tests
+    and the driver, and re-globbing is cheap but re-parsing a dozen
+    JSON artifacts per call is not."""
     repo = root or os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    sig_items = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+        except OSError:
+            continue
+        sig_items.append((p, st.st_mtime_ns, st.st_size))
+    sig = tuple(sig_items)
+    cached = _HISTORY_CACHE.get(repo)
+    if cached is not None and cached[0] == sig:
+        return cached[1]
     graded: set[str] = set()
     latest: dict[str, tuple[int, bool]] = {}
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+    for path in paths:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
         if not m:
             continue
@@ -116,7 +128,13 @@ def _grading_history(root: str | None = None) -> tuple[set[str], set[str]]:
             if prev is None or rnd >= prev[0]:
                 latest[qid] = (rnd, ok)
     failing = {q for q, (_, ok) in latest.items() if not ok}
-    return graded, failing
+    latest_round = {q: rnd for q, (rnd, _) in latest.items()}
+    result = (graded, failing, latest_round)
+    _HISTORY_CACHE[repo] = (sig, result)
+    return result
+
+
+_HISTORY_CACHE: dict[str, tuple[tuple, tuple[set[str], set[str], dict[str, int]]]] = {}
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -141,17 +159,22 @@ def registry() -> dict[str, QuerySpec]:
     # driver-verified coverage. Rounds 1-8 maintained that rotation as a
     # hand-written list, which went stale twice (round 4 named queries
     # that didn't exist yet; rounds 6-8 each opened with already-certified
-    # queries ahead of never-graded ones). Round 9 makes the rotation
-    # SELF-MAINTAINING: the order is derived from the CORRECTNESS_r*.json
+    # queries ahead of never-graded ones). Round 9 made the rotation
+    # SELF-MAINTAINING: the order derives from the CORRECTNESS_r*.json
     # artifacts themselves at import time —
     #   1. never-driver-graded queries first (declaration order: a stable,
     #      deterministic tiebreak),
     #   2. then queries whose LATEST driver grade failed (regrade them
     #      before re-proving anything that already passed),
-    #   3. then _REPROOF: the historically-flaky six (a14/b17/x2/x4/x10/
-    #      x12, each red once in rounds 1-2, green ever since) and the
-    #      kernels most other queries compose,
-    #   4. then everything else in declaration order.
+    #   3. then _REWRITTEN: certified queries whose plans were rewritten
+    #      since their last grade (the one thing the artifacts cannot
+    #      detect — see _REWRITTEN's maintenance contract),
+    #   4. then everything else by STALENESS (round 10): ascending round
+    #      of the latest grade, declaration order within a round — with
+    #      all 327 certified, declaration order alone would re-prove the
+    #      same head forever while r2-vintage grades aged indefinitely;
+    #      staleness ordering re-proves the oldest grades first and
+    #      naturally cycles the whole registry over successive rounds.
     # A fresh artifact landing in-tree reshapes the next round's head by
     # construction — no manual rotation step, nothing to go stale.
     # SURVEY.md §2 records which artifact proves each query.
@@ -170,17 +193,17 @@ def registry() -> dict[str, QuerySpec]:
             if spec.qid in specs:
                 raise ValueError(f"duplicate query id {spec.qid}")
             specs[spec.qid] = spec
-    graded, failing = _grading_history()
-    # A _REPROOF entry is a PLANNING artifact, not a contract: a stale
+    graded, failing, latest_round = _grading_history()
+    # A _REWRITTEN entry is a PLANNING artifact, not a contract: a stale
     # name must never take down queries(), oracle_sql(), and the test
     # suite in one throw (round 4 shipped exactly that failure via the
     # old hand-written prefix). Warn and skip.
-    missing = [q for q in _REPROOF if q not in specs]
+    missing = [q for q in _REWRITTEN if q not in specs]
     if missing:
         import warnings
 
         warnings.warn(
-            f"re-proof list names unknown queries (skipped): {missing}",
+            f"rewritten-plans list names unknown queries (skipped): {missing}",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -190,9 +213,12 @@ def registry() -> dict[str, QuerySpec]:
         if q in failing and q not in seen:
             order.append(q)
             seen.add(q)
-    for q in _REPROOF:
+    for q in _REWRITTEN:
         if q in specs and q not in seen:
             order.append(q)
             seen.add(q)
-    order.extend(q for q in specs if q not in seen)
+    decl_index = {q: i for i, q in enumerate(specs)}
+    rest = [q for q in specs if q not in seen]
+    rest.sort(key=lambda q: (latest_round.get(q, 0), decl_index[q]))
+    order.extend(rest)
     return {q: specs[q] for q in order}

@@ -122,32 +122,97 @@ def test_grading_history_parses_synthetic_artifacts(tmp_path):
     )
     (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")  # ignored
     (tmp_path / "CORRECTNESS_rXX.json").write_text(_json.dumps({"q_ghost": ok}))
-    graded, failing = _grading_history(str(tmp_path))
+    graded, failing, latest_round = _grading_history(str(tmp_path))
     assert graded == {"q_pass", "q_flip", "q_err", "q_malformed"}
     # q_flip failed r01 but its LATEST (r02) passed; q_err's latest has
     # err set; q_malformed's latest row isn't a dict.
     assert failing == {"q_err", "q_malformed"}
+    # staleness metadata: latest grade round per qid (round-10 tier 4)
+    assert latest_round == {"q_pass": 1, "q_flip": 2, "q_err": 2, "q_malformed": 2}
+
+
+def test_grading_history_cache_invalidates_on_artifact_change(tmp_path):
+    """_grading_history memoizes per-process on the artifact signature
+    (registry() is called repeatedly); a NEW or modified artifact must
+    bust the cache — committing the driver's artifact IS the rotation."""
+    import json as _json
+
+    from scylladb_redpanda_cdc_spark.plans import _grading_history
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(_json.dumps({"q_a": ok}))
+    g1, _, lr1 = _grading_history(str(tmp_path))
+    assert g1 == {"q_a"} and lr1 == {"q_a": 1}
+    assert _grading_history(str(tmp_path))[0] is g1  # memoized object
+    (tmp_path / "CORRECTNESS_r02.json").write_text(_json.dumps({"q_b": ok}))
+    g2, _, lr2 = _grading_history(str(tmp_path))
+    assert g2 == {"q_a", "q_b"} and lr2 == {"q_a": 1, "q_b": 2}
 
 
 def test_registry_orders_ungraded_then_failing_then_reproof():
     """The derived-order law on the REAL tree: every never-graded query
     precedes every graded one, latest-failing queries (if any) precede
-    the re-proof block, and the re-proof block follows _REPROOF's own
-    order filtered to graded-and-passing queries."""
-    from scylladb_redpanda_cdc_spark.plans import _REPROOF, _grading_history
+    the rewritten-plans block, the rewritten block follows _REWRITTEN's
+    own order filtered to graded-and-passing queries, and the remainder
+    is ordered by STALENESS — ascending latest-grade round, declaration
+    order within a round (round-10: the oldest grades re-prove first
+    instead of the same declaration-order head re-proving forever)."""
+    from scylladb_redpanda_cdc_spark.plans import _REWRITTEN, _grading_history
 
-    graded, failing = _grading_history()
+    graded, failing, latest_round = _grading_history()
     order = list(registry())
     first_graded = next(i for i, q in enumerate(order) if q in graded)
     assert all(q in graded for q in order[first_graded:]), (
         "an ungraded query sits below a graded one"
     )
-    expected_reproof = [
-        q for q in _REPROOF if q in set(order) and q in graded and q not in failing
+    expected_rewritten = [
+        q for q in _REWRITTEN if q in set(order) and q in graded and q not in failing
     ]
     n_fail = len([q for q in order if q in failing])
-    got = order[first_graded + n_fail : first_graded + n_fail + len(expected_reproof)]
-    assert got == expected_reproof
+    got = order[first_graded + n_fail : first_graded + n_fail + len(expected_rewritten)]
+    assert got == expected_rewritten
+    tail = order[first_graded + n_fail + len(expected_rewritten) :]
+    rounds = [latest_round[q] for q in tail]
+    assert rounds == sorted(rounds), (
+        "tier-4 is not staleness-ordered (ascending latest-grade round)"
+    )
+
+
+def test_registry_tier4_staleness_with_synthetic_artifacts(tmp_path, monkeypatch):
+    """The verdict-task-3 law pinned end-to-end against synthetic
+    artifacts: with EVERY query certified, the head must open with the
+    _REWRITTEN block and then the stalest grades (oldest round first),
+    not declaration order."""
+    import json as _json
+
+    from scylladb_redpanda_cdc_spark import plans as plans_mod
+
+    order_decl = list(registry())  # current real order just for the qid set
+    qids = sorted(order_decl)
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    # certify everything in r01, then re-certify half in r05
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        _json.dumps({q: ok for q in qids})
+    )
+    refreshed = set(qids[::2])
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        _json.dumps({q: ok for q in refreshed})
+    )
+    real_history = plans_mod._grading_history
+    monkeypatch.setattr(
+        plans_mod, "_grading_history", lambda root=None: real_history(str(tmp_path))
+    )
+    order = list(registry())
+    rewritten = [q for q in plans_mod._REWRITTEN if q in set(qids)]
+    assert order[: len(rewritten)] == rewritten
+    tail = order[len(rewritten) :]
+    _, _, latest_round = real_history(str(tmp_path))
+    rounds = [latest_round[q] for q in tail]
+    assert rounds == sorted(rounds)
+    # every stale (r01-vintage, non-rewritten) query precedes every
+    # refreshed (r05) one
+    first_r5 = rounds.index(5)
+    assert all(r == 1 for r in rounds[:first_r5])
 
 
 def test_baseline_md_floors_match_bench_constants():
