@@ -7849,7 +7849,9 @@ def _x111_varr(spark, sf_dir):
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     if cache_key in _x111_cache:
         return _x111_cache[cache_key]
-    e = _T(spark, sf_dir, "embeddings").select(
+    # the Gram pass is the one corpus scan — fan it out (splits < cores
+    # otherwise serialize the d² accumulator work on one task)
+    e = _embs_fanned(spark, sf_dir).select(
         "vec_id", _vm_micros(F.col("embedding")).alias("vm")
     )
     dims = e.select("vec_id", F.posexplode("vm").alias("dim", "val"))
@@ -8005,9 +8007,9 @@ def x112_common_direction_removal(spark, sf_dir):
     cast each element to double BEFORE multiplying (the removed
     coordinates would overflow an integer product), same fold order both
     engines. Scale shape: x111's cached 1-row direction broadcasts; the
-    removal is map-only; retrieval is x3's broadcast-query + TakeOrdered
-    shape — one corpus pass end to end."""
-    e = _T(spark, sf_dir, "embeddings").select(
+    removal is map-only over the fanned scan; retrieval is x3's
+    broadcast-query + TakeOrdered shape — one corpus pass end to end."""
+    e = _embs_fanned(spark, sf_dir).select(
         "vec_id", _vm_micros(F.col("embedding")).alias("vm")
     )
     dims = e.select("vec_id", F.posexplode("vm").alias("dim", "val"))
@@ -9118,12 +9120,14 @@ def x121_curriculum_order(spark, sf_dir):
     )
     # Phase 2 — global_rank over (stage, shuffle_key, doc_id), two-phase
     # via x81's fixed hash-range shards of the uniform 60-bit key. The
-    # staged frame (four longs/row) feeds both the shard histogram and
-    # the rank window — localCheckpoint it once so the tokenize+score
-    # pass doesn't run twice (the x11/x33 materialize-once discipline).
-    sh = staged.withColumn(
-        "shard", F.shiftright(F.col("shuffle_key"), 54)
-    ).localCheckpoint(eager=True)
+    # staged frame feeds both the shard histogram and the rank window;
+    # round 10 drops the SECOND eager checkpoint here (the 10× probe's
+    # only row-proportional cost): both consumers recompute `staged`
+    # from checkpoint #1 (`b`, three narrow longs/row), so the repeated
+    # work is one fine-celled window + expression algebra — cheaper than
+    # eagerly materializing a second corpus-wide frame, and the heavy
+    # tokenize+score scan still runs exactly once (it lives behind `b`).
+    sh = staged.withColumn("shard", F.shiftright(F.col("shuffle_key"), 54))
     m2 = (
         sh.groupBy("stage", "shard")
         .agg(F.count("*").alias("cnt"))
