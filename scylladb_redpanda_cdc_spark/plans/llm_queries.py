@@ -4993,7 +4993,19 @@ def x75_quantile_normalize(spark, sf_dir):
     rn = offset + within-rank. The histogram joins back via broadcast, so
     the corpus is shuffled exactly once, on the fine (source, n_chars)
     key. The offset window itself runs per-source over the histogram
-    frame (stats-sized, bounded by the length domain)."""
+    frame (stats-sized, bounded by the length domain).
+
+    CAVEAT (round-9 advice): "value-domain-sized" is an assumption, not
+    a bound — a NEAR-UNIQUE length domain (long-tail documents where
+    every n_chars is distinct) grows the broadcast histogram toward
+    corpus size and past the driver/broadcast limit. A deployment whose
+    distinct-length count can approach the corpus must first bucket
+    n_chars onto a bounded grid (b40's equal-width cells between
+    broadcast min/max, or x78's binary-magnitude cells — both monotone,
+    so the two-phase rank law is unchanged) and rank within (source,
+    cell). The fixture's length domain is ≤~5k distinct values, far
+    under any broadcast threshold, so the plain-n_chars cell is the
+    right plan HERE; the bucketing knob is the 100 TB escape hatch."""
     d = _T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     hist = d.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
     w_off = (

@@ -12,14 +12,18 @@ streaming execution path runs only where protobuf exists —
 path, ``tests/test_kafka_live.py``).
 
 Importing ``StatefulProcessor`` itself needs no protobuf, so the
-processor LOGIC is a module-level class and :func:`drive_locally` runs a
-key's full lifecycle (init → handleInputRows per micro-batch → close)
-against :class:`LocalStatefulHandle` — a minimal in-memory twin of the
+processor LOGIC is a module-level class and :func:`drive_locally` runs
+the REAL instance lifecycle (one processor per partition, ``init`` once,
+``handleInputRows`` per (key, micro-batch) with the handle's implicit
+grouping key switched per call, ``close`` once) against
+:class:`LocalStatefulHandle` — a minimal in-memory twin of the
 state-server handle covering exactly the slice this processor uses
-(``getValueState`` → exists/get/update). That upgrades the processor
-semantics from import-skipped to sandbox-verified
-(``tests/test_transform_with_state.py::test_local_lifecycle_*``); only
-the wire protocol remains environment-gated.
+(``getValueState`` → exists/get/update/clear, key-scoped). That upgrades
+the processor semantics from import-skipped to sandbox-verified
+(``tests/test_transform_with_state.py::test_local_lifecycle_*``,
+including the shared-``self``-across-keys hazard the per-key-instance
+round-9 harness could not see); only the wire protocol remains
+environment-gated.
 
 Semantics: per-key running aggregate with explicit ValueState — the
 transformWithState restatement of S11's running-state operator, so the
@@ -46,37 +50,53 @@ def tws_available() -> bool:
 
 
 class LocalValueState:
-    """In-memory twin of the state-server ValueState: exists/get/update —
-    the exact call surface :class:`RunningCountProcessor` uses. No wire
-    protocol, no TTL, no timers; a sandbox harness, not a reimplementation
-    of the state store."""
+    """In-memory twin of the state-server ValueState: exists/get/update/
+    clear — the exact call surface :class:`RunningCountProcessor` uses.
+    Like the real state client, reads and writes implicitly target the
+    handle's CURRENT grouping key (the runtime sets it before each
+    ``handleInputRows`` call), so ONE state object obtained at ``init``
+    time serves every key the processor instance later sees. No wire
+    protocol, no TTL, no timers; a sandbox harness, not a
+    reimplementation of the state store."""
 
-    def __init__(self) -> None:
-        self._value: tuple | None = None
+    def __init__(self, handle: "LocalStatefulHandle", name: str) -> None:
+        self._handle = handle
+        self._name = name
+
+    def _slot(self) -> tuple:
+        return (self._name, self._handle._current_key)
 
     def exists(self) -> bool:
-        return self._value is not None
+        return self._slot() in self._handle._data
 
     def get(self) -> tuple | None:
-        return self._value
+        return self._handle._data.get(self._slot())
 
     def update(self, value: tuple) -> None:
-        self._value = tuple(value)
+        self._handle._data[self._slot()] = tuple(value)
 
     def clear(self) -> None:
-        self._value = None
+        self._handle._data.pop(self._slot(), None)
 
 
 class LocalStatefulHandle:
     """Minimal StatefulProcessorHandle stand-in: hands out named
-    LocalValueState slots (one namespace per key, managed by
-    :func:`drive_locally`)."""
+    :class:`LocalValueState` views whose storage is keyed by
+    ``(state name, current grouping key)`` — the real API's implicit
+    key scoping, where ``init`` runs ONCE per processor instance and the
+    same ValueState object is reused across keys. ``set_implicit_key``
+    is the harness-side twin of the runtime's per-group key switch."""
 
     def __init__(self) -> None:
         self._states: dict[str, LocalValueState] = {}
+        self._data: dict[tuple, tuple] = {}
+        self._current_key: tuple | None = None
+
+    def set_implicit_key(self, key: tuple | None) -> None:
+        self._current_key = key
 
     def getValueState(self, name: str, schema) -> LocalValueState:  # noqa: N802
-        return self._states.setdefault(name, LocalValueState())
+        return self._states.setdefault(name, LocalValueState(self, name))
 
 
 class RunningCountProcessor(StatefulProcessor):
@@ -107,29 +127,30 @@ def drive_locally(
     make_processor, batches: list[list[tuple[tuple, object]]]
 ) -> list:
     """Run the StatefulProcessor LIFECYCLE without the protobuf state
-    server: per distinct key a processor instance is init-ed once against
-    a :class:`LocalStatefulHandle` (state persists across micro-batches,
-    exactly the contract the real state store provides), every micro-batch
-    routes each key's pandas batches through ``handleInputRows``, and
-    ``close`` runs at the end. Returns the concatenated emitted frames in
-    emission order.
+    server, on the REAL API's instance model (round-10; the round-9
+    harness built one processor per key, which could not catch a
+    processor caching per-key data on ``self``): ONE processor instance
+    per (simulated) partition, ``init`` called exactly once with one
+    :class:`LocalStatefulHandle`, the handle's implicit grouping key
+    switched before every ``handleInputRows`` call — so ValueState reads/
+    writes are key-scoped while ``self`` is shared across keys, exactly
+    the worker-side contract — and ``close`` once at the end. State
+    persists across micro-batches (the state-store contract). Returns
+    the concatenated emitted frames in emission order.
 
     ``batches`` is a list of micro-batches; each micro-batch is a list of
-    ``(key_tuple, pandas_batch)`` pairs. ``make_processor`` builds a fresh
-    processor per key (mirroring worker-side per-key isolation)."""
-    per_key: dict[tuple, tuple] = {}
+    ``(key_tuple, pandas_batch)`` pairs. ``make_processor`` builds the
+    partition's processor instance."""
+    proc = make_processor()
+    handle = LocalStatefulHandle()
+    proc.init(handle)
     out: list = []
     for batch in batches:
         for key, pdf in batch:
-            if key not in per_key:
-                proc = make_processor()
-                handle = LocalStatefulHandle()
-                proc.init(handle)
-                per_key[key] = (proc, handle)
-            proc, _handle = per_key[key]
+            handle.set_implicit_key(key)
             out.extend(proc.handleInputRows(key, iter([pdf]), None))
-    for proc, _handle in per_key.values():
-        proc.close()
+    handle.set_implicit_key(None)
+    proc.close()
     return out
 
 

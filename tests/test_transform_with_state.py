@@ -53,15 +53,61 @@ def test_local_lifecycle_keys_are_isolated():
 
 def test_local_handle_value_state_contract():
     """The exists/get/update/clear surface RunningCountProcessor relies
-    on, pinned directly."""
+    on, pinned directly — including the implicit-key scoping: the SAME
+    ValueState object reads different storage after the handle's current
+    grouping key switches (the real state-client contract)."""
     h = LocalStatefulHandle()
     s = h.getValueState("n", None)
+    h.set_implicit_key((1,))
     assert not s.exists() and s.get() is None
     s.update((3,))
     assert s.exists() and s.get() == (3,)
     assert h.getValueState("n", None) is s  # named slots are stable
+    h.set_implicit_key((2,))
+    assert not s.exists() and s.get() is None  # other key's slot is empty
+    s.update((9,))
+    h.set_implicit_key((1,))
+    assert s.get() == (3,)  # key 1's value survived key 2's write
     s.clear()
     assert not s.exists()
+    h.set_implicit_key((2,))
+    assert s.get() == (9,)  # clear only touched key 1
+
+
+def test_local_lifecycle_shares_one_processor_across_keys():
+    """The round-10 harness runs ONE processor instance per partition
+    (init exactly once), so a processor that caches per-key data on
+    ``self`` instead of in ValueState now fails the suite — the hazard
+    the per-key-instance round-9 harness could not see."""
+
+    class SelfCachingProcessor(RunningCountProcessor):
+        def init(self, handle):
+            self.init_calls = getattr(self, "init_calls", 0) + 1
+            self._prev = 0  # WRONG: per-key data on self
+            super().init(handle)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            total = sum(len(pdf) for pdf in rows)
+            self._prev += total
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [self._prev]}
+            )
+
+    batches = [
+        [((1,), _batch(3)), ((2,), _batch(1))],
+        [((1,), _batch(2))],
+    ]
+    out = drive_locally(lambda: SelfCachingProcessor("user_id"), batches)
+    emitted = [(df["user_id"][0], df["n_events"][0]) for df in out]
+    # the buggy processor bleeds key 1's total into key 2
+    assert emitted == [(1, 3), (2, 4), (1, 6)]
+    # whereas the ValueState-correct processor stays isolated on the
+    # identical input (and init ran once per drive, not once per key)
+    out_ok = drive_locally(lambda: RunningCountProcessor("user_id"), batches)
+    ok = [(df["user_id"][0], df["n_events"][0]) for df in out_ok]
+    assert ok == [(1, 3), (2, 1), (1, 5)]
 
 
 def test_running_count_matches_batch_groupby(spark, sf_dir):
