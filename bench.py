@@ -58,7 +58,7 @@ BASELINE_S = {
     # Round-6 extension (BASELINE.md "Round-6 extension"): the heavy
     # operators added in rounds 3-5, recorded at sf0.1 on the round-6 tree
     # as their own contract floor.
-    "x54_pq_ann": 2.541,
+    "x54_pq_ann": 0.933,
     "x74_graph_pagerank": 1.970,
     "x61_boilerplate_strip": 1.050,
     "x21_dedup_cluster_cc": 0.055,
@@ -82,7 +82,7 @@ BASELINE_S = {
     "a27_wire_overhead_report": 0.320,
     # Round-7 additions, floored in the same round (best of the valid
     # back-to-back runs; u13 over its final %63 slice only).
-    "x90_ivf_pq_ann": 1.940,
+    "x90_ivf_pq_ann": 1.321,
     "x91_shard_pack": 0.337,
     "a28_flush_batch_report": 0.111,
     "b58_group_by_all": 0.330,
@@ -98,7 +98,7 @@ BASELINE_S = {
     "f15_fn_xml": 2.031,
     "x92_band_threshold_sweep": 1.630,
     "x93_oov_rate": 0.608,
-    "x94_semdedup_sweep": 1.881,
+    "x94_semdedup_sweep": 0.110,
     # Round-7 batch 4 (best of the four 52/53-query runs).
     "b62_bitmap_distinct": 0.668,
     "b63_crosstab": 0.394,
@@ -157,18 +157,18 @@ BASELINE_S = {
     "b75_execute_immediate": 0.253,
     "b76_keyset_pagination": 0.424,
     # Round-7 batch 12 (targeted best-of-2-runs-of-best-of-3).
-    "x107_ivf_balance_report": 1.677,
+    "x107_ivf_balance_report": 0.440,
     "x108_dedup_lineage": 1.810,
     # Round-7 batch 13 (targeted best-of-2-runs-of-best-of-3).
     "x109_triplet_mining": 1.048,
     "x110_span_corruption_mask": 0.464,
     # Round-7 batch 14 (targeted best-of-2-runs-of-best-of-3).
-    "x111_top_pc_power_iteration": 3.379,
+    "x111_top_pc_power_iteration": 0.020,
     # Round-7 batch 15 (steady state rides x111's session-cached vector).
-    "x112_common_direction_removal": 1.535,
+    "x112_common_direction_removal": 0.915,
     # Round-7 batch 16 (targeted best-of-2-runs-of-best-of-3).
-    "x113_knn_label_eval": 1.348,
-    "x114_cluster_purity": 3.369,
+    "x113_knn_label_eval": 0.649,
+    "x114_cluster_purity": 0.627,
     # Round-7 batch 17 (u19 floored after the bucketed-key rewrite).
     "u19_cogrouped_map": 1.089,
     "x115_soft_dedup_reweight": 0.488,
@@ -190,16 +190,29 @@ BASELINE_S = {
     "x118_paragraph_dedup": 0.849,
     "x119_template_prefix_cluster": 0.827,
     "x120_filter_funnel": 1.719,
-    # x121 re-floored 0.536 -> 1.348 in round 9: the shipped plan swapped
-    # the SinglePartition corpus sort for the two-phase histogram-offset
-    # rank (BASELINE.md "Round-9 re-floor"; best of the two round-9
-    # full-tree runs, the same-round flooring convention).
-    "x121_curriculum_order": 1.348,
+    # x121 re-floored 0.536 -> 1.348 in round 9 (two-phase histogram
+    # rank) and 1.348 -> 1.580 in round 10 (second corpus checkpoint
+    # dropped; BASELINE.md "Round-10 re-floor", best of the two
+    # round-10 full-tree runs).
+    "x121_curriculum_order": 1.580,
     "x122_media_dedup": 0.243,
     # Round-8 batch 2 (targeted best-of-2-runs-of-best-of-3).
     "o16_dynamic_partition_pruning": 0.468,
     # Round-8 batch 3 (targeted best-of-2-runs-of-best-of-3).
     "f22_fn_timezone": 0.663,
+    # Round-10 batch 1 (best of the two round-10 full-tree bench runs):
+    # the round-9 two-phase-rank rewrites get their first recorded
+    # floors, plus this round's x12 (12-plane capped LSH) and x13
+    # (map-only argmin + fanned scan) plan swaps. The nine round-10
+    # re-floors above (x54/x90/x94/x107/x111/x112/x113/x114/x121) were
+    # recorded in the same two runs — the floor records the SHIPPED
+    # plan (BASELINE.md "Round-10 re-floor").
+    "x75_quantile_normalize": 0.319,
+    "x78_ccnet_buckets": 0.841,
+    "x81_epoch_shuffle": 0.489,
+    "b40_rfm_segmentation": 0.855,
+    "x12_dedup_embedding_cosine": 1.552,
+    "x13_sim_ivf_probe": 0.761,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of
@@ -378,6 +391,15 @@ HEADLINE = (
     "o16_dynamic_partition_pruning",
     # round-8 batch 3: timezone conversion.
     "f22_fn_timezone",
+    # round-10 batch 1: the remaining two-phase-rank rewrites (round-9
+    # verdict task 5 — their shipped plans had no recorded floors) plus
+    # this round's argmin/LSH plan swaps, floored on the round-10 tree.
+    "x75_quantile_normalize",
+    "x78_ccnet_buckets",
+    "x81_epoch_shuffle",
+    "b40_rfm_segmentation",
+    "x12_dedup_embedding_cosine",
+    "x13_sim_ivf_probe",
 )
 
 

@@ -47,8 +47,10 @@ class QuerySpec:
 #: MUST add it here (and may drop entries once a post-rewrite artifact
 #: certifies the new plan; entries whose latest grade post-dates the
 #: rewrite are harmless but occupy head slots). Round 10: the map-only
-#: coarse-argmin family (x13/x29/x90/x114 share _kmeans_assign) and
-#: x12's widened+capped LSH join; x121's phase-2 rework.
+#: coarse-argmin family (x13/x29/x90/x114 via _kmeans_assign and
+#: x50/x94/x107 via _standin_assign), x12's widened+capped LSH join,
+#: x121's phase-2 rework, and the _embs_fanned corpus-pass restructures
+#: (x54/x111/x112/x113).
 _REWRITTEN = (
     "x12_dedup_embedding_cosine",
     "x13_sim_ivf_probe",
@@ -56,6 +58,13 @@ _REWRITTEN = (
     "x90_ivf_pq_ann",
     "x114_cluster_purity",
     "x121_curriculum_order",
+    "x50_semdedup",
+    "x94_semdedup_sweep",
+    "x107_ivf_balance_report",
+    "x54_pq_ann",
+    "x111_top_pc_power_iteration",
+    "x112_common_direction_removal",
+    "x113_knn_label_eval",
 )
 
 # Kept as an alias for one round so external readers of the round-9

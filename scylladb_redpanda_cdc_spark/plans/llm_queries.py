@@ -2201,26 +2201,10 @@ def _standin_assign(spark, sf_dir):
     cent = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
-    cent_n = cent.withColumn("_nb", l2_norm(F.col("cemb")))
-    ac = (
-        e.withColumn("_na", l2_norm(F.col("embedding")))
-        .crossJoin(F.broadcast(cent_n))
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            (
-                dot_d(F.col("embedding"), F.col("cemb"))
-                / (F.col("_na") * F.col("_nb"))
-            ).alias("c_cos"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cid").asc()
-    )
+    # _kmeans_assign's map-only array_max argmin (round-10; this was an
+    # inline copy of the old window form) over the fanned scan
     assigned = (
-        ac.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        _kmeans_assign(_embs_fanned(spark, sf_dir).select("vec_id", "embedding"), cent)
         .select("vec_id", "cid", "embedding")
         .localCheckpoint(eager=True)
     )
@@ -2554,7 +2538,9 @@ def x54_pq_ann(spark, sf_dir):
         .select("cid", "m", sub.alias("csub"))
     )
     l2sq = _pq_l2sq
-    corpus = e.select("vec_id", "embedding", ms).select(
+    # the corpus pass (x8 explode + per-(vec, m) L2 folds) rides the
+    # fanned scan; the codebook/query branches stay on the raw read
+    corpus = _embs_fanned(spark, sf_dir).select("vec_id", "embedding", ms).select(
         "vec_id", "m", sub.alias("vsub")
     )
     codes = (
@@ -8391,8 +8377,11 @@ def x113_knn_label_eval(spark, sf_dir):
         F.col("embedding").alias("qe"),
         F.col("label").alias("true_label"),
     )
+    # corpus side of the scored pass rides the fanned scan (probe batch
+    # broadcasts either way); WindowGroupLimit prunes to top-k per task
+    corpus = _embs_fanned(spark, sf_dir).select("vec_id", "embedding", "label")
     scored = (
-        e.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
