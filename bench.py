@@ -49,7 +49,7 @@ BASELINE_S = {
     "f5_fn_array": 0.306,
     "w3_win_running_sum": 0.466,
     "x1_dedup_exact": 0.406,
-    "x2_dedup_fuzzy_minhash": 2.768,
+    "x2_dedup_fuzzy_minhash": 0.080,
     "x3_sim_cosine_topk": 0.525,
     "x7_text_tfidf": 0.947,
     "x16_text_token_count": 0.463,
@@ -96,7 +96,7 @@ BASELINE_S = {
     "b60_transpose": 0.172,
     "b61_session_variables": 0.215,
     "f15_fn_xml": 2.031,
-    "x92_band_threshold_sweep": 1.630,
+    "x92_band_threshold_sweep": 0.140,
     "x93_oov_rate": 0.608,
     "x94_semdedup_sweep": 0.110,
     # Round-7 batch 4 (best of the four 52/53-query runs).
@@ -119,7 +119,7 @@ BASELINE_S = {
     "o11_bucket_pruned_scan": 0.072,
     "a31_tombstone_gc": 0.660,
     "f19_fn_number_format": 0.570,
-    "x97_fuzzy_verify": 1.533,
+    "x97_fuzzy_verify": 0.210,
     "b66_union_schema_drift": 0.110,
     "x98_recall_matryoshka": 0.580,
     # Round-7 batch 7 (best of the two 76-query runs; f20 re-floored

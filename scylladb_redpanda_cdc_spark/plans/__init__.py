@@ -49,9 +49,12 @@ class QuerySpec:
 #: rewrite are harmless but occupy head slots). Round 10: the map-only
 #: coarse-argmin family (x13/x29/x90/x114 via _kmeans_assign and
 #: x50/x94/x107 via _standin_assign), x12's widened+capped LSH join,
-#: x121's phase-2 rework, and the _embs_fanned corpus-pass restructures
-#: (x54/x111/x112/x113).
+#: x121's phase-2 rework, the _embs_fanned corpus-pass restructures
+#: (x54/x111/x112/x113), and the _x2_pairs session cache (x2/x92/x97).
 _REWRITTEN = (
+    "x2_dedup_fuzzy_minhash",
+    "x92_band_threshold_sweep",
+    "x97_fuzzy_verify",
     "x12_dedup_embedding_cosine",
     "x13_sim_ivf_probe",
     "x29_kmeans_refine",

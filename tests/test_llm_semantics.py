@@ -1299,3 +1299,35 @@ def test_x117_windows_never_overfull_and_docs_never_split(spark, sf_dir, specs):
         for o, e in zip(offs, ext):
             assert o == expect
             expect += e
+
+
+def test_kmeans_assign_tiebreak_is_lowest_cid(spark):
+    """_kmeans_assign (round-10 map-only array_max form): when two
+    centroids are EXACTLY equidistant (identical centroid vectors), the
+    assignment must pick the lowest cid — the (cos DESC, cid ASC) window
+    tiebreak the ordering struct (c_cos, -cid) encodes. Also pins the
+    exact-duplicate-vector case (cos == 1.0 to its own centroid copy)."""
+    from pyspark.sql import functions as F
+
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import _kmeans_assign
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        # cid 10 and 20 are identical -> every vector ties across them
+        [(20, [1.0, 0.0]), (10, [1.0, 0.0]), (30, [0.0, 1.0])],
+        "cid long, cemb array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cid"], r["c_cos"])
+        for r in _kmeans_assign(vecs, cents).collect()
+    }
+    assert got[1][0] == 10 and abs(got[1][1] - 1.0) < 1e-12  # tie -> lowest cid
+    assert got[2][0] == 30 and abs(got[2][1] - 1.0) < 1e-12
+    # vec 3 is equidistant to ALL THREE (cos = 1/sqrt(2) each): lowest cid
+    assert got[3][0] == 10
+    # payload columns survive the argmin untouched
+    out_cols = _kmeans_assign(vecs, cents).columns
+    assert out_cols == ["vec_id", "embedding", "cid", "c_cos"]
