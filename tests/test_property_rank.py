@@ -94,3 +94,37 @@ def test_monotone_cells_never_split_a_rank_run(vals):
     for cell in _CELL_FNS:
         cells = [cell(v) for v in svals]
         assert all(a <= b for a, b in zip(cells, cells[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Round-10: the map-only argmin law (_kmeans_assign's array_max rewrite)
+# ---------------------------------------------------------------------------
+
+_cosines = st.lists(
+    st.floats(
+        min_value=-1.0, max_value=1.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(cos=_cosines)
+def test_array_max_ordering_struct_equals_window_argmin(cos):
+    """The round-10 argmin rewrite rests on one claim: for any cosine list
+    with DISTINCT centroid ids,
+
+        max over (c_cos, -cid)  ==  first row of ORDER BY c_cos DESC, cid ASC
+
+    i.e. the lexicographic max of the ordering struct picks exactly the
+    row the replaced row_number()==1 window picked, including exact float
+    ties (duplicated cosines resolve to the LOWEST cid). Pure-Python
+    model, Spark-free — the struct-comparison semantics themselves are
+    pinned by tests/test_llm_semantics.py::test_kmeans_assign_tiebreak_
+    is_lowest_cid; duplicates are exercised by doubling the list."""
+    rows = [(c, i) for i, c in enumerate(cos)] + [
+        (c, len(cos) + i) for i, c in enumerate(cos)  # force exact ties
+    ]
+    via_max = max(rows, key=lambda r: (r[0], -r[1]))
+    via_window = sorted(rows, key=lambda r: (-r[0], r[1]))[0]
+    assert via_max == via_window
