@@ -55,6 +55,7 @@ _REWRITTEN = (
     "x2_dedup_fuzzy_minhash",
     "x92_band_threshold_sweep",
     "x97_fuzzy_verify",
+    "x89_incremental_minhash",
     "x12_dedup_embedding_cosine",
     "x13_sim_ivf_probe",
     "x29_kmeans_refine",

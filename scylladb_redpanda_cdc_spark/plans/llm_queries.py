@@ -177,6 +177,47 @@ def x2_dedup_fuzzy_minhash(spark, sf_dir):
     return _x2_pairs(spark, sf_dir).filter(F.col("n_shared_bands") >= 4)
 
 
+_mh_bands_cache: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _minhash_bands(spark, sf_dir):
+    """(doc_id, band, sig): every document's 16 MinHash band signatures,
+    exploded — the shared index frame of the whole fuzzy-dedup family.
+    _x2_pairs (x2/x92/x97) caps-and-joins it; x89 splits it into the
+    standing index and the probing shard. Session-cached (round-10): the
+    shingle->sha60->16-band-min signature pass is the expensive stage,
+    and each consumer otherwise re-tokenizes and re-hashes the corpus.
+    The cached frame is 16 narrow rows per doc — bounded."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _mh_bands_cache:
+        return _mh_bands_cache[cache_key]
+    d = _docs_fanned(spark, sf_dir)
+    sh = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
+        "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
+    ).select("doc_id", hash60(F.col("s")).alias("h"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_remix(F.col("h"), b)).alias(f"sig_{b}")
+            for b in range(16)
+        ]
+    )
+    out = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")
+                    )
+                    for b in range(16)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig").localCheckpoint(eager=True)
+    _mh_bands_cache[cache_key] = out
+    return out
+
+
 _x2_pairs_cache: dict[tuple[str, str], "DataFrame"] = {}
 
 
@@ -193,29 +234,7 @@ def _x2_pairs(spark, sf_dir):
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     if cache_key in _x2_pairs_cache:
         return _x2_pairs_cache[cache_key]
-    d = _docs_fanned(spark, sf_dir)
-    sh = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
-        "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
-    ).select("doc_id", hash60(F.col("s")).alias("h"))
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(minhash_remix(F.col("h"), b)).alias(f"sig_{b}")
-            for b in range(16)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")
-                    )
-                    for b in range(16)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    bands = _minhash_bands(spark, sf_dir)
     # Skew bound: drop buckets larger than X2_BUCKET_CAP before the
     # self-join. The frequency frame is one partial agg over the same
     # (band, sig) key the join shuffles on; the semi-join reuses that
@@ -5955,30 +5974,10 @@ def x89_incremental_minhash(spark, sf_dir):
     Scale shape: the probe is shard-bands ⋈ index — an equi-join whose
     build side is the bounded index, broadcast-able when the shard is
     small; nothing corpus-sized moves per batch. Strict oracle: the
-    identical banding CTE chain recomputed by DuckDB."""
-    d = _docs_fanned(spark, sf_dir)
-    sh = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
-        "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
-    ).select("doc_id", hash60(F.col("s")).alias("h"))
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(minhash_remix(F.col("h"), b)).alias(f"sig_{b}")
-            for b in range(16)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")
-                    )
-                    for b in range(16)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    identical banding CTE chain recomputed by DuckDB. The per-doc band
+    table is the session-cached `_minhash_bands` frame (round-10) — the
+    same signatures x2's candidate join starts from, computed once."""
+    bands = _minhash_bands(spark, sf_dir)
     idx = (
         bands.filter(F.col("doc_id") % 10 != 7)
         .groupBy("band", "sig")
