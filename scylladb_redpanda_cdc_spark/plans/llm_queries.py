@@ -234,6 +234,15 @@ def _x2_pairs(spark, sf_dir):
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     if cache_key in _x2_pairs_cache:
         return _x2_pairs_cache[cache_key]
+    out = _x2_pairs_plan(spark, sf_dir).localCheckpoint(eager=True)
+    _x2_pairs_cache[cache_key] = out
+    return out
+
+
+def _x2_pairs_plan(spark, sf_dir):
+    """The UNCACHED candidate-pair chain — the logical plan _x2_pairs
+    materializes. Split out so the plan-shape suite can pin the join
+    strategy (the checkpointed frame's plan is just a scan)."""
     bands = _minhash_bands(spark, sf_dir)
     # Skew bound: drop buckets larger than X2_BUCKET_CAP before the
     # self-join. The frequency frame is one partial agg over the same
@@ -248,7 +257,7 @@ def _x2_pairs(spark, sf_dir):
     bands = bands.join(bucket_ok, ["band", "sig"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
-    out = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -259,10 +268,7 @@ def _x2_pairs(spark, sf_dir):
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("n_shared_bands"))
-        .localCheckpoint(eager=True)
     )
-    _x2_pairs_cache[cache_key] = out
-    return out
 
 
 def x10_dedup_simhash(spark, sf_dir):

@@ -98,8 +98,20 @@ def test_theta_range_has_no_nested_loop(spark, sf_dir, specs):
 
 def test_minhash_band_join_is_equi(spark, sf_dir, specs):
     """x2: LSH candidate pairing must be an equi-join on (band, sig) — a
-    nested-loop fallback would silently revert to all-pairs O(n^2)."""
-    plan = plan_of(spark, sf_dir, specs, "x2_dedup_fuzzy_minhash")
+    nested-loop fallback would silently revert to all-pairs O(n^2).
+    The candidate chain is session-cached AND checkpointed (round-10),
+    so pin the UNCACHED logical chain `_x2_pairs_plan` directly: the
+    materialized frame's own plan is just the checkpoint scan and
+    carries no join to inspect."""
+    import contextlib
+    import io
+
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import _x2_pairs_plan
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _x2_pairs_plan(spark, sf_dir).explain(mode="formatted")
+    plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
@@ -779,3 +791,17 @@ def test_coarse_argmin_is_map_only_not_window(spark, sf_dir, specs):
     plan = buf.getvalue()
     assert "Window" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_x12_buckets_are_capped_before_self_join(spark, sf_dir, specs):
+    """x12 (round-10): the within-bucket self-join must be preceded by
+    the X2_BUCKET_CAP frequency bound — a LeftSemi join against the
+    aggregated bucket counts — so no bucket ever feeds the pair join
+    unbounded (the x2/x101 discipline on the embedding sibling)."""
+    plan = plan_of(spark, sf_dir, specs, "x12_dedup_embedding_cosine")
+    assert "LeftSemi" in plan, plan
+    # the candidate join itself stays an equi-join on the bucket key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
