@@ -1331,3 +1331,30 @@ def test_kmeans_assign_tiebreak_is_lowest_cid(spark):
     # payload columns survive the argmin untouched
     out_cols = _kmeans_assign(vecs, cents).columns
     assert out_cols == ["vec_id", "embedding", "cid", "c_cos"]
+
+
+def test_session_caches_are_keyed_per_dataset(spark):
+    """The round-10 session caches (_x2_pairs/_minhash_bands and the
+    older _x29_assign convention) key on (applicationId, sf_dir): one
+    session touching two datasets must get dataset-correct results from
+    both, never the other dataset's cached frame."""
+    from scylladb_redpanda_cdc_spark.plans.llm_queries import (
+        _minhash_bands,
+        _x2_pairs,
+        _x2_pairs_cache,
+    )
+
+    # sf0.001 and sf0.01 share a 500-doc documents fixture; sf0.1 has
+    # 5000 docs, so the two universes are distinguishable
+    a_dir, b_dir = "/root/testdata/sf0.001", "/root/testdata/sf0.1"
+    n_a = _minhash_bands(spark, a_dir).select("doc_id").distinct().count()
+    n_b = _minhash_bands(spark, b_dir).select("doc_id").distinct().count()
+    assert n_a != n_b, "fixtures unexpectedly equal-sized; test is vacuous"
+    _x2_pairs(spark, a_dir)
+    _x2_pairs(spark, b_dir)
+    app = spark.sparkContext.applicationId
+    assert (app, a_dir) in _x2_pairs_cache and (app, b_dir) in _x2_pairs_cache
+    # the cached frames reference their own dataset's doc-id universe
+    max_a = _x2_pairs(spark, a_dir).agg({"doc_b": "max"}).collect()[0][0]
+    max_b = _x2_pairs(spark, b_dir).agg({"doc_b": "max"}).collect()[0][0]
+    assert max_a is None or max_b is None or max_a <= max_b
