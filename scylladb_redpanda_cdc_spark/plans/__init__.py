@@ -56,6 +56,7 @@ _REWRITTEN = (
     "x92_band_threshold_sweep",
     "x97_fuzzy_verify",
     "x89_incremental_minhash",
+    "x46_dedup_est_quality",
     "x12_dedup_embedding_cosine",
     "x13_sim_ivf_probe",
     "x29_kmeans_refine",

@@ -1909,30 +1909,16 @@ def x46_dedup_est_quality(spark, sf_dir):
     signature pipeline per reference (measured: 22 corpus scans in the
     naive plan, 2 after — one for signatures, one for the pruned exact
     side). x21's discipline; a cluster deployment uses a reliable
-    checkpoint dir."""
+    checkpoint dir. Round-10: the signature side is the session-cached
+    `_minhash_bands` frame — NOTE x46's candidate join is deliberately
+    UNCAPPED (it measures the estimator over ALL banding candidates,
+    including the over-cap buckets x2 drops), and `_minhash_bands`
+    carries no cap, so the shared frame preserves that semantics."""
     d = _docs_fanned(spark, sf_dir)
     sh = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
         "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
     ).select("doc_id", hash60(F.col("s")).alias("h"))
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(minhash_remix(F.col("h"), b)).alias(f"sig_{b}")
-            for b in range(16)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")
-                    )
-                    for b in range(16)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    bands = _minhash_bands(spark, sf_dir)
     ba, bb = bands.alias("a"), bands.alias("b")
     pairs = (
         ba.join(
