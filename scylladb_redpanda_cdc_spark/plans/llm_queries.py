@@ -1197,8 +1197,18 @@ def x31_dup_rate_by_source(spark, sf_dir):
 def x32_knn_join(spark, sf_dir):
     """k-NN JOIN: top-5 cosine neighbors for EVERY query vector (x3 answers
     one query; retrieval/embedding-dedup workloads answer a batch). Query
-    set = every 50th vector — small by construction, as a real query batch
-    is vs. a 100 TB corpus.
+    set = every 50th vector.
+
+    CAVEAT shared by the whole mod-sampled evaluation family (x32, x45,
+    x62, x96, x113; the x75-caveat discipline): ``vec_id % 50`` is a
+    FIXTURE convenience that makes the probe batch deterministic and
+    oracle-recomputable — but it scales |Q| WITH the corpus, so at 100 TB
+    both the broadcast query batch (~N/50 embeddings) and the scored
+    fan-out (~N²/50 cosines) grow superlinearly. A deployment must cap
+    the probe set at a FIXED size (a constant query file, or
+    ``LIMIT k`` over the mod-sample) — the plan shape below is then
+    exactly right: fixed-size broadcast, one corpus stream, candidate-
+    sized shuffles.
 
     Scale shape: the query batch is BROADCAST and the corpus streams past
     it once (a broadcast nested-loop is the *correct* plan here — brute
