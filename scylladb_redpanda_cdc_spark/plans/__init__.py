@@ -57,6 +57,10 @@ _REWRITTEN = (
     "x97_fuzzy_verify",
     "x89_incremental_minhash",
     "x46_dedup_est_quality",
+    "x34_vocab_coverage",
+    "x35_tokens_to_ids",
+    "x93_oov_rate",
+    "x100_vocab_budget_sweep",
     "x12_dedup_embedding_cosine",
     "x13_sim_ivf_probe",
     "x29_kmeans_refine",

@@ -1307,20 +1307,15 @@ def x34_vocab_coverage(spark, sf_dir):
 
     Scale shape: the corpus-sized work is ONE partial-agg shuffle on token
     (map-side combine ships a row per distinct token per task, immune to
-    zipf skew). The ordered running sum then runs over the VOCABULARY —
-    orders of magnitude smaller than the corpus and bounded by language,
-    not data size — which is the one place a single-ordering window is the
-    honest plan (same argument as a sort of aggregated output). Coverage
-    is (cumulative * 1_000_000) DIV total in int64 — engine-exact, no
-    float division to disagree on. Ties rank deterministically by
-    (count desc, token asc)."""
+    zipf skew). Rank AND running sum ride `_vocab_ranked`'s two-phase
+    binary-magnitude cells (round-10 — the old vocab-wide single-ordering
+    window was one task sorting tens of millions of tokens at 100 TB).
+    Coverage is (cumulative * 1_000_000) DIV total in int64 —
+    engine-exact, no float division to disagree on. Ties rank
+    deterministically by (count desc, token asc)."""
     vc = _vocab_ranked(spark, sf_dir)
     total = vc.agg(F.sum("n").alias("tot"))
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    ranked = vc.withColumn(
-        "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    ).crossJoin(F.broadcast(total))
-    return ranked.select(
+    return vc.crossJoin(F.broadcast(total)).select(
         "token",
         "n",
         "rank",
@@ -1329,14 +1324,67 @@ def x34_vocab_coverage(spark, sf_dir):
 
 
 def _vocab_ranked(spark, sf_dir):
-    """Shared x34/x35 kernel: (token, n, rank) with the deterministic
-    (count desc, token asc) rank — one partial-agg shuffle over the corpus,
-    one vocabulary-sized window."""
+    """Shared x34/x35/x93/x100 kernel: (token, n, rank, cum) with the
+    deterministic (count desc, token asc) rank and the running token-mass
+    cumulative in that order — one partial-agg shuffle over the corpus,
+    then a TWO-PHASE vocabulary rank (round-10; the audit's last
+    SinglePartition sorts): a web-crawl vocabulary under this tokenizer
+    is tens of millions of distinct strings at 100 TB, so the old global
+    Window.orderBy — one task sorting the whole vocab — was exactly the
+    x75/x78 anti-pattern one level down. x78's binary-magnitude cells
+    apply verbatim: cell = bit_length(n) is monotone in n (strictly
+    across cells), ≤64 cells, so within-cell windows + broadcast
+    cumulative cell counts/masses reproduce the exact global rank AND the
+    exact running sum."""
     d = _docs_fanned(spark, sf_dir)
     tok = d.select(F.explode(words(F.col("text"))).alias("token"))
     vc = tok.groupBy("token").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return vc.withColumn("rank", F.row_number().over(w).cast("long"))
+    b = vc.withColumn("cell", F.length(F.bin(F.col("n"))).cast("long"))
+    m = (
+        b.groupBy("cell")
+        .agg(F.count("*").alias("cnt"), F.sum("n").alias("mass"))
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("cell"), F.collect_list("cnt")
+            ).alias("ccnt"),
+            F.map_from_arrays(
+                F.collect_list("cell"), F.collect_list("mass")
+            ).alias("cmass"),
+        )
+    )
+    w_in = Window.partitionBy("cell").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        b.withColumn("rn_in", F.row_number().over(w_in))
+        .withColumn(
+            "cum_in",
+            F.sum("n").over(w_in.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "token",
+            "n",
+            (
+                F.expr(
+                    "aggregate(map_keys(ccnt), 0L,"
+                    " (a, k) -> a + IF(k > cell, ccnt[k], 0L))"
+                )
+                + F.col("rn_in")
+            )
+            .cast("long")
+            .alias("rank"),
+            (
+                F.expr(
+                    "aggregate(map_keys(cmass), 0L,"
+                    " (a, k) -> a + IF(k > cell, cmass[k], 0L))"
+                )
+                + F.col("cum_in")
+            )
+            .cast("long")
+            .alias("cum"),
+        )
+    )
 
 
 def x35_tokens_to_ids(spark, sf_dir):

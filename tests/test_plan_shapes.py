@@ -805,3 +805,19 @@ def test_x12_buckets_are_capped_before_self_join(spark, sf_dir, specs):
         "BroadcastHashJoin" in plan
     ), plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_vocab_rank_is_two_phase(spark, sf_dir, specs):
+    """_vocab_ranked (round-10; x34/x35/x93/x100): the vocabulary rank
+    and cumulative coverage must run within binary-magnitude cells —
+    never a vocab-wide single-ordering window (one task sorting tens of
+    millions of tokens at 100 TB). No SinglePartition exchange may feed
+    a Sort anywhere in the x34 plan; the rank window must be keyed."""
+    import re
+
+    plan = plan_of(spark, sf_dir, specs, "x34_vocab_coverage", mode="simple")
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line and i > 0:
+            assert "Sort" not in lines[i - 1], plan
+    assert re.search(r"Exchange hashpartitioning\(cell#\d+", plan), plan
