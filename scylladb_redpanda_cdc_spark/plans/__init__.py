@@ -61,6 +61,7 @@ _REWRITTEN = (
     "x35_tokens_to_ids",
     "x93_oov_rate",
     "x100_vocab_budget_sweep",
+    "x7_text_tfidf",
     "x12_dedup_embedding_cosine",
     "x13_sim_ivf_probe",
     "x29_kmeans_refine",

@@ -533,23 +533,26 @@ def x7_text_tfidf(spark, sf_dir):
     aggregations + two joins, all keyed on term/doc (no skew: terms are
     zipfian but the heavy hitters are stopword-scale, still fine per-key).
 
-    Single-corpus-pass shape: doclen and df are WINDOW aggregates over tc
-    (doclen = sum of the doc's term counts over partition-by-doc; df =
-    rows over partition-by-term) instead of separate re-aggregations
-    joined back. Catalyst can't ReuseExchange the naive three-branch form
-    (column pruning makes each branch's scan subtree differ), so the
-    tok-per-branch form really tokenized the corpus 3x; the window form
-    tokenizes ONCE and pays two tc-sized (vocabulary x doc, far below
-    token count) shuffles with no joins at all."""
+    Single-corpus-pass shape: doclen is a WINDOW aggregate over tc
+    (partition-by-doc — doc-sized partitions, never skewed), but df is a
+    partial agg + BROADCAST join (round-10): the old
+    count-over-partition-by-term window gathered a zipf-hot term's whole
+    posting list ("the" ≈ every doc) into ONE task's window buffer —
+    corpus-sized at 100 TB — whereas groupBy(term) combines map-side and
+    ships vocabulary-sized partials, and the df table broadcasts
+    (vocabulary-bounded; a deployment df-caps it like x11 when the vocab
+    outgrows the broadcast limit). Catalyst can't ReuseExchange the
+    naive three-branch form (column pruning makes each branch's scan
+    subtree differ), so tc still tokenizes ONCE."""
     d = _T(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     tc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
     w_doc = Window.partitionBy("doc_id")
-    w_term = Window.partitionBy("term")
+    df_tab = tc.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     return (
         tc.withColumn("doclen", F.sum("cnt").over(w_doc))
-        .withColumn("df", F.count("*").over(w_term))
+        .join(F.broadcast(df_tab), "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
