@@ -178,6 +178,11 @@ _INTENDED_NESTED_LOOP = {
     "x29_kmeans_refine",  # broadcast K-row centroid table per Lloyd pass
     "x32_knn_join",  # broadcast query batch; corpus streams past map-side
     "x34_vocab_coverage",  # broadcast 1-row total token count
+    # round-10 vocab two-phase rank: _vocab_ranked broadcasts its 1-row
+    # cell-histogram map (ccnt/cmass) to every vocab row
+    "x35_tokens_to_ids",
+    "x93_oov_rate",
+    "x100_vocab_budget_sweep",
     "x43_bm25_rank",  # broadcast 1-row corpus stats (N, total_len, dfs)
     "x44_lang_temperature_mix",  # broadcast 1-row weight/doc totals
     "x45_ann_recall_eval",  # broadcast query batch (x32's evaluation twin)
