@@ -1,0 +1,129 @@
+"""Exact distributed rank without a single-task sort (SURVEY.md §2
+X34/X35/X78/X121/B40 — the two-phase rank keystone, round 11).
+
+``ranged_rank`` computes ``row_number()`` over an arbitrary total order
+(and optionally the running sum of a mass column in that order, and the
+per-group row total) with NO task ever sorting more than ~1/P of the
+input:
+
+1. ``repartitionByRange(P, group asc..., order...)`` — Spark samples the
+   sort key and draws P range boundaries, so partitions are balanced by
+   ROW COUNT regardless of the value distribution. This is what the
+   round-10 binary-magnitude cells could not guarantee: a zipf
+   vocabulary puts ~half of all distinct tokens in the hapax (n=1)
+   cell, and an equal-width score grid collapses onto one cell when the
+   score degenerates — value-derived cells bound the number of cells,
+   not the size of the fattest one. Range boundaries are drawn from the
+   data, so the fattest range is ~rows/P by construction.
+2. A window partitioned by (group..., range id) ranks within each range
+   — the range id is captured with ``spark_partition_id()`` ON TOP of
+   the range exchange, and within a group the ranges are monotone in
+   the sort order (the range sort leads with the group columns), so
+   within-range row_number + the count of rows in earlier ranges IS the
+   exact global rank.
+3. The per-(group, range) histogram collapses to one broadcast map per
+   group (≤P entries each) — offsets are pure expression algebra on the
+   map (the x121/x75 broadcast-offset law), never a corpus-sized
+   window.
+
+Determinism: the output rank/cum values do not depend on WHERE the
+sampled boundaries fall — any boundary placement yields the same global
+rank, so driver re-runs hash-match even though the sampling job is
+internal to Spark. Callers must pass a TOTAL order (tiebreak to a
+unique key) or within-tie rank assignment is partition-dependent.
+
+Reference parity: the reference (a CDC tutorial, no code) has no
+counterpart; this kernel serves the tokenizer/curation family the
+driver's LLM-pipeline mandate adds (BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ranged_rank"]
+
+
+def ranged_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    group_cols: tuple[str, ...] = (),
+    mass_col: str | None = None,
+    rank_col: str = "rank",
+    cum_col: str = "cum",
+    total_col: str | None = None,
+    npart: int | None = None,
+) -> DataFrame:
+    """All columns of ``df`` plus ``rank_col`` = exact row_number over
+    ``order_cols`` within each ``group_cols`` group; optionally
+    ``cum_col`` = running sum of ``mass_col`` in that order and
+    ``total_col`` = the group's total row count (for NTILE arithmetic).
+
+    ``group_cols`` must be non-null (the offset join is on them).
+    ``order_cols`` must be a total order within each group.
+    """
+    spark = df.sparkSession
+    n = npart or spark.sparkContext.defaultParallelism
+    gcols = list(group_cols)
+    p = df.repartitionByRange(
+        n, *([F.col(g).asc() for g in gcols] + list(order_cols))
+    ).withColumn("_rr_pid", F.spark_partition_id().cast("long"))
+
+    aggs = [F.count("*").alias("_rr_cnt")]
+    if mass_col is not None:
+        aggs.append(F.sum(mass_col).alias("_rr_mass"))
+    hist = p.groupBy(*(gcols + ["_rr_pid"])).agg(*aggs)
+    map_aggs = [
+        F.map_from_arrays(
+            F.collect_list("_rr_pid"), F.collect_list("_rr_cnt")
+        ).alias("_rr_cmap")
+    ]
+    if mass_col is not None:
+        map_aggs.append(
+            F.map_from_arrays(
+                F.collect_list("_rr_pid"), F.collect_list("_rr_mass")
+            ).alias("_rr_mmap")
+        )
+    if gcols:
+        maps = hist.groupBy(*gcols).agg(*map_aggs)
+        j = p.join(F.broadcast(maps), gcols)
+    else:
+        maps = hist.agg(*map_aggs)
+        j = p.crossJoin(F.broadcast(maps))
+
+    w_in = Window.partitionBy(*(gcols + ["_rr_pid"])).orderBy(*order_cols)
+    out = j.withColumn(
+        rank_col,
+        (
+            F.expr(
+                "aggregate(map_keys(_rr_cmap), 0L,"
+                " (a, k) -> a + IF(k < _rr_pid, _rr_cmap[k], 0L))"
+            )
+            + F.row_number().over(w_in)
+        ).cast("long"),
+    )
+    if mass_col is not None:
+        out = out.withColumn(
+            cum_col,
+            (
+                F.expr(
+                    "aggregate(map_keys(_rr_mmap), 0L,"
+                    " (a, k) -> a + IF(k < _rr_pid, _rr_mmap[k], 0L))"
+                )
+                + F.sum(mass_col).over(
+                    w_in.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ).cast("long"),
+        )
+    if total_col is not None:
+        out = out.withColumn(
+            total_col,
+            F.expr(
+                "aggregate(map_values(_rr_cmap), 0L, (a, v) -> a + v)"
+            ).cast("long"),
+        )
+    drop = ["_rr_pid", "_rr_cmap"]
+    if mass_col is not None:
+        drop.append("_rr_mmap")
+    return out.drop(*drop)

@@ -15,6 +15,7 @@ import os
 import re
 from collections.abc import Callable
 from dataclasses import dataclass
+from types import MappingProxyType
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -148,12 +149,22 @@ def _grading_history(
                 latest[qid] = (rnd, ok)
     failing = {q for q, (_, ok) in latest.items() if not ok}
     latest_round = {q: rnd for q, (rnd, _) in latest.items()}
-    result = (graded, failing, latest_round)
+    # Immutable views: the cache hands the SAME entry to every caller, so
+    # a caller mutating a returned set/dict would silently poison every
+    # later registry() call in the process (round-11 advice).
+    result = (
+        frozenset(graded),
+        frozenset(failing),
+        MappingProxyType(latest_round),
+    )
     _HISTORY_CACHE[repo] = (sig, result)
     return result
 
 
-_HISTORY_CACHE: dict[str, tuple[tuple, tuple[set[str], set[str], dict[str, int]]]] = {}
+_HISTORY_CACHE: dict[
+    str,
+    tuple[tuple, tuple[frozenset[str], frozenset[str], "MappingProxyType"]],
+] = {}
 
 
 def registry() -> dict[str, QuerySpec]:

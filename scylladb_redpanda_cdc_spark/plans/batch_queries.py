@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from scylladb_redpanda_cdc_spark.operators.rank import ranged_rank
 from scylladb_redpanda_cdc_spark.plans import QuerySpec
 from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
 
@@ -1705,17 +1706,19 @@ def b40_rfm_segmentation(spark, sf_dir):
     cut lines are deterministic in both engines; quartile 4 = most
     recent / most frequent / highest value.
 
-    Scale shape (round 9 — x75/x121's two-phase rank, per metric): the
-    corpus-sized work is one user-keyed partial agg; a users-sized frame
-    still grows with the data, so each NTILE must NOT be an
-    unpartitioned window (one task sorts every user, three times).
-    Instead each metric gets exact two-phase ranks: equal-width integer
-    cells between the metric's broadcast min/max ((v-lo) DIV width,
-    width = (hi-lo) DIV 64 + 1 — monotone, overflow-free, ≤65 cells),
-    within-cell row_number windows, and 1-row broadcast histogram maps
-    carrying the cumulative offsets (x121's kernel); NTILE(4) is then
-    exact-rank arithmetic. The users frame is localCheckpointed once so
-    the events agg runs a single time."""
+    Scale shape (round 11 — `operators.rank.ranged_rank`, per metric):
+    the corpus-sized work is one user-keyed partial agg; a users-sized
+    frame still grows with the data, so each NTILE must NOT be an
+    unpartitioned window (one task sorts every user, three times). Each
+    metric gets an exact two-phase rank over sampled range boundaries —
+    the round-9 equal-width cells bounded the cell COUNT, but a metric
+    that collapses onto few values (freq ties, a constant-value promo
+    day) put every user back in one cell/task; sampled boundaries split
+    by row count under any distribution, tiebreaking on user_id. The
+    three rank frames are narrow (user_id + rank) and join back to the
+    checkpointed users frame on its unique key; NTILE(4) is exact-rank
+    arithmetic. The users frame is localCheckpointed once so the events
+    agg runs a single time."""
     e = _T(spark, sf_dir, "events")
     per = (
         e.select(
@@ -1730,49 +1733,20 @@ def b40_rfm_segmentation(spark, sf_dir):
             F.sum("vm").alias("monetary_micros"),
         )
     ).localCheckpoint(eager=True)
-    bounds = per.agg(
-        F.min("last_us").alias("r_lo"),
-        F.max("last_us").alias("r_hi"),
-        F.min("freq").alias("f_lo"),
-        F.max("freq").alias("f_hi"),
-        F.min("monetary_micros").alias("m_lo"),
-        F.max("monetary_micros").alias("m_hi"),
-        F.count("*").alias("n"),
-    )
-    t = per.crossJoin(F.broadcast(bounds))
-    cells = {
-        "r": "(last_us - r_lo) DIV ((r_hi - r_lo) DIV 64 + 1)",
-        "f": "(freq - f_lo) DIV ((f_hi - f_lo) DIV 64 + 1)",
-        "m": "(monetary_micros - m_lo) DIV ((m_hi - m_lo) DIV 64 + 1)",
-    }
-    for k, cell in cells.items():
-        t = t.withColumn(f"c_{k}", F.expr(cell))
-    hists = None
-    for k in cells:
-        h = t.groupBy(f"c_{k}").agg(F.count("*").alias("cnt")).agg(
-            F.map_from_arrays(
-                F.collect_list(f"c_{k}"), F.collect_list("cnt")
-            ).alias(f"h_{k}")
-        )
-        hists = h if hists is None else hists.crossJoin(h)
     orders = {
         "r": ("last_us", "r_q"),
         "f": ("freq", "f_q"),
         "m": ("monetary_micros", "m_q"),
     }
-    ranked = t.crossJoin(F.broadcast(hists))
+    ranked = per
     for k, (metric, _q) in orders.items():
-        w = Window.partitionBy(f"c_{k}").orderBy(
-            F.col(metric).asc(), F.col("user_id").asc()
-        )
-        ranked = ranked.withColumn(
-            f"rank_{k}",
-            F.expr(
-                f"aggregate(map_keys(h_{k}), 0L,"
-                f" (a, kk) -> a + IF(kk < c_{k}, h_{k}[kk], 0L))"
-            )
-            + F.row_number().over(w),
-        )
+        rk = ranged_rank(
+            per.select("user_id", metric),
+            [F.col(metric).asc(), F.col("user_id").asc()],
+            rank_col=f"rank_{k}",
+            total_col="n" if k == "r" else None,
+        ).drop(metric)
+        ranked = ranked.join(rk, "user_id")
     # NTILE(4) on the exact rank: base = n DIV 4, first n % 4 buckets
     # take one extra row (SQL NTILE's law, the x121 arithmetic at k=4).
     for k, (_metric, q) in orders.items():

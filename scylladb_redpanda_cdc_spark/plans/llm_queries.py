@@ -40,6 +40,7 @@ from scylladb_redpanda_cdc_spark.operators.llm import (
     word_shingles,
     words,
 )
+from scylladb_redpanda_cdc_spark.operators.rank import ranged_rank
 from scylladb_redpanda_cdc_spark.plans import QuerySpec
 from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
 
@@ -1326,68 +1327,51 @@ def x34_vocab_coverage(spark, sf_dir):
     )
 
 
+_vocab_counts_cache: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _vocab_counts(spark, sf_dir):
+    """(token, n): the corpus vocabulary with frequencies — ONE partial-agg
+    shuffle over the token stream (map-side combine ships a row per
+    distinct token per task, zipf-immune). Session-cached + checkpointed
+    (round-11, the `_minhash_bands` convention): four consumers
+    (x34/x35/x93/x100) otherwise each re-tokenize the corpus, and the
+    rank kernel's range-boundary sampling pass re-reads this frame — the
+    cache makes both read a vocabulary-sized two-column frame instead."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _vocab_counts_cache:
+        return _vocab_counts_cache[cache_key]
+    d = _docs_fanned(spark, sf_dir)
+    tok = d.select(F.explode(words(F.col("text"))).alias("token"))
+    out = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    _vocab_counts_cache[cache_key] = out
+    return out
+
+
 def _vocab_ranked(spark, sf_dir):
     """Shared x34/x35/x93/x100 kernel: (token, n, rank, cum) with the
     deterministic (count desc, token asc) rank and the running token-mass
-    cumulative in that order — one partial-agg shuffle over the corpus,
-    then a TWO-PHASE vocabulary rank (round-10; the audit's last
-    SinglePartition sorts): a web-crawl vocabulary under this tokenizer
-    is tens of millions of distinct strings at 100 TB, so the old global
-    Window.orderBy — one task sorting the whole vocab — was exactly the
-    x75/x78 anti-pattern one level down. x78's binary-magnitude cells
-    apply verbatim: cell = bit_length(n) is monotone in n (strictly
-    across cells), ≤64 cells, so within-cell windows + broadcast
-    cumulative cell counts/masses reproduce the exact global rank AND the
-    exact running sum."""
-    d = _docs_fanned(spark, sf_dir)
-    tok = d.select(F.explode(words(F.col("text"))).alias("token"))
-    vc = tok.groupBy("token").agg(F.count("*").alias("n"))
-    b = vc.withColumn("cell", F.length(F.bin(F.col("n"))).cast("long"))
-    m = (
-        b.groupBy("cell")
-        .agg(F.count("*").alias("cnt"), F.sum("n").alias("mass"))
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("cell"), F.collect_list("cnt")
-            ).alias("ccnt"),
-            F.map_from_arrays(
-                F.collect_list("cell"), F.collect_list("mass")
-            ).alias("cmass"),
-        )
-    )
-    w_in = Window.partitionBy("cell").orderBy(
-        F.col("n").desc(), F.col("token").asc()
-    )
-    return (
-        b.withColumn("rn_in", F.row_number().over(w_in))
-        .withColumn(
-            "cum_in",
-            F.sum("n").over(w_in.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .crossJoin(F.broadcast(m))
-        .select(
-            "token",
-            "n",
-            (
-                F.expr(
-                    "aggregate(map_keys(ccnt), 0L,"
-                    " (a, k) -> a + IF(k > cell, ccnt[k], 0L))"
-                )
-                + F.col("rn_in")
-            )
-            .cast("long")
-            .alias("rank"),
-            (
-                F.expr(
-                    "aggregate(map_keys(cmass), 0L,"
-                    " (a, k) -> a + IF(k > cell, cmass[k], 0L))"
-                )
-                + F.col("cum_in")
-            )
-            .cast("long")
-            .alias("cum"),
-        )
-    )
+    cumulative in that order.
+
+    Round-11 rewrite: the rank rides `operators.rank.ranged_rank` — a
+    range-partitioned two-phase rank whose partition sizes come from
+    SAMPLED boundaries, not value-derived cells. The round-10
+    binary-magnitude cells bounded the number of cells (≤64) but not the
+    fattest one: a crawl vocabulary is Heaps/zipf-shaped, so ~half of all
+    distinct tokens are hapax legomena (n=1) and the old
+    Window.partitionBy("cell") made ONE task sort half the vocabulary at
+    100 TB. Range boundaries over (n desc, token asc) split the hapax
+    mass by token — every task sorts ~vocab/P rows under ANY frequency
+    distribution."""
+    return ranged_rank(
+        _vocab_counts(spark, sf_dir),
+        [F.col("n").desc(), F.col("token").asc()],
+        mass_col="n",
+    ).select("token", "n", "rank", "cum")
 
 
 def x35_tokens_to_ids(spark, sf_dir):
@@ -5204,16 +5188,15 @@ def x78_ccnet_buckets(spark, sf_dir):
     scaled mean ``(freq_mass*1e6) DIV n_tokens`` with doc_id tiebreak, so
     ntile boundaries are identical in both engines (no float ordering).
 
-    Scale (the shipped plan, round 9 — x75/x121's two-phase rank applied
-    per lang): a per-lang ntile window would sort each language's FULL
-    corpus in one task. The score's integer domain is data-dependent
-    (mean corpus frequency), so instead of x75's value histogram the
-    cells are the score's BINARY MAGNITUDE — cell = length(bin(score)),
-    an exact integer op, monotone in the score, <=64 cells per lang.
-    Rank = per-(lang, cell) window + broadcast cumulative cell offsets;
-    the tercile is NTILE(3) arithmetic on the exact rank (x121's law).
-    A deployment with balance guarantees samples score boundaries
-    instead of the fixed log grid; output is identical either way."""
+    Scale (round 11 — `operators.rank.ranged_rank`, per lang): a per-lang
+    ntile window would sort each language's FULL corpus in one task, and
+    the round-9 binary-magnitude score cells bounded the CELL COUNT but
+    not the fattest cell (a score distribution that collapses onto one
+    magnitude put a language's whole corpus back on one task). The rank
+    is now range-partitioned on the exact (lang, score desc, doc_id)
+    order — sampled boundaries split by row count under ANY score
+    distribution — with broadcast per-(lang, range) offsets; the tercile
+    is NTILE(3) arithmetic on the exact rank (x121's law)."""
     d = _T(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
@@ -5230,31 +5213,13 @@ def x78_ccnet_buckets(spark, sf_dir):
         "lang",
         "n_tokens",
         F.expr("(freq_mass * 1000000) DIV n_tokens").alias("score_scaled"),
-    ).withColumn(
-        # bin() drops leading zeros, so length(bin(x)) = floor(log2 x)+1:
-        # exact, integer-only, monotone non-decreasing in the score.
-        "cell",
-        F.length(F.bin(F.col("score_scaled"))).cast("long"),
     )
-    hist = scored.groupBy("lang", "cell").agg(F.count("*").alias("cnt"))
-    w_off = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("cell").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = hist.select(
-        "lang",
-        "cell",
-        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
-        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
-    )
-    w_in = Window.partitionBy("lang", "cell").orderBy(
-        F.col("score_scaled").desc(), F.col("doc_id").asc()
-    )
-    t = (
-        scored.withColumn("rn_in", F.row_number().over(w_in))
-        .join(F.broadcast(offs), ["lang", "cell"])
-        .withColumn("r", F.col("off") + F.col("rn_in"))
+    t = ranged_rank(
+        scored,
+        [F.col("score_scaled").desc(), F.col("doc_id").asc()],
+        group_cols=("lang",),
+        rank_col="r",
+        total_col="n",
     )
     b = t.select(
         "lang",
@@ -9099,19 +9064,18 @@ def x121_curriculum_order(spark, sf_dir):
 
     Scale (the shipped plan): a training order is a global total order,
     but neither rank may plan a single-task sort. Both are two-phase:
-    (1) the quality rank buckets the bounded [0,1] score onto a fixed
-    64-cell grid (a deployment with an unbounded score domain samples
-    boundaries instead — x75's histogram discipline), ranks WITHIN each
-    cell, and adds the per-cell cumulative offset; (2) the serving rank
-    splits each stage into 64 FIXED hash-range shards of the uniform
-    shuffle_key (x81's pattern — shard = top 6 bits, so (stage, shard,
-    key) ordering IS (stage, key) ordering) and again ranks within
-    (stage, shard) + offset. Offsets and the corpus size ride ONE-row
-    broadcast histogram maps (≤64 / ≤192 entries — pure expression
-    algebra on the map, no corpus-sized window anywhere); the stage
-    tercile is NTILE(3) arithmetic applied to the exact rank. Score
-    computation rides the x15 map-only pass with the token array
-    projected once (x33's re-evaluation discipline)."""
+    (1) the quality rank rides `operators.rank.ranged_rank` — sampled
+    range boundaries over (score desc, doc_id) split by ROW COUNT, so
+    the rank survives a degenerate score distribution where the
+    round-10 fixed 64-cell grid collapsed a corpus onto one cell/task;
+    (2) the serving rank splits each stage into 64 FIXED hash-range
+    shards of the uniform shuffle_key (x81's pattern — shard = top 6
+    bits of a 60-bit uniform hash, balance is guaranteed by the hash
+    itself, so the fixed grid is safe HERE), ranks within (stage,
+    shard), and adds broadcast offsets (≤192-entry one-row histogram
+    map). The stage tercile is NTILE(3) arithmetic applied to the exact
+    rank. Score computation rides the x15 map-only pass with the token
+    array projected once (x33's re-evaluation discipline)."""
     d = _T(spark, sf_dir, "documents").select(
         "doc_id", "text", words(F.col("text")).alias("_ws")
     )
@@ -9137,41 +9101,20 @@ def x121_curriculum_order(spark, sf_dir):
         * 0.3
         + F.least(F.size(ws).cast("double") / F.lit(100.0), F.lit(1.0)) * 0.3
     )
-    scored = d.select("doc_id", score.alias("quality_score"))
-    # Phase 1 — exact quality rank (DESC, doc_id tiebreak), two-phase.
-    # The scored frame (doc_id, score, cell — three narrow columns) feeds
-    # BOTH the cell histogram and the rank window; localCheckpoint it so
-    # the tokenize+score scan runs exactly once (x33's discipline).
-    b = scored.withColumn(
-        "qb",
-        F.least(F.floor(F.col("quality_score") * 64), F.lit(63)).cast("long"),
-    ).localCheckpoint(eager=True)
-    m1 = b.groupBy("qb").agg(F.count("*").alias("cnt")).agg(
-        F.map_from_arrays(
-            F.collect_list("qb"), F.collect_list("cnt")
-        ).alias("qcnt")
+    # Phase 1 — exact quality rank (DESC, doc_id tiebreak), two-phase
+    # via sampled range boundaries. The scored frame (two narrow columns)
+    # feeds the kernel's sampling pass, range histogram, and rank window;
+    # localCheckpoint it so the tokenize+score scan runs exactly once
+    # (x33's discipline).
+    b = d.select("doc_id", score.alias("quality_score")).localCheckpoint(
+        eager=True
     )
-    w_in = Window.partitionBy("qb").orderBy(
-        F.col("quality_score").desc(), F.col("doc_id").asc()
-    )
-    ranked = (
-        b.withColumn("rn_in", F.row_number().over(w_in))
-        .crossJoin(F.broadcast(m1))
-        .select(
-            "doc_id",
-            # DESC order: offset = count of docs in HIGHER score cells.
-            (
-                F.expr(
-                    "aggregate(map_keys(qcnt), 0L,"
-                    " (a, k) -> a + IF(k > qb, qcnt[k], 0L))"
-                )
-                + F.col("rn_in")
-            ).alias("r"),
-            F.expr("aggregate(map_values(qcnt), 0L, (a, v) -> a + v)").alias(
-                "n"
-            ),
-        )
-    )
+    ranked = ranged_rank(
+        b,
+        [F.col("quality_score").desc(), F.col("doc_id").asc()],
+        rank_col="r",
+        total_col="n",
+    ).select("doc_id", "r", "n")
     # NTILE(3) arithmetic on the exact rank: base = n DIV 3 rows per
     # bucket, the first n % 3 buckets take one extra (SQL NTILE's law).
     staged = ranked.select(

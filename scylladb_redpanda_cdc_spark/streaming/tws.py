@@ -127,30 +127,35 @@ def drive_locally(
     make_processor, batches: list[list[tuple[tuple, object]]]
 ) -> list:
     """Run the StatefulProcessor LIFECYCLE without the protobuf state
-    server, on the REAL API's instance model (round-10; the round-9
-    harness built one processor per key, which could not catch a
-    processor caching per-key data on ``self``): ONE processor instance
-    per (simulated) partition, ``init`` called exactly once with one
-    :class:`LocalStatefulHandle`, the handle's implicit grouping key
-    switched before every ``handleInputRows`` call — so ValueState reads/
-    writes are key-scoped while ``self`` is shared across keys, exactly
-    the worker-side contract — and ``close`` once at the end. State
-    persists across micro-batches (the state-store contract). Returns
-    the concatenated emitted frames in emission order.
+    server, on the REAL API's instance model (round-11; the round-10
+    harness shared one instance across ALL micro-batches, so per-key
+    data cached on ``self`` survived longer here than on the real
+    engine): the real transformWithState runtime re-instantiates the
+    processor per (partition, micro-batch) TASK, so this harness builds
+    a FRESH processor and calls ``init`` for every micro-batch, with
+    ``close`` at each batch's end. Only the :class:`LocalStatefulHandle`
+    — the state store — is shared across batches; within a batch the
+    handle's implicit grouping key switches before every
+    ``handleInputRows`` call, so ValueState reads/writes are key-scoped
+    while ``self`` is shared across keys (the worker-side contract).
+    Net: state persists across micro-batches ONLY via ValueState — a
+    processor caching batch-spanning data on ``self`` loses it at the
+    batch boundary, here and in production. Returns the concatenated
+    emitted frames in emission order.
 
     ``batches`` is a list of micro-batches; each micro-batch is a list of
-    ``(key_tuple, pandas_batch)`` pairs. ``make_processor`` builds the
-    partition's processor instance."""
-    proc = make_processor()
+    ``(key_tuple, pandas_batch)`` pairs. ``make_processor`` builds each
+    (partition, micro-batch) task's processor instance."""
     handle = LocalStatefulHandle()
-    proc.init(handle)
     out: list = []
     for batch in batches:
+        proc = make_processor()
+        proc.init(handle)
         for key, pdf in batch:
             handle.set_implicit_key(key)
             out.extend(proc.handleInputRows(key, iter([pdf]), None))
-    handle.set_implicit_key(None)
-    proc.close()
+        handle.set_implicit_key(None)
+        proc.close()
     return out
 
 

@@ -375,16 +375,16 @@ def test_boilerplate_list_is_broadcast(spark, sf_dir, specs):
 
 
 def test_rfm_windows_run_after_the_user_agg(spark, sf_dir, specs):
-    """b40 (round 9): the corpus-sized events agg is materialized once
+    """b40 (round 11): the corpus-sized events agg is materialized once
     (checkpoint — not visible in the returned plan); each quartile rank
-    then runs within its metric's equal-width cells — every Window in
-    the plan is cell-keyed, never an unpartitioned users-wide sort, and
-    every SinglePartition exchange feeds an aggregate (the 1-row
-    bounds/histogram frames)."""
+    then rides ranged_rank — every rank Window is keyed by the range id
+    (_rr_pid), never an unpartitioned users-wide sort, and every
+    SinglePartition exchange feeds an aggregate (the 1-row histogram-map
+    frames)."""
     plan = plan_of(spark, sf_dir, specs, "b40_rfm_segmentation", mode="simple")
     import re
 
-    assert re.search(r"Exchange hashpartitioning\(c_[rfm]#\d+", plan), plan
+    assert re.search(r"Exchange hashpartitioning\(_rr_pid#\d+", plan), plan
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" in line:
@@ -716,8 +716,9 @@ def test_x121_no_corpus_single_partition_sort(spark, sf_dir, specs):
     serving rank must run within (stage, shard) fine partitions; the only
     SinglePartition exchanges allowed are stats-sized aggregates (their
     consumer — the line above in the tree — is an Aggregate node, never a
-    Sort feeding a corpus window). Phase 1 (quality rank) shares x75's
-    pinned histogram shape and is materialized at build."""
+    Sort feeding a corpus window). Phase 1 (quality rank, round 11)
+    rides ranged_rank — its range exchange is P-way range PARTITIONING
+    (balanced by sampled boundaries), not a single-task global sort."""
     import re
 
     plan = plan_of(spark, sf_dir, specs, "x121_curriculum_order", mode="simple")
@@ -728,17 +729,21 @@ def test_x121_no_corpus_single_partition_sort(spark, sf_dir, specs):
             consumer = lines[i - 1]
             assert "Sort" not in consumer, plan
             assert "Aggregate" in consumer, plan
-    assert "rangepartitioning" not in plan, plan
 
 
 def test_x78_tercile_rank_is_two_phase(spark, sf_dir, specs):
-    """x78 (round-9, x75's class): the corpus rank must run within
-    (lang, cell) — binary-magnitude cells of the score — never a whole
-    language in one task; cell offsets broadcast back."""
+    """x78 (round-11, ranged_rank): the corpus rank must run within
+    (lang, range id) partitions — sampled range boundaries, never a
+    whole language in one task and never a value-derived cell whose
+    fattest member is unbounded; per-(lang, range) offsets broadcast
+    back."""
     import re
 
     plan = plan_of(spark, sf_dir, specs, "x78_ccnet_buckets", mode="simple")
-    assert re.search(r"Exchange hashpartitioning\(lang#\d+, cell#\d+", plan), plan
+    assert re.search(
+        r"Exchange hashpartitioning\(lang#\d+, _rr_pid#\d+", plan
+    ), plan
+    assert "Exchange rangepartitioning" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
 
 
@@ -813,11 +818,14 @@ def test_x12_buckets_are_capped_before_self_join(spark, sf_dir, specs):
 
 
 def test_vocab_rank_is_two_phase(spark, sf_dir, specs):
-    """_vocab_ranked (round-10; x34/x35/x93/x100): the vocabulary rank
-    and cumulative coverage must run within binary-magnitude cells —
+    """_vocab_ranked (round-11; x34/x35/x93/x100): the vocabulary rank
+    and cumulative coverage must run within sampled range partitions —
     never a vocab-wide single-ordering window (one task sorting tens of
-    millions of tokens at 100 TB). No SinglePartition exchange may feed
-    a Sort anywhere in the x34 plan; the rank window must be keyed."""
+    millions of tokens at 100 TB), and never a value-derived cell whose
+    fattest member is unbounded (the round-10 hapax residual). No
+    SinglePartition exchange may feed a Sort anywhere in the x34 plan;
+    the rank window must be keyed by the range id, and the plan must
+    carry the range exchange itself."""
     import re
 
     plan = plan_of(spark, sf_dir, specs, "x34_vocab_coverage", mode="simple")
@@ -825,4 +833,5 @@ def test_vocab_rank_is_two_phase(spark, sf_dir, specs):
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" in line and i > 0:
             assert "Sort" not in lines[i - 1], plan
-    assert re.search(r"Exchange hashpartitioning\(cell#\d+", plan), plan
+    assert re.search(r"Exchange hashpartitioning\(_rr_pid#\d+", plan), plan
+    assert "Exchange rangepartitioning" in plan, plan

@@ -149,6 +149,26 @@ def test_grading_history_cache_invalidates_on_artifact_change(tmp_path):
     assert g2 == {"q_a", "q_b"} and lr2 == {"q_a": 1, "q_b": 2}
 
 
+def test_grading_history_returns_immutable_views(tmp_path):
+    """The memoized cache hands the SAME objects to every caller — a
+    caller mutating them would poison every later registry() call in
+    the process (round-11 advice). The returned views are immutable:
+    frozensets and a read-only mapping proxy."""
+    import json as _json
+
+    import pytest
+
+    from scylladb_redpanda_cdc_spark.plans import _grading_history
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(_json.dumps({"q_a": ok}))
+    graded, failing, latest_round = _grading_history(str(tmp_path))
+    assert isinstance(graded, frozenset)
+    assert isinstance(failing, frozenset)
+    with pytest.raises(TypeError):
+        latest_round["q_a"] = 99
+
+
 def test_registry_orders_ungraded_then_failing_then_reproof():
     """The derived-order law on the REAL tree: every never-graded query
     precedes every graded one, latest-failing queries (if any) precede

@@ -74,16 +74,21 @@ def test_local_handle_value_state_contract():
     assert s.get() == (9,)  # clear only touched key 1
 
 
-def test_local_lifecycle_shares_one_processor_across_keys():
-    """The round-10 harness runs ONE processor instance per partition
-    (init exactly once), so a processor that caches per-key data on
-    ``self`` instead of in ValueState now fails the suite — the hazard
-    the per-key-instance round-9 harness could not see."""
+def test_local_lifecycle_instance_model_matches_the_real_engine():
+    """The round-11 harness re-instantiates the processor per
+    micro-batch (the real transformWithState task model) while sharing
+    ONE state handle across batches. So a processor caching data on
+    ``self`` (a) still bleeds across keys WITHIN a batch — one instance
+    per partition-task — but (b) LOSES its self-cached data at every
+    batch boundary, exactly as on the real engine (the round-10 harness
+    let self persist across batches, a false green for batch-spanning
+    self-caches)."""
+    init_counts: list[int] = []
 
     class SelfCachingProcessor(RunningCountProcessor):
         def init(self, handle):
-            self.init_calls = getattr(self, "init_calls", 0) + 1
-            self._prev = 0  # WRONG: per-key data on self
+            init_counts.append(1)
+            self._prev = 0  # WRONG: batch-spanning data on self
             super().init(handle)
 
         def handleInputRows(self, key, rows, timerValues):
@@ -101,10 +106,14 @@ def test_local_lifecycle_shares_one_processor_across_keys():
     ]
     out = drive_locally(lambda: SelfCachingProcessor("user_id"), batches)
     emitted = [(df["user_id"][0], df["n_events"][0]) for df in out]
-    # the buggy processor bleeds key 1's total into key 2
-    assert emitted == [(1, 3), (2, 4), (1, 6)]
-    # whereas the ValueState-correct processor stays isolated on the
-    # identical input (and init ran once per drive, not once per key)
+    # within batch 1 the buggy processor bleeds key 1's total into key 2;
+    # at the batch boundary the self-cache RESETS (fresh instance), so
+    # batch 2 counts from zero — not the (1, 6) a batch-spanning self
+    # would produce.
+    assert emitted == [(1, 3), (2, 4), (1, 2)]
+    assert len(init_counts) == len(batches)  # init once per micro-batch
+    # whereas the ValueState-correct processor accumulates across batches
+    # AND stays key-isolated on the identical input
     out_ok = drive_locally(lambda: RunningCountProcessor("user_id"), batches)
     ok = [(df["user_id"][0], df["n_events"][0]) for df in out_ok]
     assert ok == [(1, 3), (2, 1), (1, 5)]
