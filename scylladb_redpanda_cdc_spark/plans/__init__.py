@@ -53,29 +53,27 @@ class QuerySpec:
 #: x121's phase-2 rework, the _embs_fanned corpus-pass restructures
 #: (x54/x111/x112/x113), and the _x2_pairs session cache (x2/x92/x97).
 _REWRITTEN = (
-    "x2_dedup_fuzzy_minhash",
-    "x92_band_threshold_sweep",
-    "x97_fuzzy_verify",
-    "x89_incremental_minhash",
-    "x46_dedup_est_quality",
+    # Round-11 ranged-rank rewrites (the sampled range-partition kernel
+    # replacing value-derived cells):
     "x34_vocab_coverage",
     "x35_tokens_to_ids",
     "x93_oov_rate",
     "x100_vocab_budget_sweep",
-    "x7_text_tfidf",
-    "x12_dedup_embedding_cosine",
-    "x13_sim_ivf_probe",
-    "x29_kmeans_refine",
-    "x90_ivf_pq_ann",
-    "x114_cluster_purity",
+    "x78_ccnet_buckets",
     "x121_curriculum_order",
-    "x50_semdedup",
-    "x94_semdedup_sweep",
-    "x107_ivf_balance_report",
-    "x54_pq_ann",
-    "x111_top_pc_power_iteration",
-    "x112_common_direction_removal",
+    "b40_rfm_segmentation",
+    # Round-11 fixed-K probe-batch draws (literal-bounded broadcast):
+    "x32_knn_join",
+    "x45_ann_recall_eval",
+    "x62_hard_negatives",
+    "x70_retrieval_mrr",
+    "x96_lsh_multiprobe",
+    "x98_recall_matryoshka",
+    "x103_mmr_diverse_select",
+    "x109_triplet_mining",
     "x113_knn_label_eval",
+    # Round-11 bounded estimator join (cap + within-bucket reservoir):
+    "x46_dedup_est_quality",
 )
 
 # Kept as an alias for one round so external readers of the round-9

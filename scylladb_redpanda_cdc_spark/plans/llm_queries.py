@@ -110,6 +110,36 @@ def _embs_fanned(spark, sf_dir):
         e = e.repartition(cores, "vec_id")
     return e
 
+
+#: Fixed evaluation probe-batch size (round 11): every evaluation-family
+#: query (x32/x45/x62/x70/x96/x98/x103/x109/x113) draws EXACTLY this many
+#: probe vectors via the smallest-content-hash reservoir (x25's seedless
+#: kernel applied globally), so the broadcast query side — and with it
+#: the |corpus|×|Q| scored fan-out — is literal-bounded at ANY corpus
+#: size. The old ``vec_id % k`` draws scaled |Q| with the corpus.
+X_PROBE_K = 24
+
+
+def _probe_batch(frame, k: int = X_PROBE_K):
+    """The ``k`` rows of ``frame`` (must carry ``vec_id``) with the
+    smallest (hash60(vec_id), vec_id) — a deterministic, seedless,
+    rerun-stable draw whose membership survives corpus re-partitioning
+    (x25's reservoir law, global instead of per-stratum). orderBy+limit
+    plans TakeOrderedAndProject: per-partition top-k then a k-row driver
+    merge — never a global sort — and the resulting broadcast side is
+    literally ``k`` rows at any corpus size."""
+    return frame.orderBy(
+        hash60(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    ).limit(k)
+
+
+#: DuckDB twin of :func:`_probe_batch`'s draw — append to a probe CTE's
+#: ``FROM`` clause in place of the old ``WHERE vec_id % k = 0``.
+_PROBE_SQL = (
+    "ORDER BY CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)),"
+    f" 1, 15)) AS BIGINT) ASC, vec_id ASC LIMIT {X_PROBE_K}"
+)
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -1201,18 +1231,11 @@ def x31_dup_rate_by_source(spark, sf_dir):
 def x32_knn_join(spark, sf_dir):
     """k-NN JOIN: top-5 cosine neighbors for EVERY query vector (x3 answers
     one query; retrieval/embedding-dedup workloads answer a batch). Query
-    set = every 50th vector.
-
-    CAVEAT shared by the whole mod-sampled evaluation family (x32, x45,
-    x62, x96, x113; the x75-caveat discipline): ``vec_id % 50`` is a
-    FIXTURE convenience that makes the probe batch deterministic and
-    oracle-recomputable — but it scales |Q| WITH the corpus, so at 100 TB
-    both the broadcast query batch (~N/50 embeddings) and the scored
-    fan-out (~N²/50 cosines) grow superlinearly. A deployment must cap
-    the probe set at a FIXED size (a constant query file, or
-    ``LIMIT k`` over the mod-sample) — the plan shape below is then
-    exactly right: fixed-size broadcast, one corpus stream, candidate-
-    sized shuffles.
+    set = the fixed-K smallest-content-hash draw (``_probe_batch``,
+    round 11 — the whole evaluation family shares it, so the broadcast
+    query side is literal-bounded at ANY corpus size; the old
+    ``vec_id % 50`` mod-sample scaled |Q|, and with it the |corpus|×|Q|
+    scored fan-out, superlinearly with the corpus).
 
     Scale shape: the query batch is BROADCAST and the corpus streams past
     it once (a broadcast nested-loop is the *correct* plan here — brute
@@ -1223,7 +1246,7 @@ def x32_knn_join(spark, sf_dir):
     shared left-to-right double-fold kernel, bit-equal in DuckDB, so ranks
     and the cut line agree exactly."""
     e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
+    q = _probe_batch(e).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     scored = (
@@ -1886,7 +1909,7 @@ def x45_ann_recall_eval(spark, sf_dir):
     shuffle carries candidates, not the corpus."""
     e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     b = e.withColumn("bucket", lsh_bucket(F.col("embedding"), 6))
-    q = b.filter(F.col("vec_id") % 50 == 0).select(
+    q = _probe_batch(b).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
@@ -1954,17 +1977,36 @@ def x46_dedup_est_quality(spark, sf_dir):
     signature pipeline per reference (measured: 22 corpus scans in the
     naive plan, 2 after — one for signatures, one for the pruned exact
     side). x21's discipline; a cluster deployment uses a reliable
-    checkpoint dir. Round-10: the signature side is the session-cached
-    `_minhash_bands` frame — NOTE x46's candidate join is deliberately
-    UNCAPPED (it measures the estimator over ALL banding candidates,
-    including the over-cap buckets x2 drops), and `_minhash_bands`
-    carries no cap, so the shared frame preserves that semantics."""
+    checkpoint dir. Round-11: the signature side is the session-cached
+    `_minhash_bands` frame, and the candidate join is BOUNDED — capped
+    buckets enumerate exactly, while an over-cap bucket contributes a
+    deterministic X2_BUCKET_CAP-sized smallest-doc-hash sample (x25's
+    reservoir, per bucket), so hot strata are measured without the
+    m²/2 fan-out the uncapped round-10 eval paid inside its own run;
+    the DuckDB twin mirrors the identical draw."""
     d = _docs_fanned(spark, sf_dir)
     sh = d.select("doc_id", words(F.col("text")).alias("_ws")).select(
         "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
     ).select("doc_id", hash60(F.col("s")).alias("h"))
     bands = _minhash_bands(spark, sf_dir)
-    ba, bb = bands.alias("a"), bands.alias("b")
+    # Bound the estimator run (round 11): enumerate every bucket up to
+    # X2_BUCKET_CAP members; an OVER-cap bucket contributes its CAP
+    # smallest-(hash60(doc_id), doc_id) members — a deterministic
+    # within-bucket reservoir (x25's seedless draw), so hot strata are
+    # still MEASURED (sampled) instead of either dropped (x2's
+    # production cut) or fanned m²/2 inside the eval run (the round-10
+    # plan). row_number<=cap plans as WindowGroupLimit: per-task top-k
+    # BEFORE the bucket shuffle, so no task ever sorts a whole hot
+    # bucket.
+    wb = Window.partitionBy("band", "sig").orderBy(
+        hash60(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    kept = (
+        bands.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= X2_BUCKET_CAP)
+        .drop("_rn")
+    )
+    ba, bb = kept.alias("a"), kept.alias("b")
     pairs = (
         ba.join(
             bb,
@@ -2992,7 +3034,7 @@ def x62_hard_negatives(spark, sf_dir):
     narrow), label filter prunes before ranking, two-phase top-k so the
     shuffle carries candidates (<=80/query), never the corpus."""
     e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
+    q = _probe_batch(e).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
@@ -3059,9 +3101,9 @@ def x63_class_prototypes(spark, sf_dir):
     )
 
 
-_X62_SQL = """WITH q AS (
+_X62_SQL = f"""WITH q AS (
   SELECT vec_id AS qid, embedding AS qe, label AS qlabel
-  FROM embeddings WHERE vec_id % 50 = 0),
+  FROM embeddings {_PROBE_SQL}),
 scored AS (
   SELECT qid, vec_id, e.label AS neg_label,
     list_aggregate(list_transform(list_zip(e.embedding, qe),
@@ -3531,7 +3573,7 @@ def x70_retrieval_mrr(spark, sf_dir):
     Scale shape: x32's discipline (query batch broadcast, two-phase
     top-k), then a 10-rows-per-query metric agg — evaluation-sized."""
     e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
+    q = _probe_batch(e).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
@@ -3573,9 +3615,9 @@ def x70_retrieval_mrr(spark, sf_dir):
     )
 
 
-_X70_SQL = """WITH q AS (
+_X70_SQL = f"""WITH q AS (
   SELECT vec_id AS qid, embedding AS qe, label AS qlabel
-  FROM embeddings WHERE vec_id % 50 = 0),
+  FROM embeddings {_PROBE_SQL}),
 scored AS (
   SELECT qid, qlabel, vec_id, e.label AS label,
     list_aggregate(list_transform(list_zip(e.embedding, qe),
@@ -4455,7 +4497,7 @@ SELECT doc_id, cluster_id, quality_score,
 FROM cl JOIN q USING (doc_id)"""
 
 _X32_SQL = f"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
-           FROM embeddings WHERE vec_id % 50 = 0),
+           FROM embeddings {_PROBE_SQL}),
 s AS (SELECT qid, vec_id, {_cos_sql('embedding', 'qe')} AS cos_sim
       FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
 SELECT qid, vec_id, cos_sim, knn_rank FROM (
@@ -4564,7 +4606,7 @@ FROM w CROSS JOIN tot"""
 _X45_SQL = f"""WITH bk AS (SELECT vec_id, embedding,
   {_lsh_bucket_sql(6)} AS bucket FROM embeddings),
 q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
-      FROM bk WHERE vec_id % 50 = 0),
+      FROM bk {_PROBE_SQL}),
 s AS (SELECT qid, qbucket, vec_id, bucket,
         {_cos_sql("embedding", "qe")} AS cos_sim
       FROM bk CROSS JOIN q WHERE vec_id <> qid),
@@ -4591,10 +4633,11 @@ bands(band, a, c) AS (VALUES
 sigs AS (SELECT doc_id, band,
            MIN(((h % {MINHASH_P}) * a + c) % {MINHASH_P}) AS sig
          FROM hs CROSS JOIN bands GROUP BY doc_id, band),
-kept AS (SELECT s.doc_id, s.band, s.sig FROM sigs s
-         JOIN (SELECT band, sig FROM sigs GROUP BY band, sig
-               HAVING COUNT(*) <= {X2_BUCKET_CAP}) ok
-           ON s.band = ok.band AND s.sig = ok.sig),
+kept AS (SELECT doc_id, band, sig FROM sigs
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY band, sig
+           ORDER BY CAST(concat('0x',
+             substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+             doc_id ASC) <= {X2_BUCKET_CAP}),
 pairs AS (SELECT doc_a, doc_b, n_shared_bands FROM (
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_bands
@@ -6508,10 +6551,10 @@ JOIN heads ha ON ha.doc_id = doc_a
 JOIN heads hb ON hb.doc_id = doc_b"""
 
 
-#: x98: truncation dim, neighbor count, and query stride.
+#: x98: truncation dim and neighbor count (the query batch is the shared
+#: fixed-K ``_probe_batch`` draw).
 X98_TRUNC_DIM = 16
 X98_K = 5
-X98_QUERY_MOD = 499
 
 
 def x98_recall_matryoshka(spark, sf_dir):
@@ -6527,10 +6570,10 @@ def x98_recall_matryoshka(spark, sf_dir):
     Exactness: both cosines are the bit-stable _cos kernel; rankings
     are total orders (sim desc, vec_id); overlap/recall are integers.
     Scale: brute-force by design — this is the OFFLINE calibration run
-    (x45's discipline), stride-bounded to ~corpus/499 queries; the
+    (x45's discipline), probe-bounded to the fixed-K draw; the
     production path it calibrates is x13/x54/x90/x96."""
     e = _T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % X98_QUERY_MOD == 0).select(
+    q = _probe_batch(e).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     scored = (
@@ -6586,7 +6629,7 @@ def _x98_sql() -> str:
     d = X98_TRUNC_DIM
     return f"""WITH q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings
-  WHERE vec_id % {X98_QUERY_MOD} = 0),
+  {_PROBE_SQL}),
 scored AS (
   SELECT qid, e.vec_id,
     {_cos_sql("e.embedding", "qe")} AS sim_full,
@@ -6637,7 +6680,7 @@ def x96_lsh_multiprobe(spark, sf_dir):
     b = e.select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding"), 6).alias("bucket")
     )
-    q = b.filter(F.col("vec_id") % 97 == 0).select(
+    q = _probe_batch(b).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
@@ -6681,7 +6724,7 @@ def _x96_sql() -> str:
     return f"""WITH b AS (
   SELECT vec_id, embedding, {_lsh_bucket_sql(6)} AS bucket FROM embeddings),
 q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
-      FROM b WHERE vec_id % 97 = 0),
+      FROM b {_PROBE_SQL}),
 probes AS (SELECT qid, qe, xor(qbucket, f) AS pb
            FROM q, unnest([{flips}]) AS t(f)),
 cand AS (
@@ -7202,11 +7245,10 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b"""
 
 
-#: x103 MMR parameters: queries are every vec_id % MOD == 0 (x98's
-#: stride discipline); K picks are made greedily from the top-CANDS
+#: x103 MMR parameters: queries are the shared fixed-K ``_probe_batch``
+#: draw; K picks are made greedily from the top-CANDS
 #: relevance candidates; lambda = 1/2, so the x2-scaled MMR objective is
 #: the INTEGER rel_dot - max_sim_to_selected (no floats anywhere).
-X103_QUERY_MOD = 211
 X103_CANDS = 8
 X103_PICKS = 3
 
@@ -7243,7 +7285,7 @@ def x103_mmr_diverse_select(spark, sf_dir):
     e = _T(spark, sf_dir, "embeddings").select(
         "vec_id", _vm_micros(F.col("embedding")).alias("vm")
     )
-    q = e.filter(F.col("vec_id") % X103_QUERY_MOD == 0).select(
+    q = _probe_batch(e).select(
         F.col("vec_id").alias("qid"), F.col("vm").alias("qvm")
     )
     idot = lambda a, b: F.aggregate(  # noqa: E731
@@ -7344,7 +7386,7 @@ def _x103_sql() -> str:
       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
   FROM embeddings),
 q AS (SELECT vec_id AS qid, vm AS qvm FROM em
-      WHERE vec_id % {X103_QUERY_MOD} = 0),
+      {_PROBE_SQL}),
 scored AS (
   SELECT qid, e.vec_id, e.vm,
     {dot.format(a="e.vm", b="qvm")} AS rel
@@ -8383,9 +8425,9 @@ SELECT doc_id, shard, win_id, token_offset, n_tokens,
 FROM walk"""
 
 
-#: x113's evaluation stride and vote size (x98's discipline: the eval
-#: batch is a deterministic subset, never the full corpus broadcast).
-X113_QUERY_MOD = 101
+#: x113's vote size (the eval batch is the shared fixed-K
+#: ``_probe_batch`` draw — deterministic, never the full corpus
+#: broadcast).
 X113_K = 5
 
 
@@ -8404,7 +8446,7 @@ def x113_knn_label_eval(spark, sf_dir):
     candidates; the vote is a groupBy over 5 rows per probe. Cosines are
     the shared bit-exact double fold."""
     e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    q = e.filter(F.col("vec_id") % X113_QUERY_MOD == 0).select(
+    q = _probe_batch(e).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("true_label"),
@@ -8451,7 +8493,7 @@ def x113_knn_label_eval(spark, sf_dir):
 def _x113_sql() -> str:
     return f"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
              label AS true_label
-           FROM embeddings WHERE vec_id % {X113_QUERY_MOD} = 0),
+           FROM embeddings {_PROBE_SQL}),
 scored AS (SELECT qid, true_label, e.vec_id, e.label,
              {_cos_sql('e.embedding', 'qe')} AS cos_sim
            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> qid),
@@ -8533,11 +8575,6 @@ SELECT cluster_id, n_members, majority_label, n_majority,
 FROM top JOIN tot USING (cluster_id)"""
 
 
-#: x109's anchor stride (x98's discipline: a deterministic query subset,
-#: never the full corpus on the broadcast side).
-X109_ANCHOR_MOD = 101
-
-
 def x109_triplet_mining(spark, sf_dir):
     """X109: TRIPLET mining for contrastive/metric training (FaceNet's
     semi-hard discipline, the assembly step x62 stops short of): per
@@ -8555,7 +8592,7 @@ def x109_triplet_mining(spark, sf_dir):
     Cosines are the same bit-exact double arithmetic as x3/x62, so the
     margin is bit-identical cross-engine."""
     e = _T(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    q = e.filter(F.col("vec_id") % X109_ANCHOR_MOD == 0).select(
+    q = _probe_batch(e).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
@@ -8610,7 +8647,7 @@ def x109_triplet_mining(spark, sf_dir):
 def _x109_sql() -> str:
     return f"""WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe,
              label AS qlabel
-           FROM embeddings WHERE vec_id % {X109_ANCHOR_MOD} = 0),
+           FROM embeddings {_PROBE_SQL}),
 scored AS (SELECT anchor_id, qlabel, e.vec_id, e.label,
              {_cos_sql('e.embedding', 'qe')} AS cos_sim
            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> anchor_id),
