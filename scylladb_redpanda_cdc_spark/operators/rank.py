@@ -66,9 +66,22 @@ def ranged_rank(
     spark = df.sparkSession
     n = npart or spark.sparkContext.defaultParallelism
     gcols = list(group_cols)
-    p = df.repartitionByRange(
-        n, *([F.col(g).asc() for g in gcols] + list(order_cols))
-    ).withColumn("_rr_pid", F.spark_partition_id().cast("long"))
+    # The ranged+pid frame MUST be materialized exactly once: the range
+    # exchange's boundary sampler seeds from the physical RDD id, so two
+    # separate evaluations (the histogram branch and the window branch)
+    # can draw DIFFERENT boundaries once the input outgrows the sample
+    # (observed at sf0.1: x78 ranks went stale against their offsets and
+    # NTILE emitted a phantom 4th tercile). localCheckpoint(eager) pins
+    # one boundary draw and one pid assignment for every consumer —
+    # and the sampling pass plus both branches then read this narrow
+    # materialized frame instead of recomputing the input.
+    p = (
+        df.repartitionByRange(
+            n, *([F.col(g).asc() for g in gcols] + list(order_cols))
+        )
+        .withColumn("_rr_pid", F.spark_partition_id().cast("long"))
+        .localCheckpoint(eager=True)
+    )
 
     aggs = [F.count("*").alias("_rr_cnt")]
     if mass_col is not None:

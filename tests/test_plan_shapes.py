@@ -743,7 +743,6 @@ def test_x78_tercile_rank_is_two_phase(spark, sf_dir, specs):
     assert re.search(
         r"Exchange hashpartitioning\(lang#\d+, _rr_pid#\d+", plan
     ), plan
-    assert "Exchange rangepartitioning" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
 
 
@@ -824,8 +823,9 @@ def test_vocab_rank_is_two_phase(spark, sf_dir, specs):
     millions of tokens at 100 TB), and never a value-derived cell whose
     fattest member is unbounded (the round-10 hapax residual). No
     SinglePartition exchange may feed a Sort anywhere in the x34 plan;
-    the rank window must be keyed by the range id, and the plan must
-    carry the range exchange itself."""
+    the rank window must be keyed by the range id (the range exchange
+    itself materializes at build time — the kernel checkpoints the
+    ranged+pid frame so both consumers read ONE boundary draw)."""
     import re
 
     plan = plan_of(spark, sf_dir, specs, "x34_vocab_coverage", mode="simple")
@@ -834,4 +834,3 @@ def test_vocab_rank_is_two_phase(spark, sf_dir, specs):
         if "Exchange SinglePartition" in line and i > 0:
             assert "Sort" not in lines[i - 1], plan
     assert re.search(r"Exchange hashpartitioning\(_rr_pid#\d+", plan), plan
-    assert "Exchange rangepartitioning" in plan, plan

@@ -259,20 +259,23 @@ def test_baseline_md_floors_match_bench_constants():
 
 
 def test_bench_headline_and_floors_are_in_lockstep():
-    """bench.py's HEADLINE set and BASELINE_S floors must name the same
-    queries, and every one must exist in the registry — a renamed or
-    removed operator must fail the suite before it fails the driver's
-    BENCH run (the round-4 drift class, applied to the bench surface)."""
+    """Round 11: BASELINE_S floors the FULL registry (every query gets a
+    recorded floor, so a slow plan can't hide outside the headline set),
+    while HEADLINE stays the driver's per-round contract slice. Pinned:
+    every headline query is floored, every floor names a registered
+    query, and the floor table covers the registry exactly — a renamed
+    or removed operator must fail the suite before it fails the
+    driver's BENCH run (the round-4 drift class)."""
     import importlib
 
     bench = importlib.import_module("bench")
     head = set(bench.HEADLINE)
     floors = set(bench.BASELINE_S)
-    assert head == floors, (
-        f"HEADLINE vs BASELINE_S drift: {head ^ floors}"
+    reg = set(registry())
+    assert head <= floors, f"headline queries missing floors: {head - floors}"
+    assert floors == reg, (
+        f"BASELINE_S vs registry drift: {floors ^ reg}"
     )
-    missing = head - set(registry())
-    assert not missing, f"bench names unregistered queries: {missing}"
 
 
 def test_bench_stdout_line_fits_driver_capture():
