@@ -97,7 +97,7 @@ BASELINE_S = {
     "b61_session_variables": 0.215,
     "f15_fn_xml": 2.031,
     "x92_band_threshold_sweep": 0.140,
-    "x93_oov_rate": 0.608,
+    "x93_oov_rate": 0.764,
     "x94_semdedup_sweep": 0.110,
     # Round-7 batch 4 (best of the four 52/53-query runs).
     "b62_bitmap_distinct": 0.668,
@@ -114,14 +114,14 @@ BASELINE_S = {
     "u16_apply_in_arrow": 0.584,
     "x95_embedding_dim_stats": 0.170,
     # Round-7 batch 6 (best of the two 69-query runs).
-    "x96_lsh_multiprobe": 0.736,
+    "x96_lsh_multiprobe": 0.950,
     "u17_udtf_arrow": 0.308,
     "o11_bucket_pruned_scan": 0.072,
     "a31_tombstone_gc": 0.660,
     "f19_fn_number_format": 0.570,
     "x97_fuzzy_verify": 0.210,
     "b66_union_schema_drift": 0.110,
-    "x98_recall_matryoshka": 0.580,
+    "x98_recall_matryoshka": 1.199,
     # Round-7 batch 7 (best of the two 76-query runs; f20 re-floored
     # best-of-2 after the keyslice bound landed).
     "b67_sql_pipe_syntax": 0.194,
@@ -144,12 +144,12 @@ BASELINE_S = {
     "b72_lateral_alias": 0.190,
     "b73_sql_pivot_unpivot": 0.347,
     "b74_identifier_clause": 0.188,
-    "x100_vocab_budget_sweep": 1.239,
+    "x100_vocab_budget_sweep": 0.918,
     "w12_named_window_clause": 0.491,
     # Round-7 batch 10 (targeted best-of-2-runs-of-best-of-3).
     "x101_simhash_hamming_pairs": 1.717,
     "x102_winnowing_overlap": 1.508,
-    "x103_mmr_diverse_select": 0.982,
+    "x103_mmr_diverse_select": 1.140,
     # Round-7 batch 11 (targeted best-of-2-runs-of-best-of-3).
     "x104_leakage_free_split": 0.593,
     "x105_pack_efficiency_sweep": 0.549,
@@ -160,14 +160,14 @@ BASELINE_S = {
     "x107_ivf_balance_report": 0.440,
     "x108_dedup_lineage": 1.810,
     # Round-7 batch 13 (targeted best-of-2-runs-of-best-of-3).
-    "x109_triplet_mining": 1.048,
+    "x109_triplet_mining": 0.988,
     "x110_span_corruption_mask": 0.464,
     # Round-7 batch 14 (targeted best-of-2-runs-of-best-of-3).
     "x111_top_pc_power_iteration": 0.020,
     # Round-7 batch 15 (steady state rides x111's session-cached vector).
     "x112_common_direction_removal": 0.915,
     # Round-7 batch 16 (targeted best-of-2-runs-of-best-of-3).
-    "x113_knn_label_eval": 0.649,
+    "x113_knn_label_eval": 0.698,
     "x114_cluster_purity": 0.627,
     # Round-7 batch 17 (u19 floored after the bucketed-key rewrite).
     "u19_cogrouped_map": 1.089,
@@ -194,7 +194,7 @@ BASELINE_S = {
     # rank) and 1.348 -> 1.580 in round 10 (second corpus checkpoint
     # dropped; BASELINE.md "Round-10 re-floor", best of the two
     # round-10 full-tree runs).
-    "x121_curriculum_order": 1.580,
+    "x121_curriculum_order": 1.718,
     "x122_media_dedup": 0.243,
     # Round-8 batch 2 (targeted best-of-2-runs-of-best-of-3).
     "o16_dynamic_partition_pruning": 0.468,
@@ -208,11 +208,218 @@ BASELINE_S = {
     # recorded in the same two runs — the floor records the SHIPPED
     # plan (BASELINE.md "Round-10 re-floor").
     "x75_quantile_normalize": 0.319,
-    "x78_ccnet_buckets": 0.841,
+    "x78_ccnet_buckets": 1.183,
     "x81_epoch_shuffle": 0.489,
-    "b40_rfm_segmentation": 0.855,
+    "b40_rfm_segmentation": 1.347,
     "x12_dedup_embedding_cosine": 1.552,
     "x13_sim_ivf_probe": 0.761,
+    # Round-11 full-registry extension (best of the two round-11
+    # closing-tree `bench.py --all` runs): EVERY registry query now
+    # carries a floor, so a slow plan outside the headline slice can
+    # no longer hide in oracle sweeps (this is how f12's 6.4 s
+    # try_* exception-path cost was caught). The ten re-floors above
+    # (ranged-rank + probe-batch rewrites, x93/x100/x78/x121/b40/
+    # x96/x98/x103/x109/x113) were recorded in the same two runs.
+    "x34_vocab_coverage": 0.682,
+    "x35_tokens_to_ids": 0.809,
+    "x32_knn_join": 1.062,
+    "x45_ann_recall_eval": 1.561,
+    "x62_hard_negatives": 1.060,
+    "x70_retrieval_mrr": 1.169,
+    "x46_dedup_est_quality": 2.361,
+    "f12_fn_try_safe": 0.336,
+    "a13_source_metadata_project": 0.036,
+    "a15_snapshot_vs_live_split": 0.098,
+    "x5_embed_normalize": 0.139,
+    "x6_text_tokenize_ngram": 0.677,
+    "x8_text_lang_stats": 0.125,
+    "x9_multimodal_struct": 0.155,
+    "x11_dedup_ngram_jaccard": 0.065,
+    "x14_text_langid": 0.264,
+    "x15_text_quality_score": 0.397,
+    "x17_doc_fingerprint": 0.357,
+    "x19_frame_sample": 0.116,
+    "x20_corpus_prep": 1.203,
+    "x22_text_repetition": 0.626,
+    "x23_split_train_test": 0.108,
+    "x24_seq_packing": 0.227,
+    "x25_stratified_sample": 0.203,
+    "x26_decontaminate": 0.580,
+    "x28_unigram_lm_score": 0.487,
+    "x27_domain_mixture": 0.118,
+    "x30_canonical_select": 0.584,
+    "x31_dup_rate_by_source": 0.210,
+    "w1_win_ranking": 0.486,
+    "w2_win_lag_lead": 0.239,
+    "w4_win_moving_avg": 0.348,
+    "w5_win_cume": 0.398,
+    "f1_fn_string": 0.166,
+    "f2_fn_date": 0.276,
+    "f3_fn_math": 0.113,
+    "f4_fn_conditional_cast": 0.216,
+    "f6_fn_map": 0.409,
+    "f7_fn_json": 0.807,
+    "u1_udf_python": 0.313,
+    "u2_udf_pandas_scalar": 0.469,
+    "u3_udaf_pandas_grouped": 0.455,
+    "u4_udtf_mapinpandas": 0.246,
+    "u5_udf_sql_register": 0.364,
+    "b2_filter_conjunctive": 0.136,
+    "b3_filter_in_like_null": 0.086,
+    "b5_join_broadcast": 0.317,
+    "b7_join_left_outer": 0.347,
+    "b8_join_right_outer": 0.328,
+    "b9_join_full_outer": 0.198,
+    "b10_join_left_semi": 0.189,
+    "b11_join_left_anti": 0.202,
+    "b12_join_cross_nested_loop": 0.170,
+    "b13_join_theta_range": 0.526,
+    "b16_agg_count_distinct": 0.417,
+    "b31_join_skew_salted": 1.616,
+    "b32_join_bucketed_colocated": 0.152,
+    "w6_win_sessionize": 0.360,
+    "u6_grouped_map_applyinpandas": 3.926,
+    "s1_stream_ingest_kafka": 0.771,
+    "s2_checkpointed_offsets": 0.617,
+    "s3_stream_tumbling_agg": 0.496,
+    "s4_stream_sliding_agg": 0.569,
+    "s5_stream_session_window": 1.192,
+    "s6_watermark_late_drop": 0.568,
+    "s7_stream_dedup": 1.114,
+    "s8_stream_static_join": 0.538,
+    "s9_stream_stream_join": 1.668,
+    "s12_watermark_late_drop_observed": 1.154,
+    "s11_stateful_running_state": 2.441,
+    "s13_stream_schema_evolution": 0.289,
+    "s15_stream_heavy_hitters": 0.923,
+    "b14_join_asof": 0.294,
+    "b35_time_bucket_rollup": 0.672,
+    "b36_range_interval_join": 0.429,
+    "b37_time_range_window": 0.239,
+    "b38_funnel_conversion": 0.443,
+    "a16_multi_table_topics": 0.739,
+    "a17_schema_evolution": 0.432,
+    "a18_point_in_time_replay": 0.126,
+    "x33_span_dedup": 1.294,
+    "x36_incremental_dedup": 0.857,
+    "x37_pii_redact": 0.209,
+    "x38_doc_chunk": 0.182,
+    "x39_dedup_containment": 1.364,
+    "x40_ngram_topk": 1.000,
+    "x41_bpe_pair_counts": 0.870,
+    "x42_text_diversity": 0.278,
+    "x43_bm25_rank": 1.373,
+    "x44_lang_temperature_mix": 0.187,
+    "x47_contamination_score": 0.766,
+    "x48_quality_classifier": 0.279,
+    "x49_token_budget_mix": 0.608,
+    "x51_dsir_proxy": 1.036,
+    "x52_tokenizer_fertility": 0.334,
+    "x53_embed_quantize": 0.264,
+    "x55_source_drift": 1.417,
+    "w7_session_window_native": 0.326,
+    "w8_win_value_frames": 0.247,
+    "w9_win_median_rewrite": 0.321,
+    "f8_fn_binary": 0.115,
+    "f9_fn_url": 0.115,
+    "f10_fn_bitwise": 0.133,
+    "u7_python_udtf": 0.335,
+    "u9_pandas_udf_iterator": 0.250,
+    "u10_python_datasource": 0.335,
+    "u8_map_in_arrow": 0.189,
+    "s17_stream_incremental_mv": 4.676,
+    "s16_stream_quality_filter": 0.929,
+    "s18_stream_batch_invariance": 1.206,
+    "s19_stream_redelivery_dedup": 2.531,
+    "s20_stream_partitioned_sink": 2.726,
+    "b39_cohort_retention": 0.285,
+    "b41_approx_quantile": 2.234,
+    "b42_last_touch_attribution": 0.373,
+    "b43_multiformat_scan": 0.163,
+    "b44_q3_composite": 0.643,
+    "b45_gap_fill": 0.290,
+    "b46_agg_cube": 0.327,
+    "b47_subquery_family": 0.319,
+    "b48_hll_sketch_union": 1.150,
+    "b49_bag_set_ops": 0.467,
+    "b50_window_distinct_rewrite": 0.337,
+    "b51_dq_report": 0.334,
+    "b52_tablesample_envelope": 0.503,
+    "a20_incremental_mv": 0.942,
+    "a19_log_integrity_audit": 0.820,
+    "a23_transaction_grouping": 0.513,
+    "a22_dead_letter_split": 0.423,
+    "a24_snapshot_live_cutover": 0.237,
+    "a21_replay_idempotence": 0.167,
+    "x56_mixture_sample": 0.751,
+    "x57_curation_report": 1.603,
+    "x60_snapshot_diff": 0.271,
+    "x66_countmin_sketch": 1.207,
+    "x83_bloom_prefilter": 0.523,
+    "o2_compact_small_files": 0.359,
+    "o3_clustered_write": 0.244,
+    "o5_dynamic_partition_overwrite": 0.150,
+    "o6_schema_merge_read": 0.095,
+    "o7_file_metadata_columns": 0.162,
+    "w10_win_ignore_nulls": 0.347,
+    "f11_fn_collation": 0.221,
+    "f13_fn_variant": 0.724,
+    "u11_udf_arrow_optimized": 0.239,
+    "u12_udtf_polymorphic": 0.382,
+    "b54_join_asof_forward_tolerance": 0.418,
+    "b56_lateral_topk": 0.216,
+    "b57_join_null_safe": 0.569,
+    "a25_cdc_lag_report": 0.048,
+    "x58_media_resize": 0.343,
+    "x59_media_features": 0.351,
+    "x63_class_prototypes": 0.184,
+    "x64_length_histogram": 0.254,
+    "x65_vocab_growth": 0.707,
+    "x67_weighted_sample": 0.320,
+    "x68_bpe_merge_apply": 1.288,
+    "x69_collocation_lift": 1.810,
+    "x71_centered_ann": 0.472,
+    "x72_rank_fusion": 1.503,
+    "x73_dataset_card": 1.454,
+    "x76_ngram_novelty": 1.277,
+    "x77_feature_hashing": 0.437,
+    "x79_blocklist_filter": 0.350,
+    "x80_length_bucketing": 0.316,
+    "x82_content_defined_chunks": 0.417,
+    "x84_source_minhash_overlap": 1.123,
+    "x85_dedup_method_report": 0.667,
+    "x88_gopher_gates": 0.654,
+    "b17_agg_approx_distinct": 1.305,
+    "a14_envelope_encode": 0.071,
+    "x4_sim_lsh_approx": 0.579,
+    "x10_dedup_simhash": 3.761,
+    "b18_agg_filtered": 0.174,
+    "b20_agg_collect": 0.147,
+    "b21_agg_percentile": 2.416,
+    "b22_sort_multikey": 0.141,
+    "b23_limit_topk": 0.157,
+    "b25_union_all": 0.126,
+    "b26_union_distinct": 0.161,
+    "b27_intersect": 0.237,
+    "b28_except": 0.205,
+    "b29_distinct_dedup": 0.329,
+    "b30_scalar_subquery_agg": 0.137,
+    "b33_pivot": 0.183,
+    "b1_scan_project": 0.107,
+    "b34_unpivot": 0.106,
+    "a1_cdc_source_scan": 0.203,
+    "a2_envelope_decode": 0.026,
+    "a3_key_decode": 0.029,
+    "a4_op_classify": 0.031,
+    "a5_cell_flatten": 0.023,
+    "a7_pk_point_filter": 0.039,
+    "a8_insert_append": 0.268,
+    "a9_update_upsert": 0.331,
+    "a10_delete_tombstone": 0.130,
+    "a11_offset_order": 0.064,
+    "a12_topic_name_derive": 0.034,
+    "x29_kmeans_refine": 0.028,
+    "x50_semdedup": 0.022,
 }
 
 #: Headline slice: flagship + the shuffle/join/agg-heavy representatives of

@@ -74,6 +74,10 @@ _REWRITTEN = (
     "x113_knn_label_eval",
     # Round-11 bounded estimator join (cap + within-bucket reservoir):
     "x46_dedup_est_quality",
+    # Round-11 bounded try_* failing strata (the full-registry flooring
+    # runs caught the exception-path cost: a majority-failing try column
+    # pays ~15 µs/row building SparkExceptions — 6.4 s at sf0.1):
+    "f12_fn_try_safe",
 )
 
 # Kept as an alias for one round so external readers of the round-9

@@ -303,12 +303,25 @@ def f12_fn_try_safe(spark, sf_dir):
     task-killing exception, malformed input yields NULL a downstream
     filter can audit): try_divide (zero divisor), try_multiply (int32
     overflow), try_cast (non-numeric string), try_element_at
-    (out-of-range index). Each exercised with BOTH a failing and a
-    succeeding case per row so the NULL/value split is data-derived, not
-    constant-folded.
+    (out-of-range index). Every function is exercised with BOTH a
+    failing and a succeeding case, and the NULL/value split is
+    data-derived, not constant-folded.
 
-    Scale: map-only row expressions — zero shuffles."""
+    Scale: map-only row expressions — zero shuffles. The FAILING strata
+    are deliberately bounded (the ``l_linenumber = 4 AND l_orderkey %
+    64 = 0`` slice for the exception-backed functions): Spark's try_*
+    SUCCESS path is whole-stage-codegen'd and vectorized-cheap, but the
+    overflow/bad-cast FAILURE path constructs a full SparkException per
+    failing row (~15 µs measured — a majority-failing column cost 5.2 s
+    at sf0.1 where the same column with a bounded failing stratum costs
+    ~0.2 s). That asymmetry is exactly why try_* pipelines are designed
+    for rare failures; a validation query expecting malformed-input
+    rates near 100% belongs on a pre-filter, not on the exception path.
+    try_divide (double /0 → NULL via a branch, no throw) and
+    try_element_at (bounds check, no throw) stay full-volume — their
+    failure path is as cheap as success."""
     li = _T(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 4)
+    fail = (F.col("l_linenumber") == 4) & (F.col("l_orderkey") % 64 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -316,9 +329,15 @@ def f12_fn_try_safe(spark, sf_dir):
             F.col("l_extendedprice"), (F.col("l_linenumber") - 1).cast("double")
         ).alias("safe_div"),
         F.try_multiply(
-            F.lit(2_000_000_000).cast("int"), F.col("l_linenumber").cast("int")
+            F.when(fail, F.lit(2_000_000_000))
+            .otherwise(F.lit(100_000))
+            .cast("int"),
+            F.col("l_linenumber").cast("int"),
         ).alias("safe_mul"),
-        F.expr("try_cast(l_returnflag AS int)").alias("cast_bad"),
+        F.expr(
+            "try_cast(IF(l_linenumber = 4 AND l_orderkey % 64 = 0,"
+            " l_returnflag, CAST(l_linenumber AS STRING)) AS int)"
+        ).alias("cast_bad"),
         F.expr("try_cast(cast(l_linenumber AS string) AS int)").alias("cast_ok"),
         F.try_element_at(
             F.array(F.col("l_orderkey")), F.col("l_linenumber").cast("int")
@@ -329,9 +348,10 @@ def f12_fn_try_safe(spark, sf_dir):
 _F12_SQL = """SELECT l_orderkey, l_linenumber,
   CASE WHEN l_linenumber = 1 THEN NULL
        ELSE l_extendedprice / CAST(l_linenumber - 1 AS DOUBLE) END AS safe_div,
-  CASE WHEN l_linenumber >= 2 THEN NULL
-       ELSE CAST(2000000000 * l_linenumber AS INTEGER) END AS safe_mul,
-  TRY_CAST(l_returnflag AS INTEGER) AS cast_bad,
+  CASE WHEN l_linenumber = 4 AND l_orderkey % 64 = 0 THEN NULL
+       ELSE CAST(100000 * l_linenumber AS INTEGER) END AS safe_mul,
+  CASE WHEN l_linenumber = 4 AND l_orderkey % 64 = 0 THEN NULL
+       ELSE CAST(l_linenumber AS INTEGER) END AS cast_bad,
   TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS cast_ok,
   CASE WHEN l_linenumber = 1 THEN l_orderkey ELSE NULL END AS elem
 FROM lineitem WHERE l_linenumber <= 4"""
