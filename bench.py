@@ -392,7 +392,7 @@ BASELINE_S = {
     "b17_agg_approx_distinct": 1.305,
     "a14_envelope_encode": 0.071,
     "x4_sim_lsh_approx": 0.579,
-    "x10_dedup_simhash": 3.761,
+    "x10_dedup_simhash": 0.535,
     "b18_agg_filtered": 0.174,
     "b20_agg_collect": 0.147,
     "b21_agg_percentile": 2.416,

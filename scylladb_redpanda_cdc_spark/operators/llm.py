@@ -170,21 +170,32 @@ def simhash16(ws: Column) -> Column:
     is positive. Pure expression algebra — per-row, no shuffle. Token
     hashes are :func:`hash16` (sha-prefix), so a DuckDB oracle can
     recompute the identical signature.
-    """
+
+    One fold (the :func:`simhash32` shape): a per-bit vote-counter array
+    carried through a single ``aggregate`` + ``zip_with``. The original
+    per-bit form built 16 separate ``aggregate`` folds, and each fold
+    re-evaluated the un-CSE'd ``transform(ws, hash16)`` input — 16 sha256
+    passes over every token (measured 11x slower at sf0.1: 3.76 s vs
+    0.33 s for identical signatures)."""
+    nbits = 16
     hs = F.transform(ws, hash16)
-
-    def bit_vote(b: int):
-        # PySpark arity-inspects HOF lambdas (merge fn must take exactly 2
-        # args), so bind the bit index via closure, not a default arg.
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    sig = F.lit(0).cast("long")
-    for b in range(16):
-        bit_sum = F.aggregate(hs, F.lit(0).cast("long"), bit_vote(b))
-        sig = sig + F.when(bit_sum > 0, F.lit(2**b).cast("long")).otherwise(0)
-    return sig
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(nbits)])
+    zeros = F.array_repeat(F.lit(0).cast("long"), nbits)
+    votes = F.aggregate(
+        hs,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    bits = F.zip_with(
+        votes,
+        masks,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def hash32(c: Column) -> Column:

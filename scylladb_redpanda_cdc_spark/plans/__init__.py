@@ -78,6 +78,9 @@ _REWRITTEN = (
     # runs caught the exception-path cost: a majority-failing try column
     # pays ~15 µs/row building SparkExceptions — 6.4 s at sf0.1):
     "f12_fn_try_safe",
+    # Round-11 one-fold simhash16 (the per-bit folds each re-evaluated
+    # the sha256 token-hash transform — 16 hashing passes per doc):
+    "x10_dedup_simhash",
 )
 
 # Kept as an alias for one round so external readers of the round-9
