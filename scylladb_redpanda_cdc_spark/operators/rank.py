@@ -74,7 +74,10 @@ def ranged_rank(
     # NTILE emitted a phantom 4th tercile). localCheckpoint(eager) pins
     # one boundary draw and one pid assignment for every consumer —
     # and the sampling pass plus both branches then read this narrow
-    # materialized frame instead of recomputing the input.
+    # materialized frame instead of recomputing the input. (Cluster
+    # deployment: localCheckpoint stores partitions on executor
+    # storage and dies with executors — a 1000-executor run swaps in
+    # checkpoint() against a reliable dir, same single-draw guarantee.)
     p = (
         df.repartitionByRange(
             n, *([F.col(g).asc() for g in gcols] + list(order_cols))

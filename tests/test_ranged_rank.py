@@ -77,6 +77,24 @@ def test_ranged_partitions_are_balanced_under_hapax_skew(spark):
     assert fattest <= 3 * total / npart, sizes
 
 
+def test_ranged_rank_empty_and_single_row(spark):
+    """Edge inputs the boundary sampler must survive: an empty frame (a
+    filtered slice with zero rows) and a single row (one partition gets
+    everything, every offset map is trivial)."""
+    empty = spark.createDataFrame([], "token string, n long")
+    assert (
+        ranged_rank(
+            empty, [F.col("n").desc(), F.col("token").asc()], mass_col="n"
+        ).count()
+        == 0
+    )
+    one = spark.createDataFrame([("solo", 5)], "token string, n long")
+    row = ranged_rank(
+        one, [F.col("n").desc(), F.col("token").asc()], mass_col="n"
+    ).first()
+    assert (row["rank"], row["cum"]) == (1, 5)
+
+
 def test_ranged_rank_grouped_and_degenerate_scores(spark):
     """x78/b40's failure mode for fixed grids: ALL scores equal. The
     rank must fall back to the pure tiebreak order per group, and the
