@@ -21,10 +21,12 @@ input:
    the sort order (the range sort leads with the group columns), so
    within-range row_number + the count of rows in earlier ranges IS the
    exact global rank.
-3. The per-(group, range) histogram collapses to one broadcast map per
-   group (≤P entries each) — offsets are pure expression algebra on the
-   map (the x121/x75 broadcast-offset law), never a corpus-sized
-   window.
+3. The per-(group, range) histogram (≤P rows per group — bounded by
+   cluster parallelism, not data) carries its own cumulative offsets
+   (a window over the histogram itself) and is broadcast-joined back
+   on (group, range id): every data row reads its offset in O(1)
+   (the x121/x75 broadcast-offset law) — never a corpus-sized window,
+   and never a per-row fold over a parallelism-sized map.
 
 Determinism: the output rank/cum values do not depend on WHERE the
 sampled boundaries fall — any boundary placement yields the same global
@@ -86,6 +88,14 @@ def ranged_rank(
         .localCheckpoint(eager=True)
     )
 
+    # Per-(group, range) histogram → PRECOMPUTED offsets. The per-group
+    # count/mass maps (≤P entries, the allowlisted tiny-aggregate
+    # broadcast) are folded into cumulative offsets ON THE HISTOGRAM
+    # ROWS, then broadcast-joined back on (group, pid) so every data
+    # row reads its offset in O(1). The earlier form shipped the whole
+    # per-group map to every DATA row and folded it per row — an O(P)
+    # interpreted higher-order fold per row, which at P = 32k cluster
+    # cores multiplies the corpus scan by the cluster width.
     aggs = [F.count("*").alias("_rr_cnt")]
     if mass_col is not None:
         aggs.append(F.sum(mass_col).alias("_rr_mass"))
@@ -103,43 +113,55 @@ def ranged_rank(
         )
     if gcols:
         maps = hist.groupBy(*gcols).agg(*map_aggs)
-        j = p.join(F.broadcast(maps), gcols)
+        offs = hist.join(F.broadcast(maps), gcols)
     else:
         maps = hist.agg(*map_aggs)
-        j = p.crossJoin(F.broadcast(maps))
+        offs = hist.crossJoin(F.broadcast(maps))
+    # The O(P) fold runs once per HISTOGRAM row (O(P²) total — trivial
+    # at any cluster width), never per data row.
+    offs = offs.withColumn(
+        "_rr_coff",
+        F.expr(
+            "aggregate(map_keys(_rr_cmap), 0L,"
+            " (a, k) -> a + IF(k < _rr_pid, _rr_cmap[k], 0L))"
+        ),
+    )
+    if mass_col is not None:
+        offs = offs.withColumn(
+            "_rr_moff",
+            F.expr(
+                "aggregate(map_keys(_rr_mmap), 0L,"
+                " (a, k) -> a + IF(k < _rr_pid, _rr_mmap[k], 0L))"
+            ),
+        )
+    if total_col is not None:
+        offs = offs.withColumn(
+            "_rr_tot",
+            F.expr("aggregate(map_values(_rr_cmap), 0L, (a, v) -> a + v)"),
+        )
+    offs = offs.drop("_rr_cmap", "_rr_mmap")
+    j = p.join(F.broadcast(offs), gcols + ["_rr_pid"])
 
     w_in = Window.partitionBy(*(gcols + ["_rr_pid"])).orderBy(*order_cols)
     out = j.withColumn(
         rank_col,
-        (
-            F.expr(
-                "aggregate(map_keys(_rr_cmap), 0L,"
-                " (a, k) -> a + IF(k < _rr_pid, _rr_cmap[k], 0L))"
-            )
-            + F.row_number().over(w_in)
-        ).cast("long"),
+        (F.col("_rr_coff") + F.row_number().over(w_in)).cast("long"),
     )
     if mass_col is not None:
         out = out.withColumn(
             cum_col,
             (
-                F.expr(
-                    "aggregate(map_keys(_rr_mmap), 0L,"
-                    " (a, k) -> a + IF(k < _rr_pid, _rr_mmap[k], 0L))"
-                )
+                F.col("_rr_moff")
                 + F.sum(mass_col).over(
                     w_in.rowsBetween(Window.unboundedPreceding, 0)
                 )
             ).cast("long"),
         )
     if total_col is not None:
-        out = out.withColumn(
-            total_col,
-            F.expr(
-                "aggregate(map_values(_rr_cmap), 0L, (a, v) -> a + v)"
-            ).cast("long"),
-        )
-    drop = ["_rr_pid", "_rr_cmap"]
+        out = out.withColumn(total_col, F.col("_rr_tot").cast("long"))
+    drop = ["_rr_pid", "_rr_cnt", "_rr_coff"]
     if mass_col is not None:
-        drop.append("_rr_mmap")
+        drop += ["_rr_mass", "_rr_moff"]
+    if total_col is not None:
+        drop.append("_rr_tot")
     return out.drop(*drop)
