@@ -194,7 +194,7 @@ BASELINE_S = {
     # rank) and 1.348 -> 1.580 in round 10 (second corpus checkpoint
     # dropped; BASELINE.md "Round-10 re-floor", best of the two
     # round-10 full-tree runs).
-    "x121_curriculum_order": 0.963,
+    "x121_curriculum_order": 0.788,
     "x122_media_dedup": 0.243,
     # Round-8 batch 2 (targeted best-of-2-runs-of-best-of-3).
     "o16_dynamic_partition_pruning": 0.468,

@@ -9176,35 +9176,36 @@ def x121_curriculum_order(spark, sf_dir):
     # eagerly materializing a second corpus-wide frame, and the heavy
     # tokenize+score scan still runs exactly once (it lives behind `b`).
     sh = staged.withColumn("shard", F.shiftright(F.col("shuffle_key"), 54))
-    m2 = (
-        sh.groupBy("stage", "shard")
-        .agg(F.count("*").alias("cnt"))
-        .agg(
-            F.map_from_arrays(
-                F.collect_list(F.col("stage") * 64 + F.col("shard")),
-                F.collect_list("cnt"),
-            ).alias("scnt")
-        )
+    # Per-(stage, shard) offsets are folded ON THE ≤192-row histogram
+    # (3 stages × 64 shards) and broadcast-joined back — the rank.py v2
+    # discipline: the earlier form broadcast the count map to every
+    # data row and ran the O(cells) interpreted fold per row.
+    cnt = sh.groupBy("stage", "shard").agg(F.count("*").alias("cnt"))
+    m2 = cnt.agg(
+        F.map_from_arrays(
+            F.collect_list(F.col("stage") * 64 + F.col("shard")),
+            F.collect_list("cnt"),
+        ).alias("scnt")
+    )
+    offs = cnt.crossJoin(F.broadcast(m2)).select(
+        "stage",
+        "shard",
+        F.expr(
+            "aggregate(map_keys(scnt), 0L,"
+            " (a, k) -> a + IF(k < stage * 64 + shard, scnt[k], 0L))"
+        ).alias("_goff"),
     )
     w_in2 = Window.partitionBy("stage", "shard").orderBy(
         F.col("shuffle_key").asc(), F.col("doc_id").asc()
     )
     return (
         sh.withColumn("rn2", F.row_number().over(w_in2))
-        .crossJoin(F.broadcast(m2))
+        .join(F.broadcast(offs), ["stage", "shard"])
         .select(
             "doc_id",
             "stage",
             "shuffle_key",
-            (
-                F.expr(
-                    "aggregate(map_keys(scnt), 0L,"
-                    " (a, k) -> a + IF(k < stage * 64 + shard, scnt[k], 0L))"
-                )
-                + F.col("rn2")
-            )
-            .cast("long")
-            .alias("global_rank"),
+            (F.col("_goff") + F.col("rn2")).cast("long").alias("global_rank"),
         )
     )
 
