@@ -97,7 +97,7 @@ BASELINE_S = {
     "b61_session_variables": 0.215,
     "f15_fn_xml": 2.031,
     "x92_band_threshold_sweep": 0.140,
-    "x93_oov_rate": 0.472,
+    "x93_oov_rate": 0.835,
     "x94_semdedup_sweep": 0.110,
     # Round-7 batch 4 (best of the four 52/53-query runs).
     "b62_bitmap_distinct": 0.668,
@@ -144,7 +144,7 @@ BASELINE_S = {
     "b72_lateral_alias": 0.190,
     "b73_sql_pivot_unpivot": 0.347,
     "b74_identifier_clause": 0.188,
-    "x100_vocab_budget_sweep": 0.556,
+    "x100_vocab_budget_sweep": 1.081,
     "w12_named_window_clause": 0.491,
     # Round-7 batch 10 (targeted best-of-2-runs-of-best-of-3).
     "x101_simhash_hamming_pairs": 1.717,
@@ -194,7 +194,7 @@ BASELINE_S = {
     # rank) and 1.348 -> 1.580 in round 10 (second corpus checkpoint
     # dropped; BASELINE.md "Round-10 re-floor", best of the two
     # round-10 full-tree runs).
-    "x121_curriculum_order": 0.788,
+    "x121_curriculum_order": 1.555,
     "x122_media_dedup": 0.243,
     # Round-8 batch 2 (targeted best-of-2-runs-of-best-of-3).
     "o16_dynamic_partition_pruning": 0.468,
@@ -208,9 +208,9 @@ BASELINE_S = {
     # recorded in the same two runs — the floor records the SHIPPED
     # plan (BASELINE.md "Round-10 re-floor").
     "x75_quantile_normalize": 0.319,
-    "x78_ccnet_buckets": 0.436,
+    "x78_ccnet_buckets": 1.335,
     "x81_epoch_shuffle": 0.489,
-    "b40_rfm_segmentation": 0.594,
+    "b40_rfm_segmentation": 1.569,
     "x12_dedup_embedding_cosine": 1.552,
     "x13_sim_ivf_probe": 0.761,
     # Round-11 full-registry extension (best of the two round-11
@@ -220,8 +220,8 @@ BASELINE_S = {
     # try_* exception-path cost was caught). The ten re-floors above
     # (ranged-rank + probe-batch rewrites, x93/x100/x78/x121/b40/
     # x96/x98/x103/x109/x113) were recorded in the same two runs.
-    "x34_vocab_coverage": 0.504,
-    "x35_tokens_to_ids": 0.502,
+    "x34_vocab_coverage": 0.808,
+    "x35_tokens_to_ids": 0.986,
     "x32_knn_join": 1.062,
     "x45_ann_recall_eval": 1.561,
     "x62_hard_negatives": 1.060,
