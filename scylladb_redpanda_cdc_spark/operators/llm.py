@@ -20,9 +20,12 @@ from __future__ import annotations
 
 import hashlib
 import random
+from collections.abc import Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from scylladb_redpanda_cdc_spark.operators.checkpoint import stage_checkpoint
 
 #: Small English-ish stopword list used by tokenize/quality/langid operators.
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
@@ -163,22 +166,24 @@ def minhash_band_signature(shingles: Column, band: int) -> Column:
     )
 
 
-def simhash16(ws: Column) -> Column:
-    """16-bit SimHash of a token array.
+def _simhash(
+    ws: Column, nbits: int, hash_fn: Callable[[Column], Column]
+) -> Column:
+    """Shared SimHash kernel: ``nbits``-bit signature of a token array.
 
     For each bit b, sum +1/-1 over token hashes' bit b; bit set iff the sum
-    is positive. Pure expression algebra — per-row, no shuffle. Token
-    hashes are :func:`hash16` (sha-prefix), so a DuckDB oracle can
-    recompute the identical signature.
+    is positive. Pure expression algebra — per-row, no shuffle — and one
+    fold regardless of signature width: a per-bit vote-counter array
+    carried through a single ``aggregate`` + ``zip_with``. (The round-11
+    rewrite replaced a per-bit form whose ``nbits`` separate folds each
+    re-evaluated the un-CSE'd ``transform(ws, hash_fn)`` input — 16 sha256
+    passes over every token at 16 bits; measured 11x slower at sf0.1:
+    3.76 s vs 0.33 s for identical signatures.)
 
-    One fold (the :func:`simhash32` shape): a per-bit vote-counter array
-    carried through a single ``aggregate`` + ``zip_with``. The original
-    per-bit form built 16 separate ``aggregate`` folds, and each fold
-    re-evaluated the un-CSE'd ``transform(ws, hash16)`` input — 16 sha256
-    passes over every token (measured 11x slower at sf0.1: 3.76 s vs
-    0.33 s for identical signatures)."""
-    nbits = 16
-    hs = F.transform(ws, hash16)
+    A NULL token array yields signature 0 (``coalesce``), matching both
+    the pre-rewrite per-bit form and the DuckDB oracles' ``COALESCE(sig,
+    0)`` — the fold itself would propagate NULL (round-11 advice)."""
+    hs = F.transform(ws, hash_fn)
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(nbits)])
     zeros = F.array_repeat(F.lit(0).cast("long"), nbits)
     votes = F.aggregate(
@@ -195,7 +200,17 @@ def simhash16(ws: Column) -> Column:
         masks,
         lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
     )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    sig = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.coalesce(sig, F.lit(0).cast("long"))
+
+
+def simhash16(ws: Column) -> Column:
+    """16-bit SimHash of a token array (the signature-only x10 surface).
+
+    Token hashes are :func:`hash16` (sha-prefix), so a DuckDB oracle can
+    recompute the identical signature. Delegates to the one-fold
+    :func:`_simhash` kernel shared with :func:`simhash32`."""
+    return _simhash(ws, 16, hash16)
 
 
 def hash32(c: Column) -> Column:
@@ -208,36 +223,12 @@ def hash32(c: Column) -> Column:
 def simhash32(ws: Column) -> Column:
     """32-bit SimHash of a token array — the pair-join width.
 
-    :func:`simhash16` (the signature-only x10 surface) folds the token
-    array once PER BIT — fine at 16 bits, wasteful at 32. This form
-    carries an array of per-bit vote counters through ONE fold
-    (``aggregate`` + ``zip_with``), so the token array is walked once
-    regardless of signature width — the shape that matters when a
-    deployment widens to the 64-bit signatures crawl-scale simhash
-    dedup uses (Manku et al., WWW'07). Still pure per-row expression
-    algebra: no shuffle, engine-exact via :func:`hash32`."""
-    nbits = 32
-    hs = F.transform(ws, hash32)
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(nbits)])
-    zeros = F.array_repeat(F.lit(0).cast("long"), nbits)
-    votes = F.aggregate(
-        hs,
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            masks,
-            lambda a, m: a
-            + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
-        ),
-    )
-    bits = F.zip_with(
-        votes,
-        masks,
-        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(
-        bits, F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
+    Same one-fold :func:`_simhash` kernel as :func:`simhash16`: the token
+    array is walked once regardless of signature width — the shape that
+    matters when a deployment widens to the 64-bit signatures crawl-scale
+    simhash dedup uses (Manku et al., WWW'07). Still pure per-row
+    expression algebra: no shuffle, engine-exact via :func:`hash32`."""
+    return _simhash(ws, 32, hash32)
 
 
 #: Embedding dimensionality contract for the LSH plane family (the
@@ -321,13 +312,14 @@ def connected_components_min_label(edges, node_col: str = "doc_a", nbr_col: str 
         prev_shuffle = None
     spark.conf.set(shuffle_key, _os.environ.get("SG_CC_LOOP_SHUFFLE", "8"))
     try:
-        # Eager localCheckpoint, NOT persist: persist caches execution but
+        # Eager stage_checkpoint, NOT persist: persist caches execution but
         # the LOGICAL plan still nests — each round's plan embeds the
         # previous round's twice (neighbor join + self union), doubling the
         # tree per round, and the analyzer OOMs around diameter ~9.
         # Checkpointing truncates the plan so every round starts from a
-        # leaf. (Local checkpoint is the single-process form; a cluster
-        # deployment sets a reliable checkpoint dir — same algorithm.)
+        # leaf. (stage_checkpoint picks localCheckpoint locally; a cluster
+        # sets spark.sg.checkpointDir for the reliable form — same
+        # algorithm.)
         labels = (
             edges.select(node_col)
             .distinct()
@@ -335,7 +327,7 @@ def connected_components_min_label(edges, node_col: str = "doc_a", nbr_col: str 
                 F.col(node_col).alias("doc_id"),
                 F.col(node_col).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            .transform(stage_checkpoint)
         )
         prev_ckpt = labels
         for _round in range(50):
@@ -356,7 +348,7 @@ def connected_components_min_label(edges, node_col: str = "doc_a", nbr_col: str 
                     F.min("lbl").alias("cluster_id"),
                     F.min(F.when(F.col("is_self"), F.col("lbl"))).alias("__old"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(stage_checkpoint)
             )
             n_changed = nxt.filter(F.col("cluster_id") < F.col("__old")).count()
             prev_ckpt.unpersist()

@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from scylladb_redpanda_cdc_spark.operators.checkpoint import stage_checkpoint
+
 __all__ = ["ranged_rank"]
 
 
@@ -73,19 +75,19 @@ def ranged_rank(
     # separate evaluations (the histogram branch and the window branch)
     # can draw DIFFERENT boundaries once the input outgrows the sample
     # (observed at sf0.1: x78 ranks went stale against their offsets and
-    # NTILE emitted a phantom 4th tercile). localCheckpoint(eager) pins
-    # one boundary draw and one pid assignment for every consumer —
+    # NTILE emitted a phantom 4th tercile). stage_checkpoint (eager)
+    # pins one boundary draw and one pid assignment for every consumer —
     # and the sampling pass plus both branches then read this narrow
     # materialized frame instead of recomputing the input. (Cluster
-    # deployment: localCheckpoint stores partitions on executor
-    # storage and dies with executors — a 1000-executor run swaps in
-    # checkpoint() against a reliable dir, same single-draw guarantee.)
+    # deployment: set spark.sg.checkpointDir and the helper swaps in
+    # reliable checkpoint() — same single-draw guarantee, survives
+    # executor loss; localCheckpoint blocks die with their executor.)
     p = (
         df.repartitionByRange(
             n, *([F.col(g).asc() for g in gcols] + list(order_cols))
         )
         .withColumn("_rr_pid", F.spark_partition_id().cast("long"))
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint)
     )
 
     # Per-(group, range) histogram → PRECOMPUTED offsets. The per-group

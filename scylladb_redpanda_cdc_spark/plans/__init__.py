@@ -53,34 +53,14 @@ class QuerySpec:
 #: x121's phase-2 rework, the _embs_fanned corpus-pass restructures
 #: (x54/x111/x112/x113), and the _x2_pairs session cache (x2/x92/x97).
 _REWRITTEN = (
-    # Round-11 ranged-rank rewrites (the sampled range-partition kernel
-    # replacing value-derived cells):
-    "x34_vocab_coverage",
-    "x35_tokens_to_ids",
-    "x93_oov_rate",
-    "x100_vocab_budget_sweep",
-    "x78_ccnet_buckets",
-    "x121_curriculum_order",
-    "b40_rfm_segmentation",
-    # Round-11 fixed-K probe-batch draws (literal-bounded broadcast):
-    "x32_knn_join",
-    "x45_ann_recall_eval",
-    "x62_hard_negatives",
-    "x70_retrieval_mrr",
-    "x96_lsh_multiprobe",
-    "x98_recall_matryoshka",
-    "x103_mmr_diverse_select",
-    "x109_triplet_mining",
-    "x113_knn_label_eval",
-    # Round-11 bounded estimator join (cap + within-bucket reservoir):
-    "x46_dedup_est_quality",
-    # Round-11 bounded try_* failing strata (the full-registry flooring
-    # runs caught the exception-path cost: a majority-failing try column
-    # pays ~15 µs/row building SparkExceptions — 6.4 s at sf0.1):
-    "f12_fn_try_safe",
-    # Round-11 one-fold simhash16 (the per-bit folds each re-evaluated
-    # the sha256 token-hash transform — 16 hashing passes per doc):
+    # Round 12: every round-11 rewrite earned a green r11 grade
+    # (CORRECTNESS_r11 is 50/50 over exactly that head), so the r11 list
+    # is cleared. The only round-12 plan changes are the shared
+    # one-fold SimHash kernel gaining a NULL-token-array coalesce
+    # (operators/llm.py::_simhash — semantics change only for NULL text,
+    # absent from fixtures, but the expression tree differs):
     "x10_dedup_simhash",
+    "x101_simhash_hamming_pairs",
 )
 
 # Kept as an alias for one round so external readers of the round-9

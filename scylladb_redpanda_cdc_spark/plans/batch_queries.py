@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from scylladb_redpanda_cdc_spark.operators.checkpoint import stage_checkpoint
 from scylladb_redpanda_cdc_spark.operators.rank import ranged_rank
 from scylladb_redpanda_cdc_spark.plans import QuerySpec
 from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
@@ -1717,7 +1718,7 @@ def b40_rfm_segmentation(spark, sf_dir):
     by row count under any distribution, tiebreaking on user_id. The
     three rank frames are narrow (user_id + rank) and join back to the
     checkpointed users frame on its unique key; NTILE(4) is exact-rank
-    arithmetic. The users frame is localCheckpointed once so the events
+    arithmetic. The users frame is stage_checkpointed once so the events
     agg runs a single time."""
     e = _T(spark, sf_dir, "events")
     per = (
@@ -1732,7 +1733,7 @@ def b40_rfm_segmentation(spark, sf_dir):
             F.count("*").alias("freq"),
             F.sum("vm").alias("monetary_micros"),
         )
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
     orders = {
         "r": ("last_us", "r_q"),
         "f": ("freq", "f_q"),

@@ -40,6 +40,7 @@ from scylladb_redpanda_cdc_spark.operators.llm import (
     word_shingles,
     words,
 )
+from scylladb_redpanda_cdc_spark.operators.checkpoint import stage_checkpoint
 from scylladb_redpanda_cdc_spark.operators.rank import ranged_rank
 from scylladb_redpanda_cdc_spark.plans import QuerySpec
 from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
@@ -244,7 +245,7 @@ def _minhash_bands(spark, sf_dir):
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig").localCheckpoint(eager=True)
+    ).select("doc_id", "bs.band", "bs.sig").transform(stage_checkpoint)
     _mh_bands_cache[cache_key] = out
     return out
 
@@ -260,12 +261,12 @@ def _x2_pairs(spark, sf_dir):
     `_x29_assign` (round-10): the MinHash signature pass is the
     expensive stage, and under one-pass-per-query grading it otherwise
     re-shingles and re-hashes the corpus once per consumer. The cached
-    frame is pair-sized (two ids + a count), so localCheckpoint(eager)
-    is bounded."""
+    frame is pair-sized (two ids + a count), so the stage_checkpoint
+    materialization is bounded."""
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     if cache_key in _x2_pairs_cache:
         return _x2_pairs_cache[cache_key]
-    out = _x2_pairs_plan(spark, sf_dir).localCheckpoint(eager=True)
+    out = _x2_pairs_plan(spark, sf_dir).transform(stage_checkpoint)
     _x2_pairs_cache[cache_key] = out
     return out
 
@@ -484,7 +485,7 @@ def x13_sim_ivf_probe(spark, sf_dir):
     additionally assert the result ⊆ brute force.
 
     The centroid table and query vector are materialized from ONE shared
-    pre-pass (eager localCheckpoint): ``vec_id % 25`` is not a pushable
+    pre-pass (eager stage_checkpoint): ``vec_id % 25`` is not a pushable
     parquet predicate, so each of their four broadcast-side references
     otherwise re-reads the full embeddings table — 5 scans in the naive
     plan, 2 after (pre-pass + assignment), which is the honest IVF cost
@@ -493,7 +494,7 @@ def x13_sim_ivf_probe(spark, sf_dir):
     e = _T(spark, sf_dir, "embeddings")
     pre = e.filter(
         (F.col("vec_id") % 25 == 0) | (F.col("vec_id") == 0)
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
     cent = pre.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
@@ -1103,7 +1104,7 @@ def _x29_assign(spark, sf_dir):
     purity) consume the identical chain, so under one-pass-per-query
     grading the two broadcast-assign passes and the (cid, dim) partial-agg
     shuffle would otherwise re-run per consumer — the round-7 verdict's
-    one named remaining optimization. localCheckpoint(eager) materializes
+    one named remaining optimization. stage_checkpoint materializes
     a corpus-rows x 3-narrow-columns frame (ids + one double), so the
     cache cost is bounded and the recompute chain is severed."""
     cache_key = (spark.sparkContext.applicationId, sf_dir)
@@ -1135,7 +1136,7 @@ def _x29_assign(spark, sf_dir):
         ).alias("cemb")
     )
     a2 = _kmeans_assign(ef, cent1)
-    out = a2.select("vec_id", "cid", "c_cos").localCheckpoint(eager=True)
+    out = a2.select("vec_id", "cid", "c_cos").transform(stage_checkpoint)
     _x29_cache[cache_key] = out
     return out
 
@@ -1369,7 +1370,7 @@ def _vocab_counts(spark, sf_dir):
     out = (
         tok.groupBy("token")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint)
     )
     _vocab_counts_cache[cache_key] = out
     return out
@@ -1623,7 +1624,7 @@ def x39_dedup_containment(spark, sf_dir):
     denominator uses the same capped universe, mirrored by the oracle, so
     the ratio is an exact rational both engines agree on). Span hashes are
     uniform 60-bit: the partial aggs and the equi-join have no skew key by
-    construction. The df-capped posting list is eagerly localCheckpoint-ed
+    construction. The df-capped posting list is eagerly stage_checkpoint-ed
     before fan-out: it feeds THREE branches (sizes + both self-join
     sides), and without materialization Catalyst re-derives the
     tokenize+span+hash pipeline per branch (6 corpus scans measured; 2
@@ -1642,7 +1643,7 @@ def x39_dedup_containment(spark, sf_dir):
         .filter(F.col("df") <= 50)
         .select("span_hash")
     )
-    sp = occ.join(keep, "span_hash").localCheckpoint(eager=True)
+    sp = occ.join(keep, "span_hash").transform(stage_checkpoint)
     sizes = sp.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sp.alias("a"), sp.alias("b")
     shared = (
@@ -1972,7 +1973,7 @@ def x46_dedup_est_quality(spark, sf_dir):
     candidate set, not the corpus; a deployment additionally samples
     candidate pairs before the exact pass. The two evaluation-sized
     intermediates (candidate pairs; pruned occurrences) are eagerly
-    localCheckpoint-ed — each is referenced by several downstream
+    stage_checkpoint-ed — each is referenced by several downstream
     branches, and without materialization Catalyst re-derives the whole
     signature pipeline per reference (measured: 22 corpus scans in the
     naive plan, 2 after — one for signatures, one for the pruned exact
@@ -2019,15 +2020,15 @@ def x46_dedup_est_quality(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_shared_bands"))
         .filter(F.col("n_shared_bands") >= 4)
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint)
     )
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    occ = sh.join(F.broadcast(cand_docs), "doc_id").localCheckpoint(
-        eager=True
+    occ = sh.join(F.broadcast(cand_docs), "doc_id").transform(
+        stage_checkpoint
     )
     sizes = occ.groupBy("doc_id").agg(F.count("*").alias("n"))
     oa, ob = occ.alias("oa"), occ.alias("ob")
@@ -2319,7 +2320,7 @@ def _standin_assign(spark, sf_dir):
     assigned = (
         _kmeans_assign(_embs_fanned(spark, sf_dir).select("vec_id", "embedding"), cent)
         .select("vec_id", "cid", "embedding")
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint)
     )
     _standin_assign_cache[cache_key] = assigned
     return assigned
@@ -2355,7 +2356,7 @@ def _x50_prior(spark, sf_dir):
     out = (
         assigned.select("vec_id", "cid")
         .join(prior, "vec_id", "left")
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint)
     )
     _x50_prior_cache[cache_key] = out
     return out
@@ -3697,7 +3698,7 @@ def x71_centered_ann(spark, sf_dir):
                 "embedding", "mu", lambda x, m: x.cast("double") - m
             ).alias("cemb"),
         )
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint)
     )
     q = centered.filter(F.col("vec_id") == 0).select(
         F.col("cemb").alias("qe")
@@ -3804,7 +3805,7 @@ def x72_rank_fusion(spark, sf_dir):
     ).cast("double") / F.col("dl").cast("double")
     ranked = scored.select(
         "doc_id", s_a.alias("s_a"), s_b.alias("s_b")
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
 
     def top50(col):
         w = Window.orderBy(F.col(col).desc(), F.col("doc_id").asc())
@@ -3910,7 +3911,7 @@ def x73_dataset_card(spark, sf_dir):
         "source",
         F.size(words(F.col("text"))).cast("long").alias("n_tok"),
         F.sha2(F.lower(F.trim("text")), 256).alias("h"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
     vocab = (
         d.select(F.explode(words(F.col("text"))).alias("tok"))
         .agg(F.countDistinct("tok").alias("n_vocab"))
@@ -5010,7 +5011,7 @@ def x74_graph_pagerank(spark, sf_dir):
 
     Scale: per iteration one shuffle keyed by dst (edge-sized) + one
     nodes-sized left join; 3 static iterations keep the plan shallow (an
-    open-ended solve would localCheckpoint per round like x21)."""
+    open-ended solve would stage_checkpoint per round like x21)."""
     pairs = x11_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -5023,7 +5024,7 @@ def x74_graph_pagerank(spark, sf_dir):
     # from the pair graph inside one plan tree (3x the work, 3x the plan
     # depth). The frame is pairs-sized — the checkpoint is tiny (same
     # discipline as the CC kernel's per-round truncation).
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    ed = edges.join(deg, "src").transform(stage_checkpoint)
     nodes = _T(spark, sf_dir, "documents").select("doc_id")
     ranks = nodes.select(
         "doc_id", F.lit(1_000_000).cast("long").alias("rank")
@@ -6101,7 +6102,7 @@ def x90_ivf_pq_ann(spark, sf_dir):
     max_by on vec_id, PQ struct-MIN) — both combine map-side, so the
     corpus x K fan-out never crosses an exchange. Nothing all-pairs."""
     e = _T(spark, sf_dir, "embeddings")
-    pre = e.filter(F.col("vec_id") % 25 == 0).localCheckpoint(eager=True)
+    pre = e.filter(F.col("vec_id") % 25 == 0).transform(stage_checkpoint)
     # --- coarse IVF stage (x13's kernel) ---
     cent = pre.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
     # coarse assignment = _kmeans_assign's map-only array_max argmin over
@@ -7956,7 +7957,7 @@ def _x111_varr(spark, sf_dir):
         # logical-plan-doubling trap the x21 CC kernel documents.
         # coalesce(1): 4096 rows in one task per checkpoint job instead
         # of shuffle-partition-many near-empty tasks.
-        m = m.coalesce(1).localCheckpoint(eager=True)
+        m = m.coalesce(1).transform(stage_checkpoint)
         mx = m.agg(F.max(F.abs(F.col("v"))).alias("mx"))
         s = F.when(
             F.col("mx") > X111_CAP,
@@ -7998,7 +7999,7 @@ def _x111_varr(spark, sf_dir):
             .otherwise(F.lit(0))
             .cast("long"),
         ).alias("varr")
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
     _x111_cache[cache_key] = v
     return v
 
@@ -9141,10 +9142,10 @@ def x121_curriculum_order(spark, sf_dir):
     # Phase 1 — exact quality rank (DESC, doc_id tiebreak), two-phase
     # via sampled range boundaries. The scored frame (two narrow columns)
     # feeds the kernel's sampling pass, range histogram, and rank window;
-    # localCheckpoint it so the tokenize+score scan runs exactly once
+    # stage_checkpoint it so the tokenize+score scan runs exactly once
     # (x33's discipline).
-    b = d.select("doc_id", score.alias("quality_score")).localCheckpoint(
-        eager=True
+    b = d.select("doc_id", score.alias("quality_score")).transform(
+        stage_checkpoint
     )
     ranked = ranged_rank(
         b,

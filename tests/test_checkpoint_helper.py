@@ -1,0 +1,98 @@
+"""Reliable-checkpoint path (VERDICT r11 task 1).
+
+Every stage-materialization site routes through
+``operators.checkpoint.stage_checkpoint``. These tests pin the contract:
+with ``spark.sg.checkpointDir`` unset the helper takes localCheckpoint
+(the local[N] default — plans and floors untouched); with it set, frames
+are reliably checkpointed into that directory (the 100 TB path, surviving
+executor loss), and the two heaviest consumers — ``ranged_rank`` (via
+x78_ccnet_buckets) and x46_dedup_est_quality — still match their DuckDB
+oracles byte-for-byte on the reliable path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylladb_redpanda_cdc_spark.operators.checkpoint import (
+    CHECKPOINT_DIR_CONF,
+    stage_checkpoint,
+)
+from scylladb_redpanda_cdc_spark.plans import registry
+from tests.oracle_util import assert_matches_oracle, duckdb_connection
+
+_SPECS = registry()
+
+
+def _ck_files(ck_dir: str) -> list[str]:
+    return [
+        os.path.join(dp, f)
+        for dp, _dirs, fs in os.walk(ck_dir)
+        for f in fs
+    ]
+
+
+@pytest.fixture()
+def reliable_dir(spark, tmp_path):
+    """Point the session at a temp reliable checkpoint dir; always unset
+    afterwards so the session-scoped SparkSession reverts to the local
+    default for every other test."""
+    ck = str(tmp_path / "ck")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ck)
+    try:
+        yield ck
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+
+def test_local_default_is_local_checkpoint(spark):
+    # Conf unset: the helper must not require (or register) any
+    # checkpoint directory — the default path a fresh session takes.
+    assert spark.conf.get(CHECKPOINT_DIR_CONF, None) is None
+    out = stage_checkpoint(spark.range(100).withColumn("v", F.col("id") * 2))
+    assert out.count() == 100
+
+
+def test_reliable_path_writes_checkpoint_dir(spark, reliable_dir):
+    out = stage_checkpoint(spark.range(1000).withColumn("v", F.col("id") % 7))
+    assert out.count() == 1000
+    assert out.columns == ["id", "v"]
+    assert _ck_files(reliable_dir), (
+        "spark.sg.checkpointDir was set but no reliable checkpoint files "
+        "were written"
+    )
+
+
+def test_repoint_between_queries(spark, tmp_path):
+    """The helper syncs the SparkContext dir from the conf on every call,
+    so a long-lived session can repoint mid-stream."""
+    d1, d2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    try:
+        spark.conf.set(CHECKPOINT_DIR_CONF, d1)
+        stage_checkpoint(spark.range(10)).count()
+        spark.conf.set(CHECKPOINT_DIR_CONF, d2)
+        stage_checkpoint(spark.range(10)).count()
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert _ck_files(d1) and _ck_files(d2)
+
+
+@pytest.mark.parametrize("qid", ["x78_ccnet_buckets", "x46_dedup_est_quality"])
+def test_heavy_consumers_match_oracle_on_reliable_path(
+    spark, sf_dir, reliable_dir, qid
+):
+    """ranged_rank's single-boundary-draw pin and x46's two evaluation
+    intermediates run through reliable checkpoint() — results must be
+    identical to the localCheckpoint default (both paths are eager and
+    lineage-truncating), proven against the DuckDB oracle."""
+    spec = _SPECS[qid]
+    df = spec.build(spark, sf_dir)
+    con = duckdb_connection(sf_dir)
+    try:
+        assert_matches_oracle(df, con, spec.oracle, qid)
+    finally:
+        con.close()
+    assert _ck_files(reliable_dir), f"{qid} never hit the reliable path"
