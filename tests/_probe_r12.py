@@ -116,6 +116,7 @@ def _session():
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
         .config("spark.ui.retainedStages", "5000")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")
         .getOrCreate()
     )
@@ -135,15 +136,18 @@ def _stage_ids(app: str) -> set[int]:
     return {s["stageId"] for s in _rest(f"/applications/{app}/stages")}
 
 
-def _run_metrics(app: str, after: set[int]) -> tuple[float, float]:
-    """(total shuffle r+w bytes, max single-task input+shuffle-read bytes)
-    over COMPLETE stages whose stageId was not present before the run."""
+def _run_metrics(app: str, after: set[int]) -> tuple[float, float, float]:
+    """(total shuffle r+w bytes, total input bytes, max single-task
+    input+shuffle-read bytes) over COMPLETE stages whose stageId was not
+    present before the run."""
     shuffle = 0.0
+    inp = 0.0
     max_task = 0.0
     for s in _rest(f"/applications/{app}/stages"):
         if s["stageId"] in after or s["status"] != "COMPLETE":
             continue
         shuffle += s.get("shuffleReadBytes", 0) + s.get("shuffleWriteBytes", 0)
+        inp += s.get("inputBytes", 0)
         try:
             ts = _rest(
                 f"/applications/{app}/stages/{s['stageId']}"
@@ -156,7 +160,7 @@ def _run_metrics(app: str, after: set[int]) -> tuple[float, float]:
             max_task = max(max_task, task)
         except Exception:
             pass  # tiny stages may age out of the summary store
-    return shuffle, max_task
+    return shuffle, inp, max_task
 
 
 def _noop_run(specs, spark, qid, sf_dir) -> float:
@@ -170,8 +174,9 @@ def _noop_run(specs, spark, qid, sf_dir) -> float:
 def probe(spark, specs, qids):
     app = _app_id()
     print(
-        f"{'query':34s} {'sf0.1 wall':>10s} {'shufMB':>8s} {'maxTaskMB':>9s}"
-        f" | {'x10 wall':>9s} {'shufMB':>8s} {'maxTaskMB':>9s} {'wall x':>7s}"
+        f"{'query':34s} {'sf0.1 wall':>10s} {'inMB':>7s} {'shufMB':>8s}"
+        f" {'maxTkMB':>8s} | {'x10 wall':>9s} {'inMB':>7s} {'shufMB':>8s}"
+        f" {'maxTkMB':>8s} {'wall x':>7s}"
     )
     for qid in qids:
         row = []
@@ -180,12 +185,12 @@ def probe(spark, specs, qids):
             spark._jvm.System.gc()
             seen = _stage_ids(app)
             wall = _noop_run(specs, spark, qid, sf_dir)
-            sh, mt = _run_metrics(app, seen)
-            row.append((wall, sh / 1e6, mt / 1e6))
-        (w1, s1, m1), (w2, s2, m2) = row
+            sh, inp, mt = _run_metrics(app, seen)
+            row.append((wall, inp / 1e6, sh / 1e6, mt / 1e6))
+        (w1, i1, s1, m1), (w2, i2, s2, m2) = row
         print(
-            f"{qid:34s} {w1:9.2f}s {s1:8.1f} {m1:9.1f}"
-            f" | {w2:8.2f}s {s2:8.1f} {m2:9.1f} {w2 / w1:6.2f}x"
+            f"{qid:34s} {w1:9.2f}s {i1:7.1f} {s1:8.1f} {m1:8.2f}"
+            f" | {w2:8.2f}s {i2:7.1f} {s2:8.1f} {m2:8.2f} {w2 / w1:6.2f}x"
         )
 
 
