@@ -80,13 +80,18 @@ def test_repoint_between_queries(spark, tmp_path):
     assert _ck_files(d1) and _ck_files(d2)
 
 
-@pytest.mark.parametrize("qid", ["x78_ccnet_buckets", "x46_dedup_est_quality"])
+@pytest.mark.parametrize(
+    "qid",
+    ["x78_ccnet_buckets", "x46_dedup_est_quality", "x21_dedup_cluster_cc"],
+)
 def test_heavy_consumers_match_oracle_on_reliable_path(
     spark, sf_dir, reliable_dir, qid
 ):
-    """ranged_rank's single-boundary-draw pin and x46's two evaluation
-    intermediates run through reliable checkpoint() — results must be
-    identical to the localCheckpoint default (both paths are eager and
+    """ranged_rank's single-boundary-draw pin, x46's two evaluation
+    intermediates, and the CC loop's per-round truncation (which also
+    calls ``unpersist()`` on the checkpointed frames) run through
+    reliable checkpoint() — results must be identical to the
+    localCheckpoint default (both paths are eager and
     lineage-truncating), proven against the DuckDB oracle."""
     spec = _SPECS[qid]
     df = spec.build(spark, sf_dir)
