@@ -63,9 +63,9 @@ _REWRITTEN = (
     "x101_simhash_hamming_pairs",
 )
 
-# Kept as an alias for one round so external readers of the round-9
-# name keep working; the rotation itself consumes _REWRITTEN.
-_REPROOF = _REWRITTEN
+# The round-9 name `_REPROOF` was kept as an alias through rounds 10-11
+# for external readers; nothing references it anymore (round-12 grep)
+# and the rotation consumes _REWRITTEN directly, so the alias is gone.
 
 
 def _grading_history(
