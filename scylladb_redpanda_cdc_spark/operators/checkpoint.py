@@ -41,7 +41,27 @@ def stage_checkpoint(df: DataFrame) -> DataFrame:
     ``spark.sg.checkpointDir`` set: reliable ``checkpoint(eager=True)``
     into that directory (survives executor loss — the 100 TB path). The
     SparkContext checkpoint dir is synced to the conf on every call, so a
-    test (or a long-lived session) can repoint it between queries.
+    test (or a long-lived session) can repoint it between queries. Note
+    the checkpoint dir is CONTEXT-global (Spark offers no session-scoped
+    runtime override — ``spark.checkpoint.dir`` is a static conf):
+    sessions sharing one SparkContext should agree on one value, since
+    the last setter wins for all of them.
+
+    The frame is persisted across the checkpoint write: Spark's reliable
+    checkpoint runs TWO jobs (the eager materialization, then
+    ``ReliableRDDCheckpointData``'s write job), and the write job
+    RECOMPUTES the lineage unless it can read cached blocks — exactly
+    the recompute this helper exists to avoid, paid twice per staged
+    frame otherwise (RDD.checkpoint's own scaladoc recommends persist).
+    The scratch cache is dropped once the files are written; consumers
+    read the checkpoint files.
+
+    Checkpoint-file lifetime: files for a frame are reclaimed by the
+    ContextCleaner when the frame is garbage-collected IF
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is enabled
+    (``session.get_session`` sets it; it is static, so set it at context
+    creation). Frames held by the session caches correctly pin their
+    files for the session's lifetime.
 
     Unset: ``localCheckpoint(eager=True)`` — executor-local blocks, no
     reliable-storage round-trip, the fast default for ``local[N]`` where
@@ -63,7 +83,11 @@ def stage_checkpoint(df: DataFrame) -> DataFrame:
         if _APPLIED_DIR.get(sc.applicationId) != ck_dir:
             sc.setCheckpointDir(ck_dir)
             _APPLIED_DIR[sc.applicationId] = ck_dir
-        return df.checkpoint(eager=True)
+        df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint(eager=True)
 
 

@@ -64,8 +64,9 @@ _REWRITTEN = (
 )
 
 # The round-9 name `_REPROOF` was kept as an alias through rounds 10-11
-# for external readers; nothing references it anymore (round-12 grep)
-# and the rotation consumes _REWRITTEN directly, so the alias is gone.
+# for external readers; no code references it anymore (round-12 grep —
+# the verify skill doc now records the rename) and the rotation consumes
+# _REWRITTEN directly, so the alias is gone.
 
 
 def _grading_history(
@@ -150,6 +151,48 @@ _HISTORY_CACHE: dict[
     str,
     tuple[tuple, tuple[frozenset[str], frozenset[str], "MappingProxyType"]],
 ] = {}
+
+
+def clear_session_frame_caches() -> int:
+    """Drop every session-scoped cached DataFrame the plan modules keep
+    (the ``*_cache`` dicts keyed by (applicationId, sf_dir) — MinHash
+    bands, pair sets, k-means assignments, …). Returns the number of
+    entries dropped.
+
+    The caches exist because the driver grades one pass per query and
+    several queries share an expensive upstream frame. They hold
+    checkpointed DataFrames, which pin executor blocks (local path) or
+    checkpoint files (reliable path) — a test that flips
+    ``spark.sg.checkpointDir`` calls this before AND after, so frames
+    built under one checkpoint regime never leak into the other, and a
+    long-lived session can call it to release staged storage."""
+    from scylladb_redpanda_cdc_spark.plans import (
+        batch_queries,
+        cdc_queries,
+        fn_queries,
+        llm_queries,
+        storage_queries,
+        streaming_queries,
+        udx_queries,
+        window_queries,
+    )
+
+    n = 0
+    for mod in (
+        window_queries,
+        fn_queries,
+        udx_queries,
+        streaming_queries,
+        batch_queries,
+        cdc_queries,
+        llm_queries,
+        storage_queries,
+    ):
+        for name, val in vars(mod).items():
+            if name.endswith("_cache") and isinstance(val, dict):
+                n += len(val)
+                val.clear()
+    return n
 
 
 def registry() -> dict[str, QuerySpec]:

@@ -55,5 +55,12 @@ def get_session(app_name: str = "scylladb-redpanda-cdc-spark") -> SparkSession:
         .config("spark.sql.streaming.schemaInference", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        # Reliable-checkpoint hygiene (operators/checkpoint.py): when a
+        # deployment sets spark.sg.checkpointDir, the ContextCleaner
+        # deletes a frame's checkpoint files once the frame is GC'd —
+        # without this (default false) every staged frame's files live
+        # until the application dies. Static conf: must be set here, at
+        # context creation. No effect on the localCheckpoint default.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     return builder.getOrCreate()

@@ -21,7 +21,10 @@ from scylladb_redpanda_cdc_spark.operators.checkpoint import (
     CHECKPOINT_DIR_CONF,
     stage_checkpoint,
 )
-from scylladb_redpanda_cdc_spark.plans import registry
+from scylladb_redpanda_cdc_spark.plans import (
+    clear_session_frame_caches,
+    registry,
+)
 from tests.oracle_util import assert_matches_oracle, duckdb_connection
 
 _SPECS = registry()
@@ -39,13 +42,23 @@ def _ck_files(ck_dir: str) -> list[str]:
 def reliable_dir(spark, tmp_path):
     """Point the session at a temp reliable checkpoint dir; always unset
     afterwards so the session-scoped SparkSession reverts to the local
-    default for every other test."""
+    default for every other test.
+
+    Session frame caches are cleared on BOTH sides of the flip: before,
+    so a cached frame from an earlier test cannot satisfy the build
+    without ever hitting the reliable path (the x21 CC labels and x46's
+    MinHash bands are cached per (session, dataset) — test order must
+    not decide whether this test observes checkpoint files); after, so
+    no later test silently reads frames whose checkpoint files live
+    under this test's tmp_path."""
     ck = str(tmp_path / "ck")
+    clear_session_frame_caches()
     spark.conf.set(CHECKPOINT_DIR_CONF, ck)
     try:
         yield ck
     finally:
         spark.conf.unset(CHECKPOINT_DIR_CONF)
+        clear_session_frame_caches()
 
 
 def test_local_default_is_local_checkpoint(spark):
@@ -63,6 +76,33 @@ def test_reliable_path_writes_checkpoint_dir(spark, reliable_dir):
     assert _ck_files(reliable_dir), (
         "spark.sg.checkpointDir was set but no reliable checkpoint files "
         "were written"
+    )
+
+
+def test_reliable_path_computes_lineage_once(spark, reliable_dir):
+    """Reliable checkpoint runs TWO Spark jobs (eager materialization +
+    the ReliableRDDCheckpointData write job); without the helper's
+    persist-across-checkpoint the write job RECOMPUTES the whole lineage
+    — the exact recompute every stage_checkpoint site exists to avoid.
+    A Python-side accumulator in the lineage counts row evaluations:
+    exactly one pass means the write job read cached blocks."""
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    def tick(it):
+        for x in it:
+            acc.add(1)
+            yield (x,)
+
+    rdd = sc.parallelize(range(1000), 4).mapPartitions(tick)
+    # Explicit schema: inference would sample the RDD in a separate job
+    # and bump the accumulator before the checkpoint even runs.
+    df = spark.createDataFrame(rdd, "v bigint")
+    out = stage_checkpoint(df)
+    assert out.count() == 1000
+    assert acc.value == 1000, (
+        f"lineage evaluated {acc.value / 1000:.1f}x during reliable "
+        "checkpoint — the write job recomputed instead of reading cache"
     )
 
 

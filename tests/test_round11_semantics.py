@@ -18,7 +18,6 @@ bit-for-bit here, beyond the DuckDB oracle both engines share.
 
 from __future__ import annotations
 
-import hashlib
 
 from pyspark.sql import functions as F
 
@@ -69,16 +68,10 @@ def test_simhash16_matches_independent_reference(spark):
     each bit b of the sha256-prefix 16-bit token hash, vote +1/-1 over
     the tokens; bit set iff the vote sum is positive."""
 
+    from tests.simhash_ref import simhash_ref
+
     def ref(tokens: list[str]) -> int:
-        sig = 0
-        for b in range(16):
-            vote = 0
-            for t in tokens:
-                h = int(hashlib.sha256(t.encode()).hexdigest()[:4], 16)
-                vote += 1 if (h >> b) & 1 else -1
-            if vote > 0:
-                sig |= 1 << b
-        return sig
+        return simhash_ref(tokens, 16, 4)
 
     samples = [
         ["the", "quick", "brown", "fox"],

@@ -12,23 +12,10 @@ width).
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import functions as F
 
 from scylladb_redpanda_cdc_spark.operators.llm import simhash16, simhash32
-
-
-def _ref(tokens: list[str], nbits: int, prefix_hex: int) -> int:
-    sig = 0
-    for b in range(nbits):
-        vote = 0
-        for t in tokens:
-            h = int(hashlib.sha256(t.encode()).hexdigest()[:prefix_hex], 16)
-            vote += 1 if (h >> b) & 1 else -1
-        if vote > 0:
-            sig |= 1 << b
-    return sig
+from tests.simhash_ref import simhash_ref
 
 
 def test_simhash_null_and_empty_arrays_yield_zero(spark):
@@ -62,7 +49,7 @@ def test_simhash32_matches_independent_reference(spark):
     ).select("i", simhash32(F.col("ws")).alias("sig"))
     got = {r["i"]: r["sig"] for r in df.collect()}
     for i, ws in enumerate(samples):
-        assert got[i] == _ref(ws, 32, 8), (i, ws)
+        assert got[i] == simhash_ref(ws, 32, 8), (i, ws)
 
 
 def test_simhash_widths_share_low_bit_structure(spark):
