@@ -77,6 +77,9 @@ def build_x10() -> None:
     kd = con.sql(
         f"SELECT max(doc_id)+1 FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchone()[0]
+    kv = con.sql(
+        f"SELECT max(vec_id)+1 FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
     reps = "(SELECT unnest(range(10)) AS v)"
     jobs = {
         "orders": f"""SELECT o_orderkey + v*{ko} AS o_orderkey,
@@ -94,6 +97,10 @@ def build_x10() -> None:
             text || ' tail' || CAST(v AS VARCHAR) AS text, lang, source,
             n_chars + 5 + len(CAST(v AS VARCHAR)) AS n_chars
           FROM read_parquet('{SRC}/documents.parquet') CROSS JOIN {reps}""",
+        # identical vectors x10: every LSH bucket gets ten exact copies —
+        # the adversarial saturation case the bucket cap exists for
+        "embeddings": f"""SELECT vec_id + v*{kv} AS vec_id, embedding, label
+          FROM read_parquet('{SRC}/embeddings.parquet') CROSS JOIN {reps}""",
     }
     for name, sql in jobs.items():
         con.execute(
@@ -194,15 +201,59 @@ def probe(spark, specs, qids):
         )
 
 
+#: The O(n^2)-risk near-dup join family — probed with output-pair counts
+#: (the saturated corpus grows pairs by three orders of magnitude; the
+#: caps must absorb it in bounded wall). Run via `--neardup`.
+NEARDUP = [
+    "x2_dedup_fuzzy_minhash",
+    "x11_dedup_ngram_jaccard",
+    "x12_dedup_embedding_cosine",
+    "x21_dedup_cluster_cc",
+]
+
+
+def probe_neardup(spark, specs):
+    from scylladb_redpanda_cdc_spark.plans import clear_session_frame_caches
+
+    app = _app_id()
+    print(
+        f"{'query':28s} {'sf0.1':>7s} {'shufMB':>8s} {'mxTkMB':>7s}"
+        f" {'rows':>9s} | {'x10':>8s} {'shufMB':>8s} {'mxTkMB':>7s}"
+        f" {'rows':>9s} {'wall x':>7s}"
+    )
+    for qid in NEARDUP:
+        row = []
+        for sf_dir in (SRC, X10_DIR):
+            clear_session_frame_caches()
+            _noop_run(specs, spark, qid, sf_dir)  # warm/stage run
+            clear_session_frame_caches()          # measured run rebuilds
+            spark._jvm.System.gc()
+            seen = _stage_ids(app)
+            wall = _noop_run(specs, spark, qid, sf_dir)
+            sh, _inp, mt = _run_metrics(app, seen)
+            n = specs[qid].build(spark, sf_dir).count()
+            row.append((wall, sh / 1e6, mt / 1e6, n))
+        (w1, s1, m1, n1), (w2, s2, m2, n2) = row
+        print(
+            f"{qid:28s} {w1:6.2f}s {s1:8.1f} {m1:7.2f} {n1:9d}"
+            f" | {w2:7.2f}s {s2:8.1f} {m2:7.2f} {n2:9d} {w2 / w1:6.2f}x"
+        )
+
+
 def main():
-    qids = sys.argv[1:] or HEAVY
+    argv = sys.argv[1:]
+    neardup = "--neardup" in argv
+    qids = [a for a in argv if a != "--neardup"] or HEAVY
     print("== building x10 dataset (sf0.1 replicated 10x, keys shifted)")
     build_x10()
     spark = _session()
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry()
     _noop_run(specs, spark, "b15_agg_basic", "/root/testdata/sf0.01")  # warm
-    probe(spark, specs, qids)
+    if neardup:
+        probe_neardup(spark, specs)
+    else:
+        probe(spark, specs, qids)
     spark.stop()
 
 
