@@ -27,12 +27,59 @@ floors and oracles are untouched.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 #: Session conf naming a fault-tolerant checkpoint directory (HDFS/S3 on a
 #: real cluster; any shared path in tests). Set => reliable checkpoint();
 #: unset (the local[N] default) => localCheckpoint().
 CHECKPOINT_DIR_CONF = "spark.sg.checkpointDir"
+
+#: Session conf naming the StorageLevel for the scratch persist that
+#: bridges reliable checkpoint's two jobs (attribute name on
+#: ``pyspark.StorageLevel``, e.g. ``MEMORY_AND_DISK``). Default DISK_ONLY:
+#: the scratch copy is written once and read exactly once (by the
+#: checkpoint write job), so on the 100 TB path a deserialized in-memory
+#: copy of a corpus-sized staged frame is pure eviction pressure on the
+#: blocks downstream queries actually re-read — disk scratch costs one
+#: sequential write/read and nothing else (round-12 advice).
+SCRATCH_LEVEL_CONF = "spark.sg.checkpointScratchLevel"
+
+_DEFAULT_SCRATCH_LEVEL = "DISK_ONLY"
+
+
+def _scratch_level(spark) -> StorageLevel:
+    name = spark.conf.get(SCRATCH_LEVEL_CONF, _DEFAULT_SCRATCH_LEVEL)
+    level = getattr(StorageLevel, name, None)
+    if not isinstance(level, StorageLevel):
+        raise ValueError(
+            f"{SCRATCH_LEVEL_CONF}={name!r} is not a pyspark.StorageLevel name"
+        )
+    return level
+
+
+def _dir_current(sc, ck_dir: str) -> bool:
+    """True iff the context's registered checkpoint dir still lives under
+    ``ck_dir``. ``setCheckpointDir(d)`` registers a fresh UUID subdir under
+    ``d`` (possibly scheme-qualified, e.g. ``file:/d/<uuid>``), so compare
+    the registered dir's PARENT against the conf value with schemes
+    normalized away. Guards against an external ``setCheckpointDir`` call
+    desynchronizing :data:`_APPLIED_DIR` — without it the helper would
+    silently checkpoint into the foreign directory while believing the
+    conf value is applied (round-12 advice)."""
+    current = sc.getCheckpointDir()
+    if not current:
+        return False
+
+    def _norm(p: str) -> str:
+        head = p.split("/", 1)[0]
+        if ":" in head:  # scheme-qualified: file:/d, hdfs://nn/d, ...
+            p = p.split(":", 1)[1].lstrip("/")
+            p = "/" + p
+        return p.rstrip("/")
+
+    parent = _norm(current).rsplit("/", 1)[0]
+    return parent == _norm(ck_dir)
 
 
 def stage_checkpoint(df: DataFrame) -> DataFrame:
@@ -53,8 +100,10 @@ def stage_checkpoint(df: DataFrame) -> DataFrame:
     RECOMPUTES the lineage unless it can read cached blocks — exactly
     the recompute this helper exists to avoid, paid twice per staged
     frame otherwise (RDD.checkpoint's own scaladoc recommends persist).
-    The scratch cache is dropped once the files are written; consumers
-    read the checkpoint files.
+    The scratch level is ``spark.sg.checkpointScratchLevel`` (default
+    DISK_ONLY — see :data:`SCRATCH_LEVEL_CONF`); the scratch cache is
+    dropped once the files are written and consumers read the
+    checkpoint files.
 
     Checkpoint-file lifetime: files for a frame are reclaimed by the
     ContextCleaner when the frame is garbage-collected IF
@@ -79,11 +128,16 @@ def stage_checkpoint(df: DataFrame) -> DataFrame:
         # setCheckpointDir(d) registers a fresh UUID subdir UNDER d, so
         # getCheckpointDir() never equals the conf verbatim — track the
         # last conf value applied per context instead of re-registering
-        # (and re-mkdir'ing) on every staged frame.
-        if _APPLIED_DIR.get(sc.applicationId) != ck_dir:
+        # (and re-mkdir'ing) on every staged frame. The cheap dict check
+        # is re-validated against the context's ACTUAL registered dir so
+        # an external setCheckpointDir call cannot strand the helper on
+        # a stale belief (see _dir_current).
+        if _APPLIED_DIR.get(sc.applicationId) != ck_dir or not _dir_current(
+            sc, ck_dir
+        ):
             sc.setCheckpointDir(ck_dir)
             _APPLIED_DIR[sc.applicationId] = ck_dir
-        df.persist()
+        df.persist(_scratch_level(spark))
         try:
             return df.checkpoint(eager=True)
         finally:

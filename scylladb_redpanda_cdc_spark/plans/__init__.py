@@ -52,15 +52,15 @@ class QuerySpec:
 #: x50/x94/x107 via _standin_assign), x12's widened+capped LSH join,
 #: x121's phase-2 rework, the _embs_fanned corpus-pass restructures
 #: (x54/x111/x112/x113), and the _x2_pairs session cache (x2/x92/x97).
-_REWRITTEN = (
-    # Round 12: every round-11 rewrite earned a green r11 grade
-    # (CORRECTNESS_r11 is 50/50 over exactly that head), so the r11 list
-    # is cleared. The only round-12 plan changes are the shared
-    # one-fold SimHash kernel gaining a NULL-token-array coalesce
-    # (operators/llm.py::_simhash — semantics change only for NULL text,
-    # absent from fixtures, but the expression tree differs):
-    "x10_dedup_simhash",
-    "x101_simhash_hamming_pairs",
+_REWRITTEN: tuple[str, ...] = (
+    # Round 13: the round-12 rewrites (x10/x101) earned green r12 grades
+    # (CORRECTNESS_r12 heads with exactly those two), so the r12 list is
+    # cleared. Round-13 entries are the curation-gate family that now
+    # rides the shared _doc_stats token-stats frame (VERDICT r12 task 3):
+    "x20_corpus_prep",
+    "x57_curation_report",
+    "x88_gopher_gates",
+    "x120_filter_funnel",
 )
 
 # The round-9 name `_REPROOF` was kept as an alias through rounds 10-11
@@ -161,11 +161,26 @@ def clear_session_frame_caches() -> int:
 
     The caches exist because the driver grades one pass per query and
     several queries share an expensive upstream frame. They hold
-    checkpointed DataFrames, which pin executor blocks (local path) or
-    checkpoint files (reliable path) — a test that flips
-    ``spark.sg.checkpointDir`` calls this before AND after, so frames
-    built under one checkpoint regime never leak into the other, and a
-    long-lived session can call it to release staged storage."""
+    checkpointed or persisted DataFrames, which pin executor blocks
+    (persist / localCheckpoint) or checkpoint files (reliable path) — a
+    test that flips ``spark.sg.checkpointDir`` calls this before AND
+    after, so frames built under one checkpoint regime never leak into
+    the other, and a long-lived session can call it to release staged
+    storage.
+
+    Storage release is IMMEDIATE for blocks, not just eventual: each
+    dropped frame is explicitly ``unpersist()``-ed (round-12 advice —
+    clearing only the Python dicts left release to JVM GC +
+    ContextCleaner timing, so stale blocks could linger in a long-lived
+    session after a checkpoint-regime flip). Unpersisting a
+    checkpointed frame is safe here because the next builder call
+    rebuilds from source — nothing re-reads a cleared cache entry.
+    Reliable checkpoint FILES are still reclaimed asynchronously (the
+    ContextCleaner deletes them once the JVM-side RDD is GC'd;
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is set by
+    ``session.get_session`` — ``tests/test_checkpoint_helper.py`` pins
+    the reclaim). b35's hour-rollup cache lives as an attribute on its
+    session object by design and dies with the session, not here."""
     from scylladb_redpanda_cdc_spark.plans import (
         batch_queries,
         cdc_queries,
@@ -191,6 +206,13 @@ def clear_session_frame_caches() -> int:
         for name, val in vars(mod).items():
             if name.endswith("_cache") and isinstance(val, dict):
                 n += len(val)
+                for frame in val.values():
+                    if isinstance(frame, DataFrame):
+                        try:
+                            frame.unpersist(blocking=False)
+                        except Exception:
+                            # Session/JVM already gone: nothing to release.
+                            pass
                 val.clear()
     return n
 

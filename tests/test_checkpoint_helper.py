@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from scylladb_redpanda_cdc_spark.operators.checkpoint import (
     CHECKPOINT_DIR_CONF,
+    SCRATCH_LEVEL_CONF,
     stage_checkpoint,
 )
 from scylladb_redpanda_cdc_spark.plans import (
@@ -100,9 +101,91 @@ def test_reliable_path_computes_lineage_once(spark, reliable_dir):
     df = spark.createDataFrame(rdd, "v bigint")
     out = stage_checkpoint(df)
     assert out.count() == 1000
-    assert acc.value == 1000, (
+    # Accumulators double-count on task retries/speculation, so a loaded
+    # box can legitimately read slightly over 1000 — reject only the 2x
+    # full-recompute signature, which is what the persist exists to
+    # prevent (round-12 advice).
+    assert 1000 <= acc.value < 2000, (
         f"lineage evaluated {acc.value / 1000:.1f}x during reliable "
         "checkpoint — the write job recomputed instead of reading cache"
+    )
+
+
+def test_external_set_checkpoint_dir_resync(spark, tmp_path):
+    """An EXTERNAL ``sc.setCheckpointDir`` call between staged frames must
+    not strand the helper: the _APPLIED_DIR fast path re-validates the
+    context's actual registered dir and re-registers when a foreign call
+    moved it (round-12 advice — before the guard, the helper silently
+    checkpointed into the foreign directory while believing the conf
+    value was applied)."""
+    ours, foreign = str(tmp_path / "ours"), str(tmp_path / "foreign")
+    try:
+        spark.conf.set(CHECKPOINT_DIR_CONF, ours)
+        stage_checkpoint(spark.range(10)).count()
+        n_ours = len(_ck_files(ours))
+        assert n_ours > 0
+        # Foreign takeover of the context-global dir (e.g. another
+        # library, or an operator calling setCheckpointDir directly).
+        spark.sparkContext.setCheckpointDir(foreign)
+        stage_checkpoint(spark.range(10)).count()
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert len(_ck_files(ours)) > n_ours, (
+        "helper kept checkpointing into the foreign directory after an "
+        "external setCheckpointDir call"
+    )
+
+
+def test_scratch_level_conf(spark, reliable_dir):
+    """The persist bridging reliable checkpoint's two jobs honors
+    ``spark.sg.checkpointScratchLevel``; an unknown level name fails
+    loudly instead of silently caching at the wrong tier."""
+    try:
+        spark.conf.set(SCRATCH_LEVEL_CONF, "MEMORY_AND_DISK")
+        out = stage_checkpoint(spark.range(100))
+        assert out.count() == 100
+        spark.conf.set(SCRATCH_LEVEL_CONF, "NO_SUCH_LEVEL")
+        with pytest.raises(ValueError, match="NO_SUCH_LEVEL"):
+            stage_checkpoint(spark.range(100))
+    finally:
+        spark.conf.unset(SCRATCH_LEVEL_CONF)
+
+
+def test_checkpoint_files_reclaimed_after_cache_clear(spark, reliable_dir, sf_dir):
+    """Checkpoint-dir lifecycle in a long-lived session (VERDICT r12 task
+    5): run staged-frame queries under the reliable regime, clear the
+    session frame caches, drop the local handles, force GC — the
+    ContextCleaner (``spark.cleaner.referenceTracking.cleanCheckpoints``,
+    set at context creation by ``session.get_session``) must actually
+    delete the orphaned checkpoint files, or a long-lived session grows
+    its checkpoint dir without bound."""
+    import gc
+    import time
+
+    # Two cache-backed staged-frame consumers: the MinHash band chain
+    # (x2) and the ngram-Jaccard pair set + CC labels (x21).
+    for qid in ("x2_dedup_fuzzy_minhash", "x21_dedup_cluster_cc"):
+        df = _SPECS[qid].build(spark, sf_dir)
+        df.count()
+        del df
+    n_before = len(_ck_files(reliable_dir))
+    assert n_before > 0, "staged queries never hit the reliable path"
+    clear_session_frame_caches()
+    # Release: Python GC drops the py4j handles -> JVM GC collects the
+    # RDDs -> ContextCleaner's weak-ref queue fires the async file
+    # delete. Poll with a bounded wait; force both GCs each round.
+    deadline = time.monotonic() + 60
+    n_after = n_before
+    while time.monotonic() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        n_after = len(_ck_files(reliable_dir))
+        if n_after < n_before:
+            break
+        time.sleep(1.0)
+    assert n_after < n_before, (
+        f"checkpoint dir never shrank after cache clear + GC "
+        f"({n_before} files before, {n_after} after)"
     )
 
 
