@@ -55,9 +55,13 @@ class QuerySpec:
 _REWRITTEN: tuple[str, ...] = (
     # Round 13: the round-12 rewrites (x10/x101) earned green r12 grades
     # (CORRECTNESS_r12 heads with exactly those two), so the r12 list is
-    # cleared. Round-13 entries are the curation-gate family that now
+    # cleared. Round-13 entries are the text-statistics family that now
     # rides the shared _doc_stats token-stats frame (VERDICT r12 task 3):
+    "x15_text_quality_score",
+    "x16_text_token_count",
     "x20_corpus_prep",
+    "x22_text_repetition",
+    "x48_quality_classifier",
     "x57_curation_report",
     "x88_gopher_gates",
     "x120_filter_funnel",

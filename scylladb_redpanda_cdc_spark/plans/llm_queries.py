@@ -646,24 +646,31 @@ def x14_text_langid(spark, sf_dir):
 
 def x15_text_quality_score(spark, sf_dir):
     """Quality scoring from length / punctuation / stopword ratios — exact
-    rational arithmetic, identical op order on both engines."""
-    d = _T(spark, sf_dir, "documents")
-    ws = words(F.col("text"))
-    n_words = F.size(ws)
-    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
-    n_chars = F.length("text")
-    n_alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    rational arithmetic, identical op order on both engines. Reads the
+    staged ``_doc_stats`` frame (round 13 — ONE corpus tokenize pass for
+    the whole text-statistics family; integer->double casts are exact,
+    so the ratios and blended score are bit-identical to the inline
+    form)."""
     alpha_ratio = F.coalesce(
-        n_alpha.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double"), F.lit(0.0)
+        F.col("n_alpha").cast("double")
+        / F.nullif(F.col("n_chars"), F.lit(0)).cast("double"),
+        F.lit(0.0),
     )
     stop_ratio = F.coalesce(
-        n_stop.cast("double") / F.nullif(n_words, F.lit(0)).cast("double"), F.lit(0.0)
+        F.col("n_stop").cast("double")
+        / F.nullif(F.col("n_words"), F.lit(0)).cast("double"),
+        F.lit(0.0),
     )
-    len_score = F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
-    score = alpha_ratio * 0.4 + (F.lit(1.0) - stop_ratio) * 0.3 + len_score * 0.3
-    return d.select(
+    len_score = F.least(
+        F.col("n_words").cast("double") / F.lit(100.0), F.lit(1.0)
+    )
+    score = (
+        alpha_ratio * 0.4 + (F.lit(1.0) - stop_ratio) * 0.3 + len_score * 0.3
+    )
+    return _doc_stats(spark, sf_dir).select(
         "doc_id",
-        n_words.alias("n_words"),
+        # original emitted F.size()'s INT — keep the published dtype
+        F.col("n_words").cast("int").alias("n_words"),
         alpha_ratio.alias("alpha_ratio"),
         stop_ratio.alias("stop_ratio"),
         score.alias("quality_score"),
@@ -672,19 +679,16 @@ def x15_text_quality_score(spark, sf_dir):
 
 def x16_text_token_count(spark, sf_dir):
     """Token counting: whitespace tokens and a BPE-ish regex tokenizer
-    (alnum runs + single punctuation marks)."""
-    d = _T(spark, sf_dir, "documents")
-    ws_tokens = F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
-    bpe_tokens = F.regexp_extract_all(
-        F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
-    )
-    n_bpe = F.size(bpe_tokens)
-    return d.select(
+    (alnum runs + single punctuation marks). Both counts ride the staged
+    ``_doc_stats`` pass (round 13) — the tokenizer census shares the
+    family's single corpus read instead of re-scanning."""
+    return _doc_stats(spark, sf_dir).select(
         "doc_id",
-        F.size(ws_tokens).alias("n_ws_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
+        F.col("n_ws_tokens").cast("int").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
         (
-            F.length("text").cast("double") / F.nullif(n_bpe, F.lit(0)).cast("double")
+            F.col("n_chars").cast("double")
+            / F.nullif(F.col("n_bpe_tokens"), F.lit(0)).cast("double")
         ).alias("chars_per_token"),
     )
 
@@ -832,17 +836,16 @@ def x22_text_repetition(spark, sf_dir):
     high and fail the <= 0.2 gate. Pure per-row expression algebra — no
     shuffle at all. The gate uses integer arithmetic (5*(total-distinct) <=
     total) so both engines decide knife-edge cases identically; the ratio
-    itself is a single IEEE division, bit-equal across engines."""
-    d = _T(spark, sf_dir, "documents")
-    d = d.select("doc_id", word_grams(words(F.col("text")), 2).alias("_g2"))
-    grams = F.col("_g2")
-    t = F.size(grams).cast("long")
-    dct = F.size(F.array_distinct(grams)).cast("long")
+    itself is a single IEEE division, bit-equal across engines. The
+    bigram counts come from the staged ``_doc_stats`` frame (round 13 —
+    the family's single corpus tokenize pass)."""
+    t = F.col("bg_total")
+    dct = F.col("bg_distinct")
     ratio = F.when(
         t > 0, F.lit(1.0) - dct.cast("double") / t.cast("double")
     ).otherwise(F.lit(0.0))
     gate = F.when(t == 0, F.lit(True)).otherwise((F.lit(5) * (t - dct)) <= t)
-    return d.select(
+    return _doc_stats(spark, sf_dir).select(
         "doc_id",
         t.alias("n_bigrams"),
         dct.alias("n_distinct_bigrams"),
@@ -2112,26 +2115,29 @@ _doc_stats_cache: dict[tuple[str, str], "DataFrame"] = {}
 
 
 def _doc_stats(spark, sf_dir):
-    """ONE tokenize pass for the curation-gate family (x20/x57/x88/x120):
-    per-doc exact integer token statistics plus the normalized-text hash,
-    staged per (session, dataset).
+    """ONE tokenize pass for the per-doc text-statistics family
+    (x15/x16/x20/x22/x48/x57/x88/x120): exact integer token statistics
+    plus the normalized-text hash, staged per (session, dataset).
 
-    Rationale (VERDICT r12 task 3): each gate query is individually
-    map-only, but under one-pass-per-query grading x20, x57, x88 and
-    x120 each re-ran the identical tokenize+regex scan over the corpus —
-    at 100 TB that is four read-every-byte passes where one suffices.
-    The statistics frame is ~10 longs + one 64-char hash per doc
-    (corpus-text-free, thousands of times narrower than the corpus), so
-    staging it via ``stage_checkpoint`` trades four full-text scans for
-    one scan plus three narrow re-reads. Every downstream gate (Gopher
-    rules, the x48 integer margin, x15's blended double score, exact
-    dedup) derives from EXACTLY these integers, with the same
+    Rationale (VERDICT r12 task 3): each gate/score query is
+    individually map-only, but under one-pass-per-query grading every
+    family member re-ran an identical tokenize+regex scan over the
+    corpus — at 100 TB that is eight read-every-byte passes where one
+    suffices. The statistics frame is ~12 longs + one 64-char hash per
+    doc (corpus-text-free, thousands of times narrower than the
+    corpus), so staging it via ``stage_checkpoint`` trades the repeated
+    full-text scans for one scan plus narrow re-reads. Every downstream
+    consumer (Gopher rules, the x48 integer margin, x15's blended
+    double score, x22's repetition rational, x16's tokenizer census,
+    exact dedup) derives from EXACTLY these integers, with the same
     expression order as before, so scores stay bit-identical and the
     oracles are untouched.
 
     Columns: doc_id, lang, text_hash, n_words, n_chars, n_alpha,
     n_stop (with repeats), n_stop_distinct, n_distinct (distinct
-    tokens), bg_total/bg_distinct (bigram counts). All counts BIGINT."""
+    tokens), bg_total/bg_distinct (bigram counts), n_ws_tokens
+    (whitespace split), n_bpe_tokens (BPE-ish regex). All counts
+    BIGINT."""
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     if cache_key in _doc_stats_cache:
         return _doc_stats_cache[cache_key]
@@ -2161,6 +2167,18 @@ def _doc_stats(spark, sf_dir):
             F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
             F.size(grams).cast("long").alias("bg_total"),
             F.size(F.array_distinct(grams)).cast("long").alias("bg_distinct"),
+            F.size(
+                F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+            )
+            .cast("long")
+            .alias("n_ws_tokens"),
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+                )
+            )
+            .cast("long")
+            .alias("n_bpe_tokens"),
         )
     )
     _doc_stats_cache[cache_key] = out
@@ -2248,30 +2266,28 @@ def x48_quality_classifier(spark, sf_dir):
     via integer division, identical truncation in both engines), and the
     keep decision is ``margin >= 0`` — bit-free of float divergence.
 
-    Scale shape: map-only expression algebra over the token array — zero
-    shuffles, whole-stage codegen, embarrassingly parallel; the model
-    rides in the instruction stream (literal weights), not in a join."""
-    return quality_classify(_docs_fanned(spark, sf_dir))
+    Scale shape: map-only expression algebra over the staged
+    ``_doc_stats`` frame (round 13 — the family's single corpus tokenize
+    pass) — zero shuffles, embarrassingly parallel; the model rides in
+    the instruction stream (literal weights), not in a join."""
+    return quality_classify_stats(
+        _doc_stats(spark, sf_dir).filter(F.col("n_words") > 0)
+    )
 
 
-def quality_classify(d):
-    """The x48 kernel on any docs-shaped DataFrame (doc_id, text) —
-    shared verbatim by the batch spec and s16's streaming apply, so the
-    two can never drift."""
-    t = d.select("doc_id", words(F.col("text")).alias("ws")).filter(
-        F.size("ws") > 0
-    )
-    n_words = F.size("ws").cast("long")
-    n_stop = F.size(F.filter(F.col("ws"), lambda w: w.isin(*STOPWORDS))).cast(
-        "long"
-    )
-    n_distinct = F.size(F.array_distinct("ws")).cast("long")
-    feat = t.select(
+def quality_classify_stats(stats):
+    """The x48 margin algebra over a token-stats frame (``doc_id``,
+    ``n_words`` > 0, ``n_stop``, ``n_distinct`` — all BIGINT). The ONE
+    place the model's feature/margin arithmetic lives: the batch spec
+    applies it to the staged ``_doc_stats`` frame and s16's streaming
+    apply reaches it through :func:`quality_classify`, so the two can
+    never drift."""
+    feat = stats.select(
         "doc_id",
-        n_words.alias("n_words"),
-        F.least(n_words, F.lit(200).cast("long")).alias("f_len"),
-        (n_stop * F.lit(1_000_000)).alias("_stop_num"),
-        (n_distinct * F.lit(1_000_000)).alias("_ttr_num"),
+        "n_words",
+        F.least(F.col("n_words"), F.lit(200).cast("long")).alias("f_len"),
+        (F.col("n_stop") * F.lit(1_000_000)).alias("_stop_num"),
+        (F.col("n_distinct") * F.lit(1_000_000)).alias("_ttr_num"),
     ).select(
         "doc_id",
         "n_words",
@@ -2292,6 +2308,26 @@ def quality_classify(d):
         "f_ttr_ppm",
         margin.alias("margin_micro"),
         (margin >= X48_TAU).alias("keep"),
+    )
+
+
+def quality_classify(d):
+    """The x48 kernel on any docs-shaped DataFrame (doc_id, text) — the
+    tokenize front half feeding :func:`quality_classify_stats` (s16's
+    streaming apply enters here; the batch spec enters at the stats
+    layer with the staged family frame)."""
+    t = d.select("doc_id", words(F.col("text")).alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    return quality_classify_stats(
+        t.select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.size(F.filter(F.col("ws"), lambda w: w.isin(*STOPWORDS)))
+            .cast("long")
+            .alias("n_stop"),
+            F.size(F.array_distinct("ws")).cast("long").alias("n_distinct"),
+        )
     )
 
 
