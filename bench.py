@@ -52,7 +52,7 @@ BASELINE_S = {
     "x2_dedup_fuzzy_minhash": 0.080,
     "x3_sim_cosine_topk": 0.525,
     "x7_text_tfidf": 0.947,
-    "x16_text_token_count": 0.463,
+    "x16_text_token_count": 0.093,  # re-floored r13 (_doc_stats one-pass family)
     "x18_multimodal_decode": 0.454,
     "s10_foreachbatch_upsert": 2.209,
     # Round-6 extension (BASELINE.md "Round-6 extension"): the heavy
@@ -189,7 +189,7 @@ BASELINE_S = {
     "o15_shuffle_skew_probe": 0.685,
     "x118_paragraph_dedup": 0.849,
     "x119_template_prefix_cluster": 0.827,
-    "x120_filter_funnel": 1.719,
+    "x120_filter_funnel": 1.064,  # re-floored r13 (_doc_stats one-pass family)
     # x121 re-floored 0.536 -> 1.348 in round 9 (two-phase histogram
     # rank) and 1.348 -> 1.580 in round 10 (second corpus checkpoint
     # dropped; BASELINE.md "Round-10 re-floor", best of the two
@@ -236,11 +236,11 @@ BASELINE_S = {
     "x9_multimodal_struct": 0.155,
     "x11_dedup_ngram_jaccard": 0.065,
     "x14_text_langid": 0.264,
-    "x15_text_quality_score": 0.397,
+    "x15_text_quality_score": 0.154,  # re-floored r13 (_doc_stats one-pass family)
     "x17_doc_fingerprint": 0.357,
     "x19_frame_sample": 0.116,
-    "x20_corpus_prep": 1.203,
-    "x22_text_repetition": 0.626,
+    "x20_corpus_prep": 0.642,  # re-floored r13 (_doc_stats one-pass family)
+    "x22_text_repetition": 0.082,  # re-floored r13 (_doc_stats one-pass family)
     "x23_split_train_test": 0.108,
     "x24_seq_packing": 0.227,
     "x25_stratified_sample": 0.203,
@@ -311,7 +311,7 @@ BASELINE_S = {
     "x43_bm25_rank": 1.373,
     "x44_lang_temperature_mix": 0.187,
     "x47_contamination_score": 0.766,
-    "x48_quality_classifier": 0.279,
+    "x48_quality_classifier": 0.145,  # re-floored r13 (_doc_stats one-pass family)
     "x49_token_budget_mix": 0.608,
     "x51_dsir_proxy": 1.036,
     "x52_tokenizer_fertility": 0.334,
@@ -352,7 +352,7 @@ BASELINE_S = {
     "a24_snapshot_live_cutover": 0.237,
     "a21_replay_idempotence": 0.167,
     "x56_mixture_sample": 0.751,
-    "x57_curation_report": 1.603,
+    "x57_curation_report": 0.943,  # re-floored r13 (_doc_stats one-pass family)
     "x60_snapshot_diff": 0.271,
     "x66_countmin_sketch": 1.207,
     "x83_bloom_prefilter": 0.523,
@@ -388,7 +388,7 @@ BASELINE_S = {
     "x82_content_defined_chunks": 0.417,
     "x84_source_minhash_overlap": 1.123,
     "x85_dedup_method_report": 0.667,
-    "x88_gopher_gates": 0.654,
+    "x88_gopher_gates": 0.161,  # re-floored r13 (_doc_stats one-pass family)
     "b17_agg_approx_distinct": 1.305,
     "a14_envelope_encode": 0.071,
     "x4_sim_lsh_approx": 0.579,
