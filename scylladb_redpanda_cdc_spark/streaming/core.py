@@ -178,6 +178,45 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: these helpers and keeps the session's own setting.
 STREAM_SINK_SHUFFLE_PARTITIONS = int(os.environ.get("SG_STREAM_SINK_SHUFFLE", "1"))
 
+#: Target on-disk parquet bytes per file for foreachBatch STATE writes.
+#: 32 MB of parquet ≈ 100-150 MB of in-flight rows per write task — small
+#: enough to bound task memory, large enough to keep file counts sane.
+STATE_TARGET_FILE_BYTES = int(
+    os.environ.get("SG_STATE_TARGET_FILE_BYTES", str(32 * 1024 * 1024))
+)
+
+
+def state_file_count(spark: SparkSession, prev_path: str | None, floor: int) -> int:
+    """Partition count for a foreachBatch state-version write: target
+    ~:data:`STATE_TARGET_FILE_BYTES` of parquet per file, estimated from
+    the PREVIOUS version's on-disk size (state size moves slowly between
+    versions), floored at the caller's fixed count so fixture-scale plans
+    and floors stay byte-identical.
+
+    Why not a bare ``coalesce(floor)``: coalesce propagates UP the
+    physical plan — it caps the parallelism of the entire final merge
+    stage, not just the file count. The round-13 ×100 decade-3 probe
+    measured that collapse as a 643 MB single task on s17's state merge
+    (16 tasks each dragging state/16 of join+union work); another decade
+    would put one task past executor memory. Sizing the count from the
+    state's actual bytes keeps per-task volume bounded at ANY corpus
+    size while file count stays proportional to data — the "target file
+    SIZE" rule real lakehouse writers use. The Hadoop FS API prices
+    HDFS/S3 state dirs the same way as local ones; on any failure the
+    floor is returned (never wrong, merely small)."""
+    if not prev_path:
+        return floor
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(prev_path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        nbytes = fs.getContentSummary(p).getLength()
+    except Exception:
+        return floor
+    import math
+
+    return max(floor, min(4096, math.ceil(nbytes / STATE_TARGET_FILE_BYTES)))
+
 
 @contextmanager
 def scoped_shuffle(spark: SparkSession, n: int = -1):

@@ -29,6 +29,7 @@ from scylladb_redpanda_cdc_spark.streaming.core import (
     scoped_conf,
     scoped_shuffle,
     staged_dir_valid,
+    state_file_count,
     tmpdir,
 )
 
@@ -221,7 +222,9 @@ def _run_incremental_merge(changes: DataFrame, key_cols: list[str], compact) -> 
         # coalesce the state gains ~shuffle.partitions files per batch
         # (compounding read fan-out). Real deployments target file SIZE
         # here; a fixed small count is the local equivalent.
-        merged.coalesce(16).write.mode("overwrite").parquet(new_path)
+        merged.coalesce(
+            state_file_count(spark, current["path"], 16)
+        ).write.mode("overwrite").parquet(new_path)
         current["path"] = new_path
         batch_latest.unpersist()
         if prev is not None:
@@ -421,7 +424,9 @@ def incremental_dedup_stream(docs: DataFrame) -> DataFrame:
         )
         enriched.select(
             "doc_id", "text_hash", verdict.alias("verdict")
-        ).coalesce(4).write.mode("append").parquet(out)
+        ).coalesce(
+            state_file_count(spark, current["path"], 4)
+        ).write.mode("append").parquet(out)
         new_hashes = firsts.select("text_hash")
         merged = (
             new_hashes
@@ -429,7 +434,9 @@ def incremental_dedup_stream(docs: DataFrame) -> DataFrame:
             else idx.unionByName(new_hashes).distinct()
         )
         new_path = os.path.join(idx_base, f"v{batch_id}")
-        merged.coalesce(8).write.mode("overwrite").parquet(new_path)
+        merged.coalesce(
+            state_file_count(spark, current["path"], 8)
+        ).write.mode("overwrite").parquet(new_path)
         current["path"] = new_path
         hashed.unpersist()
         firsts.unpersist()
@@ -548,8 +555,12 @@ def incremental_mv_stream(
         )
         state_path = os.path.join(state_base, f"v{batch_id}")
         mv_path = os.path.join(mv_base, f"v{batch_id}")
-        merged.coalesce(16).write.mode("overwrite").parquet(state_path)
-        mv_new.coalesce(4).write.mode("overwrite").parquet(mv_path)
+        merged.coalesce(
+            state_file_count(spark, current["state"], 16)
+        ).write.mode("overwrite").parquet(state_path)
+        mv_new.coalesce(
+            state_file_count(spark, current["mv"], 4)
+        ).write.mode("overwrite").parquet(mv_path)
         current["state"] = state_path
         current["mv"] = mv_path
         batch_latest.unpersist()
@@ -610,7 +621,9 @@ def heavy_hitters_stream(docs: DataFrame) -> DataFrame:
                 .agg(F.sum("n").alias("n"))
             )
         new_path = os.path.join(state_base, f"v{batch_id}")
-        counts.coalesce(8).write.mode("overwrite").parquet(new_path)
+        counts.coalesce(
+            state_file_count(spark, current["path"], 8)
+        ).write.mode("overwrite").parquet(new_path)
         current["path"] = new_path
 
     with scoped_shuffle(spark):
