@@ -65,6 +65,11 @@ _REWRITTEN: tuple[str, ...] = (
     "x57_curation_report",
     "x88_gopher_gates",
     "x120_filter_funnel",
+    # s16 applies the same x48 kernel inside the ingest stream; its plan
+    # body moved through quality_classify_stats in the same refactor, so
+    # it re-proves alongside the batch family even though the published
+    # algebra is bit-identical by construction.
+    "s16_stream_quality_filter",
 )
 
 # The round-9 name `_REPROOF` was kept as an alias through rounds 10-11
