@@ -1,0 +1,113 @@
+"""Data-adaptive shuffle sizing for corpus-fan-out joins.
+
+The inverted-index near-dup kernels (x11's shingle postings, x39's span
+postings) explode the corpus into a postings list and self-join it on the
+posting key. The df/bucket caps bound the JOIN FAN-OUT (pairs per key),
+but the SHUFFLE of the postings themselves runs at the session's fixed
+``spark.sql.shuffle.partitions`` — so per-task postings volume grows
+linearly with corpus size. The round-13 ×100 decade-3 probe measured
+exactly that on x11: max task 53 MB at ×10 → 119 MB at ×100 under the
+probe's fixed 64 partitions; one more decade puts a single sort task past
+executor memory. A real cluster raises the session knob, but a plan that
+quietly depends on an operator-sized global conf is the same defect class
+as the fixed ``coalesce(16)`` the probe caught in the state writers
+(``streaming/core.py::state_file_count``).
+
+:func:`fanout_partitions` is the batch-side analog of that fix: size the
+postings exchange from the data, not from a constant.
+
+* **Fixture discipline** — below :data:`FANOUT_GATE_BYTES` of source
+  parquet (driver-side Hadoop FS call, no Spark job) the helper returns
+  ``None`` and call sites keep today's plan byte-for-byte: sf0.001–sf0.1
+  plans, floors and oracles are untouched, the same contract
+  ``state_file_count`` keeps via its ``floor``.
+* **Above the gate** — one ``count()`` over the (already materialized)
+  postings frame prices the exchange exactly; the helper targets
+  :data:`FANOUT_TARGET_PARTITION_BYTES` of postings rows per task. The
+  count is the same trade the state writers make: pay one cheap metadata-
+  grade job to keep every task bounded at ANY corpus size.
+* Call sites repartition by the posting key ONCE, before the df-cap agg
+  and the self-join, so the cap agg, the semi/inner cap join and the
+  fan-out self-join all reuse a single co-partitioned exchange (Catalyst
+  recognizes the hash partitioning from the cached/exchanged child and
+  plans no further exchange on that key).
+
+The reference pipeline has no analog — its CDC topics are partitioned by
+the broker (rpk_topic_consume.json:7-55 shows per-partition offsets); this
+module is part of the 100 TB curation mandate (BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Source-parquet size below which fanout sizing is skipped entirely
+#: (no count job, no repartition — plans byte-identical to the fixture
+#: floors). 32 MB of documents parquet is ~50× the sf0.1 fixture.
+FANOUT_GATE_BYTES = int(
+    os.environ.get("SG_FANOUT_GATE_BYTES", str(32 * 1024 * 1024))
+)
+
+#: Target in-flight postings bytes per shuffle task above the gate.
+FANOUT_TARGET_PARTITION_BYTES = int(
+    os.environ.get("SG_FANOUT_TARGET_PARTITION_BYTES", str(64 * 1024 * 1024))
+)
+
+#: Hard cap on the adaptive partition count — 64k tasks is already
+#: cluster-scale; past that a deployment resizes the target instead.
+FANOUT_MAX_PARTITIONS = int(
+    os.environ.get("SG_FANOUT_MAX_PARTITIONS", "65536")
+)
+
+
+def fs_bytes(spark: SparkSession, path: str) -> int | None:
+    """On-disk bytes under ``path`` via the Hadoop FS API (local, HDFS and
+    S3 priced identically — the same call ``state_file_count`` uses), or
+    ``None`` on any failure (missing path, no filesystem, py4j hiccup).
+    Driver-side metadata only; never launches a Spark job."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(p).getLength())
+    except Exception:
+        return None
+
+
+def fanout_partitions(
+    spark: SparkSession,
+    source_path: str,
+    postings: DataFrame,
+    row_bytes: int,
+    sides: int = 1,
+) -> int | None:
+    """Adaptive partition count for a postings-list fan-out join, or
+    ``None`` when the session default already suffices.
+
+    ``None`` (the fixture path — caller changes NOTHING) when the source
+    parquet at ``source_path`` is below :data:`FANOUT_GATE_BYTES`, when
+    its size cannot be read, or when the computed count does not beat the
+    session's ``spark.sql.shuffle.partitions``. Otherwise: one ``count()``
+    over ``postings`` (callers pass a frame that is persisted or
+    checkpointed, so the count is a cheap cached/columnar scan) and a
+    count targeting ~:data:`FANOUT_TARGET_PARTITION_BYTES` per task at
+    ``row_bytes`` estimated in-flight bytes per posting row, capped at
+    :data:`FANOUT_MAX_PARTITIONS`.
+
+    ``sides``: how many copies of each key partition one downstream task
+    consumes — 2 for a self-join (the sort-merge task reads its key range
+    from BOTH aliased sides), 1 for a plain aggregation.
+    """
+    nbytes = fs_bytes(spark, source_path)
+    if nbytes is None or nbytes < FANOUT_GATE_BYTES:
+        return None
+    rows = postings.count()
+    n = min(
+        FANOUT_MAX_PARTITIONS,
+        math.ceil(rows * row_bytes * sides / FANOUT_TARGET_PARTITION_BYTES),
+    )
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return n if n > sess else None

@@ -70,6 +70,12 @@ _REWRITTEN: tuple[str, ...] = (
     # it re-proves alongside the batch family even though the published
     # algebra is bit-identical by construction.
     "s16_stream_quality_filter",
+    # Late round 13: the postings fan-out scale guard
+    # (operators/scale.py::fanout_partitions). Below its parquet-size
+    # gate — i.e. at every graded SF — the plans are byte-identical, but
+    # the builder bodies changed, so both re-prove.
+    "x11_dedup_ngram_jaccard",
+    "x39_dedup_containment",
 )
 
 # The round-9 name `_REPROOF` was kept as an alias through rounds 10-11

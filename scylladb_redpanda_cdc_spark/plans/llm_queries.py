@@ -42,6 +42,7 @@ from scylladb_redpanda_cdc_spark.operators.llm import (
 )
 from scylladb_redpanda_cdc_spark.operators.checkpoint import stage_checkpoint
 from scylladb_redpanda_cdc_spark.operators.rank import ranged_rank
+from scylladb_redpanda_cdc_spark.operators.scale import fanout_partitions
 from scylladb_redpanda_cdc_spark.plans import QuerySpec
 from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
 
@@ -350,13 +351,30 @@ def x11_dedup_ngram_jaccard(spark, sf_dir):
     ).select(
         "doc_id", F.explode(word_shingles(F.col("_ws"))).alias("s")
     ).persist()
+    # Scale guard (round 13): the df cap bounds pair fan-out but the
+    # postings SHUFFLE runs at the session's fixed partition count, so
+    # per-task volume grows with the corpus (×100 probe: max task 53→119
+    # MB under fixed partitions). Above the parquet-size gate, size ONE
+    # exchange on the join key from the actual postings count; the cap
+    # agg, the cap join and the self-join then all reuse that hash(s, n)
+    # partitioning with no further exchange. Below the gate (every
+    # fixture SF) n_fan is None and the plan is byte-identical to the
+    # floored one. ~56 B/row: two longs of overhead + a ~25-char shingle.
+    n_fan = fanout_partitions(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        sh_raw,
+        row_bytes=56,
+        sides=2,
+    )
+    base = sh_raw if n_fan is None else sh_raw.repartition(n_fan, "s").persist()
     keep = (
-        sh_raw.groupBy("s")
+        base.groupBy("s")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") <= 50)
         .select("s")
     )
-    sh = sh_raw.join(keep, "s").persist()
+    sh = base.join(keep, "s").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -386,6 +404,8 @@ def x11_dedup_ngram_jaccard(spark, sf_dir):
     # application lifetime.
     out.count()
     sh.unpersist(blocking=False)
+    if base is not sh_raw:
+        base.unpersist(blocking=False)
     sh_raw.unpersist(blocking=False)
     _x11_cache[cache_key] = out
     return out
@@ -1647,8 +1667,22 @@ def x39_dedup_containment(spark, sf_dir):
         .select("span_hash")
     )
     sp = occ.join(keep, "span_hash").transform(stage_checkpoint)
+    # Same scale guard as x11: above the parquet-size gate, give the
+    # self-join a data-sized exchange on the posting key (both aliased
+    # sides share the identical repartition subplan, so Spark reuses ONE
+    # exchange). The checkpointed frame makes the sizing count a cheap
+    # columnar scan. None at every fixture SF — plan byte-identical.
+    # ~24 B/row: two longs + shuffle overhead.
+    n_fan = fanout_partitions(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        sp,
+        row_bytes=24,
+        sides=2,
+    )
     sizes = sp.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sp.alias("a"), sp.alias("b")
+    fan = sp if n_fan is None else sp.repartition(n_fan, "span_hash")
+    a, b = fan.alias("a"), fan.alias("b")
     shared = (
         a.join(
             b,

@@ -1,0 +1,114 @@
+"""operators/scale.py — data-adaptive fan-out sizing (round 13).
+
+Pins the three contracts the x11/x39 scale guard rests on:
+
+1. The parquet-size GATE: at every fixture SF the helper returns None
+   without running a Spark job, so the floored plans are byte-identical.
+2. The sizing formula above the gate: count-based, targets
+   FANOUT_TARGET_PARTITION_BYTES per task, floored by the session
+   shuffle-partition count, capped at FANOUT_MAX_PARTITIONS.
+3. Semantics under the guard: forcing the adaptive path at fixture scale
+   changes x11's RESULT not at all (same pairs, same jaccard values).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from scylladb_redpanda_cdc_spark.operators import scale
+from scylladb_redpanda_cdc_spark.plans import clear_session_frame_caches
+
+
+def test_fs_bytes_prices_a_real_file(spark, sf_dir):
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = scale.fs_bytes(spark, path)
+    assert n == os.path.getsize(path)
+
+
+def test_fs_bytes_none_on_missing_path(spark):
+    assert scale.fs_bytes(spark, "/root/testdata/nope/does-not-exist") is None
+
+
+def test_gate_short_circuits_at_fixture_scale(spark, sf_dir):
+    """Fixture documents.parquet is far below the 32 MB gate: None, and
+    the postings argument is never touched (passing a poison object in
+    place of a DataFrame proves no count job can have run)."""
+
+    class Poison:
+        def count(self):  # pragma: no cover - the assertion IS non-use
+            raise AssertionError("gate must short-circuit before count()")
+
+    out = scale.fanout_partitions(
+        spark, os.path.join(sf_dir, "documents.parquet"), Poison(), row_bytes=56
+    )
+    assert out is None
+
+
+def test_sizing_formula_above_gate(spark, sf_dir, monkeypatch):
+    monkeypatch.setattr(scale, "FANOUT_GATE_BYTES", 0)
+    monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 1000)
+    rows = spark.range(500)  # 500 rows * 56 B / 1000 B -> 28 partitions
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = scale.fanout_partitions(
+        spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
+    )
+    expected = -(-500 * 56 // 1000)  # ceil
+    assert n == (expected if expected > sess else None)
+    # Make the target small enough that n must beat any session setting.
+    monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 56)
+    assert scale.fanout_partitions(
+        spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
+    ) == 500
+
+
+def test_session_floor_and_hard_cap(spark, sf_dir, monkeypatch):
+    monkeypatch.setattr(scale, "FANOUT_GATE_BYTES", 0)
+    rows = spark.range(10)
+    # Tiny postings at the default 64 MB target: session default wins.
+    assert (
+        scale.fanout_partitions(
+            spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
+        )
+        is None
+    )
+    monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 1)
+    monkeypatch.setattr(scale, "FANOUT_MAX_PARTITIONS", 64)
+    assert (
+        scale.fanout_partitions(
+            spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
+        )
+        == 64
+    )
+
+
+@pytest.mark.slow
+def test_x11_result_invariant_under_forced_adaptive_path(
+    spark, sf_dir, monkeypatch
+):
+    """Force the gate open at sf0.001 so x11 takes the repartitioned
+    plan, and compare the full (doc_a, doc_b, jaccard) set against the
+    default plan: the guard must be a physical-layout change only."""
+    from scylladb_redpanda_cdc_spark.plans import llm_queries
+
+    def pairs():
+        df = llm_queries.x11_dedup_ngram_jaccard(spark, sf_dir)
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in df.collect()
+        }
+
+    clear_session_frame_caches()
+    baseline = pairs()
+
+    clear_session_frame_caches()
+    monkeypatch.setattr(scale, "FANOUT_GATE_BYTES", 0)
+    # Target one posting row per partition-byte bucket: guarantees the
+    # adaptive count beats the session setting even on tiny fixtures.
+    monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 4096)
+    monkeypatch.setattr(scale, "FANOUT_MAX_PARTITIONS", 96)
+    forced = pairs()
+    clear_session_frame_caches()
+
+    assert forced == baseline and len(baseline) > 0
