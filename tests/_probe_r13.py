@@ -97,14 +97,13 @@ def _drive_stream(spark, changes, body) -> float:
     return time.perf_counter() - t0
 
 
-def probe_s22(spark, specs):
+def probe_s22(spark, specs, dirs=None):
     from scylladb_redpanda_cdc_spark.streaming.ops import (
         stage_changelog_stream,
     )
 
     print("== s22 decomposition (machinery vs data term)")
-    for sf_dir in (SRC, X10_DIR):
-        label = "sf0.1" if sf_dir == SRC else "x10  "
+    for label, sf_dir in dirs or (("sf0.1", SRC), ("x10  ", X10_DIR)):
         # Warm run (stages the changelog files + codegen).
         r12._noop_run(specs, spark, "s22_stream_scd2", sf_dir)
         spark._jvm.System.gc()
@@ -154,7 +153,7 @@ def probe_s22(spark, specs):
 # ---------------------------------------------------------------------------
 
 
-def probe_b31(spark, specs):
+def probe_b31(spark, specs, dirs=None):
     print("== b31 salted skew join, broadcast disabled at both scales")
     app = r12._app_id()
     keys = (
@@ -170,17 +169,19 @@ def probe_b31(spark, specs):
         spark.conf.set(k, "-1")
     try:
         row = []
-        for sf_dir in (SRC, X10_DIR):
+        labels = []
+        for label, sf_dir in dirs or (("sf0.1", SRC), ("x10", X10_DIR)):
             r12._noop_run(specs, spark, "b31_join_skew_salted", sf_dir)
             spark._jvm.System.gc()
             seen = r12._stage_ids(app)
             wall = r12._noop_run(specs, spark, "b31_join_skew_salted", sf_dir)
             sh, _inp, mt = r12._run_metrics(app, seen)
             row.append((wall, sh / 1e6, mt / 1e6))
+            labels.append(label)
         (w1, s1, m1), (w2, s2, m2) = row
         print(
-            f"  sf0.1 {w1:6.2f}s shuf {s1:8.1f}MB maxTask {m1:6.2f}MB | "
-            f"x10 {w2:6.2f}s shuf {s2:8.1f}MB maxTask {m2:6.2f}MB | "
+            f"  {labels[0]} {w1:6.2f}s shuf {s1:8.1f}MB maxTask {m1:6.2f}MB | "
+            f"{labels[1]} {w2:6.2f}s shuf {s2:8.1f}MB maxTask {m2:6.2f}MB | "
             f"wall {w2 / w1:4.2f}x shuf {s2 / max(s1, 1e-9):6.1f}x"
         )
     finally:
@@ -261,6 +262,15 @@ def main():
         probe_b31(spark, specs)
     if run_all or "--ckpt" in argv:
         probe_ckpt(spark, specs)
+    if "--decade3" in argv:
+        # Third-decade cells for the two decomposed slopes: x10 -> x100
+        # in this same session (builds the x100 corpus if absent).
+        import _probe_r13b as r13b
+
+        r13b.build_x100()
+        d3 = (("x10 ", X10_DIR), ("x100", r13b.X100_DIR))
+        probe_s22(spark, specs, dirs=d3)
+        probe_b31(spark, specs, dirs=d3)
     spark.stop()
 
 
