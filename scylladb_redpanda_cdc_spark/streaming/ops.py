@@ -167,6 +167,18 @@ def _run_incremental_merge(changes: DataFrame, key_cols: list[str], compact) -> 
     ``compact`` must be order-insensitive over a key's accumulated rows
     (offset authority, SURVEY.md §4.4) — that is what makes the final
     state identical for ANY micro-batch split of the log.
+
+    Known write bound: each batch rewrites the FULL state to a new
+    parquet version (compute and shuffle are touched-keys-only; the
+    WRITE is not) — O(state bytes) of sequential parquet write per
+    batch. Plain parquet has no sub-file replace, so the alternatives
+    are hash-bucketed copy-on-write (defeated by key-random CDC
+    touches: with realistic touch rates every bucket is dirtied) or
+    merge-on-read delta files with periodic compaction — which is a
+    table format's job (Delta/Iceberg/Hudi; out of scope in this
+    container). A deployment that needs sub-state write cost swaps the
+    version write for a MERGE INTO on such a table; everything above
+    the write (the touched-key discipline) transfers unchanged.
     """
     from pyspark.sql import functions as F
 

@@ -109,6 +109,18 @@ def test_x11_result_invariant_under_forced_adaptive_path(
     monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 4096)
     monkeypatch.setattr(scale, "FANOUT_MAX_PARTITIONS", 96)
     forced = pairs()
+
+    # The mechanism, not just the result: the forced plan carries the
+    # guard's numbered repartition on the join key (REPARTITION_BY_NUM
+    # survives AQE), which the fixture-scale default plan must not.
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        llm_queries._x11_cache.clear()  # bypass cache, keep blocks alive
+        llm_queries.x11_dedup_ngram_jaccard(spark, sf_dir).explain(True)
     clear_session_frame_caches()
+    assert "REPARTITION_BY_NUM" in buf.getvalue()
 
     assert forced == baseline and len(baseline) > 0
