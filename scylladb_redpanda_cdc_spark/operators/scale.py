@@ -62,6 +62,15 @@ FANOUT_MAX_PARTITIONS = int(
     os.environ.get("SG_FANOUT_MAX_PARTITIONS", "65536")
 )
 
+#: In-flight bytes past which a join side can be assumed broadcast-
+#: INFEASIBLE on any sane config (defaults put autoBroadcastJoinThreshold
+#: at 10 MB; half a GB is ~50× that). Used by salted-join call sites to
+#: avoid adding a repartition that a runtime broadcast would have made
+#: redundant.
+BROADCAST_INFEASIBLE_BYTES = int(
+    os.environ.get("SG_BROADCAST_INFEASIBLE_BYTES", str(512 * 1024 * 1024))
+)
+
 
 def fs_bytes(spark: SparkSession, path: str) -> int | None:
     """On-disk bytes under ``path`` via the Hadoop FS API (local, HDFS and
@@ -108,6 +117,33 @@ def fanout_partitions(
     n = min(
         FANOUT_MAX_PARTITIONS,
         math.ceil(rows * row_bytes * sides / FANOUT_TARGET_PARTITION_BYTES),
+    )
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return n if n > sess else None
+
+
+def fanout_partitions_by_bytes(
+    spark: SparkSession,
+    source_path: str,
+    bytes_multiplier: float,
+    sides: int = 1,
+) -> int | None:
+    """:func:`fanout_partitions` sized from the source parquet's on-disk
+    bytes × an in-flight expansion ``bytes_multiplier`` instead of a row
+    count — for join inputs that exist only as a scan (counting them
+    would cost a full extra pass, unlike the materialized postings
+    frames). Same gate, cap, session-floor and ``None`` semantics.
+    Overestimating the multiplier is harmless (smaller tasks, more of
+    them); the decade-4 b31 probe measured ~4× in-flight bytes per
+    lineitem parquet byte (decompression + the 8×-exploded dim side)."""
+    nbytes = fs_bytes(spark, source_path)
+    if nbytes is None or nbytes < FANOUT_GATE_BYTES:
+        return None
+    n = min(
+        FANOUT_MAX_PARTITIONS,
+        math.ceil(
+            nbytes * bytes_multiplier * sides / FANOUT_TARGET_PARTITION_BYTES
+        ),
     )
     sess = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return n if n > sess else None

@@ -76,6 +76,10 @@ _REWRITTEN: tuple[str, ...] = (
     # the builder bodies changed, so both re-prove.
     "x11_dedup_ngram_jaccard",
     "x39_dedup_containment",
+    # b31 gained the bytes-based variant of the same guard after the
+    # decade-4 probe measured its salted sort-merge super-linear under
+    # conf-fixed partitions (gate-identical at graded SFs, body changed).
+    "b31_join_skew_salted",
 )
 
 # The round-9 name `_REPROOF` was kept as an alias through rounds 10-11

@@ -19,10 +19,13 @@ shuffle lands, why the plan survives 100×.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scylladb_redpanda_cdc_spark.operators.checkpoint import stage_checkpoint
+from scylladb_redpanda_cdc_spark.operators import scale as _scale
 from scylladb_redpanda_cdc_spark.operators.rank import ranged_rank
 from scylladb_redpanda_cdc_spark.plans import QuerySpec
 from scylladb_redpanda_cdc_spark.sources.tables import load_table as _T
@@ -1317,6 +1320,29 @@ def b31_join_skew_salted(spark, sf_dir):
     o = _T(spark, sf_dir, "orders").withColumn(
         "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
+    # Scale guard (round 13): the salted sort-merge ran SUPER-linear at
+    # the ×1000 decade-4 probe (18.3× wall for 9.9× shuffle bytes — 45 GB
+    # over the session's fixed partitions put ~350 MB sorts past the
+    # spill threshold). When the exploded dim side is past any sane
+    # broadcast threshold (the operator's declared scenario — otherwise
+    # AQE's runtime broadcast makes an added exchange pure waste), size
+    # the fact-side exchange from the lineitem parquet bytes; the dim
+    # side then co-exchanges to match. Below the gate (every fixture SF)
+    # both checks are driver-side metadata and the plan is byte-identical
+    # to the floored one.
+    dim_bytes = _scale.fs_bytes(spark, os.path.join(sf_dir, "orders.parquet"))
+    n_fan = None
+    if (
+        dim_bytes is not None
+        and dim_bytes * n_salts * 3 > _scale.BROADCAST_INFEASIBLE_BYTES
+    ):
+        n_fan = _scale.fanout_partitions_by_bytes(
+            spark,
+            os.path.join(sf_dir, "lineitem.parquet"),
+            bytes_multiplier=4,
+        )
+    if n_fan:
+        li = li.repartition(n_fan, "l_orderkey", "salt")
     return (
         li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
         .groupBy("o_orderpriority")

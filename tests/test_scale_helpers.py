@@ -83,6 +83,53 @@ def test_session_floor_and_hard_cap(spark, sf_dir, monkeypatch):
     )
 
 
+def test_bytes_variant_gate_formula_and_floor(spark, sf_dir, monkeypatch):
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    # Below the gate: None, regardless of multiplier.
+    assert (
+        scale.fanout_partitions_by_bytes(spark, path, bytes_multiplier=1e9)
+        is None
+    )
+    monkeypatch.setattr(scale, "FANOUT_GATE_BYTES", 0)
+    nbytes = os.path.getsize(path)
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Multiplier sized so n = 4 * sess: must return exactly that.
+    monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", nbytes)
+    assert (
+        scale.fanout_partitions_by_bytes(spark, path, bytes_multiplier=4 * sess)
+        == 4 * sess
+    )
+    # n == sess: the session default suffices -> None.
+    assert (
+        scale.fanout_partitions_by_bytes(spark, path, bytes_multiplier=sess)
+        is None
+    )
+
+
+@pytest.mark.slow
+def test_b31_result_invariant_under_forced_adaptive_path(
+    spark, sf_dir, monkeypatch
+):
+    """Force both driver-side bounds open at sf0.001 so b31 takes the
+    repartitioned salted plan; the aggregate must be identical to the
+    default plan's (the guard is physical layout only)."""
+    from scylladb_redpanda_cdc_spark.plans import batch_queries
+
+    def agg():
+        df = batch_queries.b31_join_skew_salted(spark, sf_dir)
+        return sorted(
+            (r["o_orderpriority"], r["n_items"], r["sum_qty"])
+            for r in df.collect()
+        )
+
+    baseline = agg()
+    monkeypatch.setattr(scale, "FANOUT_GATE_BYTES", 0)
+    monkeypatch.setattr(scale, "BROADCAST_INFEASIBLE_BYTES", 0)
+    monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 1024)
+    forced = agg()
+    assert forced == baseline and len(baseline) > 0
+
+
 @pytest.mark.slow
 def test_x11_result_invariant_under_forced_adaptive_path(
     spark, sf_dir, monkeypatch
