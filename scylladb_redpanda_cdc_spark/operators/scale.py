@@ -86,12 +86,42 @@ def fs_bytes(spark: SparkSession, path: str) -> int | None:
         return None
 
 
+def _session_shuffle_partitions(spark: SparkSession) -> int:
+    """The session's ``spark.sql.shuffle.partitions`` as an int, falling
+    back to Spark's own default (200) when the conf is unreadable or set
+    to a non-numeric value (some platforms expose "auto") — the same
+    defensive posture :func:`fs_bytes` takes: a sizing guard must never
+    turn into a builder crash at exactly the scale it targets."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:
+        return 200
+
+
+def _is_materialized(df: DataFrame) -> bool:
+    """True when ``df`` is persisted (any storage level) or backed by a
+    checkpoint/LogicalRDD — i.e. counting it will not replay corpus-sized
+    lineage."""
+    try:
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return True
+        # stage_checkpoint(localCheckpoint/checkpoint) frames report the
+        # default NONE storage level but their analyzed plan is a bare
+        # scan of the materialized RDD / checkpoint files.
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return "LogicalRDD" in plan or "Relation" in plan.split("\n", 1)[0]
+    except Exception:
+        return True  # never let the guard itself crash a build
+
+
 def fanout_partitions(
     spark: SparkSession,
     source_path: str,
     postings: DataFrame,
     row_bytes: int,
     sides: int = 1,
+    rows: int | None = None,
 ) -> int | None:
     """Adaptive partition count for a postings-list fan-out join, or
     ``None`` when the session default already suffices.
@@ -100,11 +130,16 @@ def fanout_partitions(
     parquet at ``source_path`` is below :data:`FANOUT_GATE_BYTES`, when
     its size cannot be read, or when the computed count does not beat the
     session's ``spark.sql.shuffle.partitions``. Otherwise: one ``count()``
-    over ``postings`` (callers pass a frame that is persisted or
-    checkpointed, so the count is a cheap cached/columnar scan) and a
-    count targeting ~:data:`FANOUT_TARGET_PARTITION_BYTES` per task at
-    ``row_bytes`` estimated in-flight bytes per posting row, capped at
+    over ``postings`` and a count targeting
+    ~:data:`FANOUT_TARGET_PARTITION_BYTES` per task at ``row_bytes``
+    estimated in-flight bytes per posting row, capped at
     :data:`FANOUT_MAX_PARTITIONS`.
+
+    Callers MUST pass a ``postings`` frame that is already persisted or
+    checkpointed (the count is then a cheap cached/columnar scan) — a raw
+    lineage frame would silently pay a second corpus scan, so the
+    contract is enforced with an assertion. Alternatively pass a
+    pre-counted ``rows`` and the frame is not touched at all.
 
     ``sides``: how many copies of each key partition one downstream task
     consumes — 2 for a self-join (the sort-merge task reads its key range
@@ -113,12 +148,18 @@ def fanout_partitions(
     nbytes = fs_bytes(spark, source_path)
     if nbytes is None or nbytes < FANOUT_GATE_BYTES:
         return None
-    rows = postings.count()
+    if rows is None:
+        assert _is_materialized(postings), (
+            "fanout_partitions: postings frame must be persisted or "
+            "checkpointed before sizing (or pass rows=) — counting raw "
+            "lineage would replay the corpus scan"
+        )
+        rows = postings.count()
     n = min(
         FANOUT_MAX_PARTITIONS,
         math.ceil(rows * row_bytes * sides / FANOUT_TARGET_PARTITION_BYTES),
     )
-    sess = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sess = _session_shuffle_partitions(spark)
     return n if n > sess else None
 
 
@@ -145,5 +186,5 @@ def fanout_partitions_by_bytes(
             nbytes * bytes_multiplier * sides / FANOUT_TARGET_PARTITION_BYTES
         ),
     )
-    sess = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sess = _session_shuffle_partitions(spark)
     return n if n > sess else None

@@ -1303,6 +1303,15 @@ def b30_scalar_subquery_agg(spark, sf_dir):
     )
 
 
+#: Conservative in-flight bytes per dim-parquet byte for b31's broadcast-
+#: infeasibility test (decompression + row overhead on the pre-explode
+#: orders columns; deliberately LOWER than the 4× the decade-4 probe
+#: measured for the wider lineitem rows, so the test errs toward keeping
+#: AQE's runtime broadcast as the fast path — it only gates an added
+#: repartition, never correctness).
+DIM_INFLIGHT_MULTIPLIER = 3
+
+
 def b31_join_skew_salted(spark, sf_dir):
     """Salted join — the manual skew-defeat pattern (SURVEY.md §2 100TB
     notes; AQE's skew splitting covers sort-merge, salting covers the cases
@@ -1334,7 +1343,8 @@ def b31_join_skew_salted(spark, sf_dir):
     n_fan = None
     if (
         dim_bytes is not None
-        and dim_bytes * n_salts * 3 > _scale.BROADCAST_INFEASIBLE_BYTES
+        and dim_bytes * n_salts * DIM_INFLIGHT_MULTIPLIER
+        > _scale.BROADCAST_INFEASIBLE_BYTES
     ):
         n_fan = _scale.fanout_partitions_by_bytes(
             spark,

@@ -367,7 +367,16 @@ def x11_dedup_ngram_jaccard(spark, sf_dir):
         row_bytes=56,
         sides=2,
     )
-    base = sh_raw if n_fan is None else sh_raw.repartition(n_fan, "s").persist()
+    base = sh_raw
+    if n_fan is not None:
+        # Above the gate sh_raw was just materialized by the sizing
+        # count; pin the repartitioned copy eagerly and drop sh_raw NOW —
+        # holding both caches through the fan-out join would double
+        # postings storage at precisely the corpus sizes the guard
+        # exists for.
+        base = sh_raw.repartition(n_fan, "s").persist()
+        base.count()
+        sh_raw.unpersist(blocking=False)
     keep = (
         base.groupBy("s")
         .agg(F.countDistinct("doc_id").alias("df"))

@@ -28,8 +28,23 @@ def main() -> None:
     prev = json.load(open(OUT))
     a = json.load(open("/tmp/bench_all_r13A.json"))
     b = json.load(open("/tmp/bench_all_r13B.json"))
+    # A min-merge is only valid over the queries every run measured;
+    # surface any registry drift between the runs instead of crashing on
+    # a query added after the previous merge (KeyError) or silently
+    # dropping one present only in prev.
+    only_prev = sorted(set(prev["queries"]) - set(a["queries"]))
+    only_new = sorted(set(a["queries"]) - set(prev["queries"]))
+    if only_prev or only_new:
+        print(f"key-set asymmetry: only_prev={only_prev} only_new={only_new}")
     qs = {
-        q: round(min(prev["queries"][q], a["queries"][q], b["queries"][q]), 3)
+        q: round(
+            min(
+                prev["queries"].get(q, float("inf")),
+                a["queries"][q],
+                b["queries"].get(q, float("inf")),
+            ),
+            3,
+        )
         for q in a["queries"]
     }
     doc = {

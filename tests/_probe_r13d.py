@@ -75,9 +75,14 @@ def main():
     cell(spark, specs, qid, r12.X10_DIR, "x10 shipped defaults")
 
     print(f"== {qid} at x100, 32-partition session")
-    scale.FANOUT_GATE_BYTES = 1 << 60
-    a = cell(spark, specs, qid, r13b.X100_DIR, "A guard disabled (conf-sized)")
-    scale.FANOUT_GATE_BYTES = 32 * 1024 * 1024
+    # restore the DEPLOYED gate (env override included), not a re-typed
+    # constant — cell B must measure the configuration actually shipped
+    deployed_gate = scale.FANOUT_GATE_BYTES
+    try:
+        scale.FANOUT_GATE_BYTES = 1 << 60
+        a = cell(spark, specs, qid, r13b.X100_DIR, "A guard disabled (conf-sized)")
+    finally:
+        scale.FANOUT_GATE_BYTES = deployed_gate
     b = cell(spark, specs, qid, r13b.X100_DIR, "B guard active (data-sized)")
     print(f"  pair sets equal-count: {a == b}")
     spark.stop()

@@ -49,38 +49,84 @@ def test_gate_short_circuits_at_fixture_scale(spark, sf_dir):
 def test_sizing_formula_above_gate(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(scale, "FANOUT_GATE_BYTES", 0)
     monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 1000)
-    rows = spark.range(500)  # 500 rows * 56 B / 1000 B -> 28 partitions
-    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n = scale.fanout_partitions(
-        spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
-    )
-    expected = -(-500 * 56 // 1000)  # ceil
-    assert n == (expected if expected > sess else None)
-    # Make the target small enough that n must beat any session setting.
-    monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 56)
-    assert scale.fanout_partitions(
-        spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
-    ) == 500
+    rows = spark.range(500).persist()  # 500 rows * 56 B / 1000 B -> 28
+    try:
+        sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n = scale.fanout_partitions(
+            spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
+        )
+        expected = -(-500 * 56 // 1000)  # ceil
+        assert n == (expected if expected > sess else None)
+        # Make the target small enough that n must beat any session setting.
+        monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 56)
+        assert scale.fanout_partitions(
+            spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
+        ) == 500
+    finally:
+        rows.unpersist()
 
 
 def test_session_floor_and_hard_cap(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(scale, "FANOUT_GATE_BYTES", 0)
-    rows = spark.range(10)
-    # Tiny postings at the default 64 MB target: session default wins.
-    assert (
-        scale.fanout_partitions(
-            spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
+    rows = spark.range(10).persist()
+    try:
+        # Tiny postings at the default 64 MB target: session default wins.
+        assert (
+            scale.fanout_partitions(
+                spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
+            )
+            is None
         )
-        is None
-    )
-    monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 1)
-    monkeypatch.setattr(scale, "FANOUT_MAX_PARTITIONS", 64)
-    assert (
-        scale.fanout_partitions(
-            spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
+        monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 1)
+        monkeypatch.setattr(scale, "FANOUT_MAX_PARTITIONS", 64)
+        assert (
+            scale.fanout_partitions(
+                spark, os.path.join(sf_dir, "documents.parquet"), rows, row_bytes=56
+            )
+            == 64
         )
-        == 64
-    )
+    finally:
+        rows.unpersist()
+
+
+def test_unmaterialized_postings_rejected_above_gate(spark, sf_dir, monkeypatch):
+    """The sizing count must never replay corpus-sized lineage: above the
+    gate, a frame that is neither persisted nor checkpointed is a caller
+    bug and raises; the same frame sails through with a pre-counted
+    rows= (no count job, frame untouched)."""
+    monkeypatch.setattr(scale, "FANOUT_GATE_BYTES", 0)
+    monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 56)
+    raw = spark.range(500).selectExpr("id * 2 AS id")  # real lineage, unpersisted
+    path = os.path.join(sf_dir, "documents.parquet")
+    with pytest.raises(AssertionError, match="persisted or"):
+        scale.fanout_partitions(spark, path, raw, row_bytes=56)
+    # rows= bypasses both the assertion and the count.
+    assert scale.fanout_partitions(spark, path, raw, row_bytes=56, rows=500) == 500
+    # a localCheckpoint'ed frame satisfies the contract too (x39's path).
+    ck = spark.range(500).selectExpr("id * 2 AS id").localCheckpoint(eager=True)
+    assert scale.fanout_partitions(spark, path, ck, row_bytes=56) == 500
+
+
+def test_session_conf_read_defensive():
+    """A platform exposing a non-numeric spark.sql.shuffle.partitions
+    (e.g. "auto" — open-source Spark validates the set, managed platforms
+    do not) must not turn the guard into a builder crash: the helper
+    falls back to Spark's own 200 default."""
+
+    class FakeConf:
+        def __init__(self, value):
+            self._v = value
+
+        def get(self, key, default=None):
+            return self._v if self._v is not None else default
+
+    class FakeSpark:
+        def __init__(self, value):
+            self.conf = FakeConf(value)
+
+    assert scale._session_shuffle_partitions(FakeSpark("auto")) == 200
+    assert scale._session_shuffle_partitions(FakeSpark(None)) == 200
+    assert scale._session_shuffle_partitions(FakeSpark("64")) == 64
 
 
 def test_bytes_variant_gate_formula_and_floor(spark, sf_dir, monkeypatch):
