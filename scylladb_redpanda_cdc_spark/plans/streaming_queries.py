@@ -480,7 +480,7 @@ def s20_stream_partitioned_sink(spark, sf_dir):
     Scale: per batch, one shuffle on day (so files per batch = days
     touched, not tasks x days — o1's writer contract); the lake gains
     files per batch, which o2's compaction pass then bounds."""
-    from scylladb_redpanda_cdc_spark.streaming.core import scoped_shuffle
+    from scylladb_redpanda_cdc_spark.streaming.core import scoped_stream_shuffle
 
     ev = stage_events_split_stream(spark, sf_dir, n_files=4)
     base = tmpdir("s20_lake")
@@ -499,7 +499,7 @@ def s20_stream_partitioned_sink(spark, sf_dir):
             .parquet(base)
         )
 
-    with scoped_shuffle(spark):
+    with scoped_stream_shuffle(ev):
         q = (
             ev.writeStream.foreachBatch(sink)
             .option("checkpointLocation", tmpdir("s20_ckpt"))
@@ -633,7 +633,7 @@ def s23_stream_observed_metrics(spark, sf_dir):
     (batch-count-sized, never data)."""
     from scylladb_redpanda_cdc_spark.streaming.core import (
         _fresh,
-        scoped_shuffle,
+        scoped_stream_shuffle,
     )
 
     ev = events_stream(spark, sf_dir).select("event_id", _val_micros())
@@ -643,7 +643,7 @@ def s23_stream_observed_metrics(spark, sf_dir):
         F.sum("value_micros").alias("vmass"),
     )
     name = _fresh("sg_mem")
-    with scoped_shuffle(spark):
+    with scoped_stream_shuffle(observed):
         q = (
             observed.writeStream.format("memory")
             .queryName(name)
@@ -700,7 +700,7 @@ def s24_stream_state_recovery(spark, sf_dir):
         EVENTS_NORMALIZED_DDL,
         events_stream_ddl,
         scoped_conf,
-        scoped_shuffle,
+        scoped_stream_shuffle,
     )
 
     # Stage 4 split files in scratch; reveal 2 now, 2 after the restart.
@@ -731,7 +731,7 @@ def s24_stream_state_recovery(spark, sf_dir):
         def emit(batch_df, _bid):
             batch_df.write.mode("overwrite").parquet(out)
 
-        with scoped_shuffle(spark):
+        with scoped_stream_shuffle(agg):
             q = (
                 agg.writeStream.foreachBatch(emit)
                 .outputMode("complete")

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import re
 import tempfile
 from contextlib import contextmanager
 
@@ -178,6 +179,93 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: these helpers and keeps the session's own setting.
 STREAM_SINK_SHUFFLE_PARTITIONS = int(os.environ.get("SG_STREAM_SINK_SHUFFLE", "1"))
 
+#: Staged-source bytes below which the micro-batch plan width stays at the
+#: fixture floor (:data:`STREAM_SINK_SHUFFLE_PARTITIONS`) — the same 32 MB
+#: gate discipline as ``operators/scale.py::FANOUT_GATE_BYTES``: every
+#: graded SF sits far below it, so fixture plans and floors are
+#: byte-identical; only corpus-scale streams size up.
+STREAM_WIDTH_GATE_BYTES = int(
+    os.environ.get("SG_STREAM_WIDTH_GATE_BYTES", str(32 * 1024 * 1024))
+)
+
+#: Target staged-source parquet bytes per micro-batch shuffle task above
+#: the gate. Parquet expands ~4x in flight (decompression + row overhead,
+#: the decade-4 b31 measurement), so 8 MB of source per task bounds
+#: in-flight volume at ~32 MB — and at the round-13 x100 corpus
+#: (~175 MB staged changelog) yields a width in the same band as the
+#: hand-set SG_STREAM_SINK_SHUFFLE=32 the decade probes validated.
+STREAM_TARGET_TASK_SOURCE_BYTES = int(
+    os.environ.get("SG_STREAM_TARGET_TASK_SOURCE_BYTES", str(8 * 1024 * 1024))
+)
+
+#: Hard cap on the adaptive width — past this a deployment resizes the
+#: target instead (the FANOUT_MAX_PARTITIONS convention, scaled to the
+#: per-micro-batch volumes streams actually carry).
+STREAM_WIDTH_MAX = int(os.environ.get("SG_STREAM_WIDTH_MAX", "2048"))
+
+_FILE_SOURCE_RE = re.compile(r"FileSource\[([^\]]+)\]")
+
+
+def stream_source_paths(sdf: DataFrame) -> list[str]:
+    """The file-source director(ies) feeding a streaming DataFrame,
+    recovered from its analyzed plan (``FileSource[<path>]`` leaves
+    survive any transformation, so callers never thread paths by hand).
+    Empty for non-file sources (Kafka, rate, memory) or on any failure."""
+    try:
+        plan = sdf._jdf.queryExecution().analyzed().toString()
+        return _FILE_SOURCE_RE.findall(plan)
+    except Exception:
+        return []
+
+
+def stream_shuffle_width(spark: SparkSession, sdf: DataFrame | None) -> int:
+    """Micro-batch plan width for a test-sink stream run, sized from the
+    staged source's on-disk bytes, floored at
+    :data:`STREAM_SINK_SHUFFLE_PARTITIONS`.
+
+    The round-13 decade probes showed the fixed default (1 — correct for
+    KB-sized fixture batches where per-state-store overhead dominates) is
+    a fixture knob, not a deployment posture: at x100 it serialized
+    5.5 M-row merge joins on one core and the probes had to hand-set
+    ``SG_STREAM_SINK_SHUFFLE=32``. This helper applies the
+    ``state_file_count`` discipline to the PLAN width: below
+    :data:`STREAM_WIDTH_GATE_BYTES` of staged source (every fixture SF —
+    a driver-side Hadoop FS call, no Spark job) it returns the floor and
+    micro-batch plans are byte-identical to the floored ones; above it,
+    the width targets ~:data:`STREAM_TARGET_TASK_SOURCE_BYTES` of source
+    parquet per task, capped at :data:`STREAM_WIDTH_MAX`. Multiple file
+    sources (stream-stream joins) sum their bytes. Results are
+    width-invariant for every operator that runs under it
+    (``tests/test_knob_invariance.py``), so this trades only per-store
+    fixed cost against per-task volume."""
+    floor = STREAM_SINK_SHUFFLE_PARTITIONS
+    if sdf is None:
+        return floor
+    total = 0
+    for path in stream_source_paths(sdf):
+        nbytes = _fs_bytes(spark, path)
+        if nbytes is not None:
+            total += nbytes
+    if total < STREAM_WIDTH_GATE_BYTES:
+        return floor
+    import math
+
+    return max(
+        floor, min(STREAM_WIDTH_MAX, math.ceil(total / STREAM_TARGET_TASK_SOURCE_BYTES))
+    )
+
+
+def _fs_bytes(spark: SparkSession, path: str) -> int | None:
+    """On-disk bytes under ``path`` (Hadoop FS — local, HDFS and S3 priced
+    identically), or None on any failure. Driver-side metadata only."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(p).getLength())
+    except Exception:
+        return None
+
 #: Target on-disk parquet bytes per file for foreachBatch STATE writes.
 #: 32 MB of parquet ≈ 100-150 MB of in-flight rows per write task — small
 #: enough to bound task memory, large enough to keep file counts sane.
@@ -219,6 +307,17 @@ def state_file_count(spark: SparkSession, prev_path: str | None, floor: int) -> 
 
 
 @contextmanager
+def scoped_stream_shuffle(sdf: DataFrame):
+    """:func:`scoped_shuffle` at the width :func:`stream_shuffle_width`
+    derives from ``sdf``'s own staged file source(s) — the one entry point
+    every stream-run helper uses, so a corpus-scale staged stream plans
+    its micro-batches at a data-sized width with no hand-set knob."""
+    spark = sdf.sparkSession
+    with scoped_shuffle(spark, stream_shuffle_width(spark, sdf)):
+        yield
+
+
+@contextmanager
 def scoped_shuffle(spark: SparkSession, n: int = -1):
     """Temporarily set ``spark.sql.shuffle.partitions`` while a test-sink
     stream runs to completion (availableNow is synchronous, so the scope
@@ -248,7 +347,7 @@ def run_to_table(sdf: DataFrame, mode: str = "append") -> DataFrame:
     "update" for stateful operators emitting per-key updates.
     """
     name = _fresh("sg_mem")
-    with scoped_shuffle(sdf.sparkSession):
+    with scoped_stream_shuffle(sdf):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -268,7 +367,7 @@ def run_to_parquet(
     connect-standalone.properties:4-5: offsets file + 10 s flush cadence;
     here: checkpointLocation + availableNow). Restarting with the same
     checkpoint reprocesses nothing (exactly-once within the sink)."""
-    with scoped_shuffle(sdf.sparkSession):
+    with scoped_stream_shuffle(sdf):
         q = (
             sdf.writeStream.format("parquet")
             .option("path", out_dir)

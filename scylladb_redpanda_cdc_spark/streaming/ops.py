@@ -27,7 +27,7 @@ from scylladb_redpanda_cdc_spark.operators.cdc import materialize_latest
 from scylladb_redpanda_cdc_spark.sources.changelog import synth_changelog
 from scylladb_redpanda_cdc_spark.streaming.core import (
     scoped_conf,
-    scoped_shuffle,
+    scoped_stream_shuffle,
     staged_dir_valid,
     state_file_count,
     tmpdir,
@@ -242,7 +242,7 @@ def _run_incremental_merge(changes: DataFrame, key_cols: list[str], compact) -> 
         if prev is not None:
             prev.unpersist()
 
-    with scoped_shuffle(spark):
+    with scoped_stream_shuffle(changes):
         q = (
             changes.writeStream.foreachBatch(merge)
             .option("checkpointLocation", tmpdir("ckpt"))
@@ -453,7 +453,7 @@ def incremental_dedup_stream(docs: DataFrame) -> DataFrame:
         hashed.unpersist()
         firsts.unpersist()
 
-    with scoped_shuffle(spark):
+    with scoped_stream_shuffle(docs):
         q = (
             docs.writeStream.foreachBatch(classify)
             .option("checkpointLocation", tmpdir("ckpt"))
@@ -581,7 +581,7 @@ def incremental_mv_stream(
         if affected_old is not None:
             affected_old.unpersist()
 
-    with scoped_shuffle(spark):
+    with scoped_stream_shuffle(changes):
         q = (
             changes.writeStream.foreachBatch(merge)
             .option("checkpointLocation", tmpdir("ckpt"))
@@ -638,7 +638,7 @@ def heavy_hitters_stream(docs: DataFrame) -> DataFrame:
         ).write.mode("overwrite").parquet(new_path)
         current["path"] = new_path
 
-    with scoped_shuffle(spark):
+    with scoped_stream_shuffle(docs):
         q = (
             docs.writeStream.foreachBatch(update)
             .option("checkpointLocation", tmpdir("ckpt"))

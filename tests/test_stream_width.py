@@ -1,0 +1,125 @@
+"""streaming/core.py — data-adaptive micro-batch plan width (round 14).
+
+Round 13's decade probes had to hand-set ``SG_STREAM_SINK_SHUFFLE=32`` at
+the ×100 corpus or s17/s19 serialized 5.5 M-row merge joins on one core —
+the last operator-relevant fixed knob. :func:`stream_shuffle_width` retires
+it: the test-sink stream runners derive the plan width from the staged
+source's on-disk bytes (recovered from the stream's own analyzed plan, so
+no call site threads paths by hand), floored at the old constant so every
+fixture-scale plan and floor stays byte-identical.
+
+Pins the same three contracts ``test_scale_helpers.py`` pins for the
+batch-side guard:
+
+1. The GATE: at every fixture SF the helper returns the floor without any
+   sizing arithmetic mattering.
+2. The sizing formula above the gate: bytes-based, floored, capped.
+3. Semantics: forcing the adaptive width at fixture scale changes the
+   stateful streams' RESULTS not at all.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+import pytest
+
+from scylladb_redpanda_cdc_spark.streaming import core
+
+
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    return sorted(map(tuple, pdf[cols].astype(str).values.tolist()))
+
+
+def _staged_stream(spark, sf_dir):
+    from scylladb_redpanda_cdc_spark.streaming.ops import (
+        _staged_changelogs,
+        stage_changelog_stream,
+    )
+
+    sdf = stage_changelog_stream(spark, sf_dir, n_files=4)
+    staged = _staged_changelogs[(spark.sparkContext.applicationId, sf_dir, 4)]
+    return sdf, staged
+
+
+def test_source_paths_recovered_through_transformations(spark, sf_dir):
+    """The FileSource leaf survives filters/aggregates, so the width
+    helper sees the staged dir no matter how the query transformed the
+    stream — no hand-threaded paths."""
+    from pyspark.sql import functions as F
+
+    sdf, staged = _staged_stream(spark, sf_dir)
+    transformed = (
+        sdf.filter(F.col("op") != "d").groupBy("op").agg(F.count("*").alias("n"))
+    )
+    assert core.stream_source_paths(transformed) == [staged]
+
+
+def test_width_is_floor_at_fixture_scale(spark, sf_dir):
+    """Every fixture SF sits far below the 32 MB gate: the width equals
+    the fixture floor, so micro-batch plans are byte-identical to the
+    floored ones."""
+    sdf, staged = _staged_stream(spark, sf_dir)
+    assert core._fs_bytes(spark, staged) < core.STREAM_WIDTH_GATE_BYTES
+    assert core.stream_shuffle_width(spark, sdf) == core.STREAM_SINK_SHUFFLE_PARTITIONS
+    # Non-file and absent sources also take the floor.
+    assert core.stream_shuffle_width(spark, None) == core.STREAM_SINK_SHUFFLE_PARTITIONS
+
+
+def test_sizing_formula_above_gate(spark, sf_dir, monkeypatch):
+    sdf, staged = _staged_stream(spark, sf_dir)
+    nbytes = core._fs_bytes(spark, staged)
+    monkeypatch.setattr(core, "STREAM_WIDTH_GATE_BYTES", 0)
+    target = max(1, nbytes // 24)  # ~24 sized tasks
+    monkeypatch.setattr(core, "STREAM_TARGET_TASK_SOURCE_BYTES", target)
+    assert core.stream_shuffle_width(spark, sdf) == math.ceil(nbytes / target)
+    # The hard cap bounds a runaway width; the floor bounds a tiny one.
+    monkeypatch.setattr(core, "STREAM_WIDTH_MAX", 4)
+    assert core.stream_shuffle_width(spark, sdf) == 4
+    monkeypatch.setattr(core, "STREAM_TARGET_TASK_SOURCE_BYTES", nbytes * 10)
+    monkeypatch.setattr(core, "STREAM_SINK_SHUFFLE_PARTITIONS", 3)
+    assert core.stream_shuffle_width(spark, sdf) == 3
+
+
+def test_multi_source_streams_sum_their_bytes(spark, sf_dir, monkeypatch):
+    """A stream-stream join carries two FileSource leaves; the width must
+    price BOTH sides (the micro-batch plans their shuffles together)."""
+    sdf, staged = _staged_stream(spark, sf_dir)
+    joined = sdf.alias("a").join(sdf.alias("b"), ["customer_id", "order_id"])
+    paths = core.stream_source_paths(joined)
+    assert paths == [staged, staged]
+    nbytes = core._fs_bytes(spark, staged)
+    monkeypatch.setattr(core, "STREAM_WIDTH_GATE_BYTES", 0)
+    monkeypatch.setattr(core, "STREAM_TARGET_TASK_SOURCE_BYTES", nbytes)
+    assert core.stream_shuffle_width(spark, joined) == 2
+
+
+def test_fs_bytes_defensive(spark):
+    assert core._fs_bytes(spark, "/root/testdata/nope/missing") is None
+
+
+@pytest.mark.slow
+def test_s17_s19_results_invariant_under_forced_adaptive_width(
+    spark, sf_dir, monkeypatch
+):
+    """Force the gate open at fixture scale so the drill streams plan
+    their micro-batches at a data-sized width (>1): the final MV and the
+    dedup aggregate must equal the floored plans' results exactly — the
+    width is physical only, the invariance the ×100 probes rely on when
+    they compare against the hand-set =32 numbers."""
+    from scylladb_redpanda_cdc_spark.plans import registry
+
+    specs = registry()
+    base = {
+        qid: _canon(specs[qid].build(spark, sf_dir).toPandas())
+        for qid in ("s17_stream_incremental_mv", "s19_stream_redelivery_dedup")
+    }
+    monkeypatch.setattr(core, "STREAM_WIDTH_GATE_BYTES", 0)
+    monkeypatch.setattr(core, "STREAM_TARGET_TASK_SOURCE_BYTES", 4096)
+    for qid, expected in base.items():
+        forced = _canon(specs[qid].build(spark, sf_dir).toPandas())
+        assert forced == expected, qid
+        assert expected, qid
