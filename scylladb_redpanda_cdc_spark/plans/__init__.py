@@ -53,33 +53,20 @@ class QuerySpec:
 #: x121's phase-2 rework, the _embs_fanned corpus-pass restructures
 #: (x54/x111/x112/x113), and the _x2_pairs session cache (x2/x92/x97).
 _REWRITTEN: tuple[str, ...] = (
-    # Round 13: the round-12 rewrites (x10/x101) earned green r12 grades
-    # (CORRECTNESS_r12 heads with exactly those two), so the r12 list is
-    # cleared. Round-13 entries are the text-statistics family that now
-    # rides the shared _doc_stats token-stats frame (VERDICT r12 task 3):
-    "x15_text_quality_score",
-    "x16_text_token_count",
-    "x20_corpus_prep",
-    "x22_text_repetition",
-    "x48_quality_classifier",
-    "x57_curation_report",
-    "x88_gopher_gates",
-    "x120_filter_funnel",
-    # s16 applies the same x48 kernel inside the ingest stream; its plan
-    # body moved through quality_classify_stats in the same refactor, so
-    # it re-proves alongside the batch family even though the published
-    # algebra is bit-identical by construction.
-    "s16_stream_quality_filter",
-    # Late round 13: the postings fan-out scale guard
-    # (operators/scale.py::fanout_partitions). Below its parquet-size
-    # gate — i.e. at every graded SF — the plans are byte-identical, but
-    # the builder bodies changed, so both re-prove.
+    # Round 14: every round-13 entry (the _doc_stats family, x11/x39/b31's
+    # fan-out guards) earned a green r13 grade — CORRECTNESS_r13 heads
+    # with exactly those twelve — so the r13 list is cleared. Round-14
+    # entries are the simhash pair that now rides the shared _simhash_sigs
+    # frame (one tokenize + per-token sha256 + one 32-wide vote fold
+    # serves both: simhash16 == simhash32 >> 16, hash16 being hash32's
+    # high half — VERDICT r13 task 4's shared-signature-map evaluation):
+    "x10_dedup_simhash",
+    "x101_simhash_hamming_pairs",
+    # The fan-out guards gained a caller contract (persisted-postings
+    # assertion) and x11 now drops its raw postings cache eagerly above
+    # the gate — below the gate (every graded SF) plans are byte-identical,
+    # but the builder body changed, so it re-proves.
     "x11_dedup_ngram_jaccard",
-    "x39_dedup_containment",
-    # b31 gained the bytes-based variant of the same guard after the
-    # decade-4 probe measured its salted sort-merge super-linear under
-    # conf-fixed partitions (gate-identical at graded SFs, body changed).
-    "b31_join_skew_salted",
 )
 
 # The round-9 name `_REPROOF` was kept as an alias through rounds 10-11

@@ -53,9 +53,13 @@ def test_simhash32_matches_independent_reference(spark):
 
 
 def test_simhash_widths_share_low_bit_structure(spark):
-    """Sanity on the shared kernel: the two widths are the SAME fold over
-    different hash functions — a doc's 16- and 32-bit signatures need not
-    agree bitwise (different hashes), but both must be deterministic and
+    """The two widths are the SAME fold over NESTED hash prefixes:
+    ``hash16`` (first 4 sha256 hex chars) is exactly the high 16 bits of
+    ``hash32`` (first 8), so bit b of the 16-bit vote equals bit b+16 of
+    the 32-bit vote and ``simhash16(ws) == simhash32(ws) >> 16``
+    identically. Round 14's shared `_simhash_sigs` frame (x10 reads the
+    top half of x101's signature — one tokenize + sha pass + one fold for
+    the pair) rests on this identity; both must also be deterministic,
     non-negative longs within their width."""
     df = spark.createDataFrame(
         [(i, [f"tok{i}", f"tok{i+1}", "shared"]) for i in range(50)],
@@ -70,4 +74,5 @@ def test_simhash_widths_share_low_bit_structure(spark):
     for r in rows:
         assert 0 <= r["s16"] < (1 << 16)
         assert 0 <= r["s32"] < (1 << 32)
+        assert r["s16"] == r["s32"] >> 16
         assert again[r["i"]] == (r["s16"], r["s32"])
