@@ -147,7 +147,7 @@ BASELINE_S = {
     "x100_vocab_budget_sweep": 1.081,
     "w12_named_window_clause": 0.491,
     # Round-7 batch 10 (targeted best-of-2-runs-of-best-of-3).
-    "x101_simhash_hamming_pairs": 1.717,
+    "x101_simhash_hamming_pairs": 1.231,  # re-floored r14 (shared _simhash_sigs frame)
     "x102_winnowing_overlap": 1.508,
     "x103_mmr_diverse_select": 1.140,
     # Round-7 batch 11 (targeted best-of-2-runs-of-best-of-3).
@@ -392,7 +392,7 @@ BASELINE_S = {
     "b17_agg_approx_distinct": 1.305,
     "a14_envelope_encode": 0.071,
     "x4_sim_lsh_approx": 0.579,
-    "x10_dedup_simhash": 0.535,
+    "x10_dedup_simhash": 0.050,  # re-floored r14 (reads _simhash_sigs' top half)
     "b18_agg_filtered": 0.174,
     "b20_agg_collect": 0.147,
     "b21_agg_percentile": 2.416,
