@@ -101,6 +101,35 @@ def test_fs_bytes_defensive(spark):
     assert core._fs_bytes(spark, "/root/testdata/nope/missing") is None
 
 
+def test_width_reaches_the_micro_batch_plan(spark, sf_dir, monkeypatch):
+    """Mechanism, not just result: with the gate forced open, the conf
+    the micro-batch plans under IS the computed width (captured inside a
+    foreachBatch while the stream runs), and it is restored after."""
+    sdf, staged = _staged_stream(spark, sf_dir)
+    nbytes = core._fs_bytes(spark, staged)
+    monkeypatch.setattr(core, "STREAM_WIDTH_GATE_BYTES", 0)
+    target = max(1, nbytes // 7)
+    monkeypatch.setattr(core, "STREAM_TARGET_TASK_SOURCE_BYTES", target)
+    expected = core.stream_shuffle_width(spark, sdf)
+    assert expected > 1
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    seen = []
+
+    def capture(batch_df, batch_id):
+        seen.append(batch_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    with core.scoped_stream_shuffle(sdf):
+        q = (
+            sdf.writeStream.foreachBatch(capture)
+            .option("checkpointLocation", core.tmpdir("width_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert seen and set(seen) == {str(expected)}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 @pytest.mark.slow
 def test_s17_s19_results_invariant_under_forced_adaptive_width(
     spark, sf_dir, monkeypatch
