@@ -1380,7 +1380,9 @@ def stage_bucketed_tables(spark, sf_dir) -> tuple[str, str]:
     if stage_key not in _bucketed_stages:
         _bucket_counter[0] += 1
         suffix = _bucket_counter[0]
-        loc = tmpdir("bucketed")
+        from scylladb_redpanda_cdc_spark.streaming.core import table_bytes
+
+        loc = tmpdir("bucketed", bytes_hint=table_bytes(spark, sf_dir, "lineitem"))
         o_tbl, li_tbl = f"sg_orders_b{suffix}", f"sg_lineitem_b{suffix}"
         (
             _T(spark, sf_dir, "orders")
@@ -2364,7 +2366,9 @@ def b43_multiformat_scan(spark, sf_dir):
     d = _T(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _mf_staged:
-        base = tmpdir("multiformat")
+        from scylladb_redpanda_cdc_spark.streaming.core import table_bytes
+
+        base = tmpdir("multiformat", bytes_hint=table_bytes(spark, sf_dir, "documents"))
         d.write.mode("overwrite").option("header", True).csv(base + "/csv")
         d.write.mode("overwrite").json(base + "/jsonl")
         _mf_staged[key] = base

@@ -51,7 +51,9 @@ def _stage(spark, sf_dir: str, name: str, write_fn) -> str:
     reaped (tmpfs — streaming.core.staged_dir_valid)."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if not staged_dir_valid(_staged.get(key)):
-        base = tmpdir(f"o_{name}")
+        from scylladb_redpanda_cdc_spark.streaming.core import table_bytes
+
+        base = tmpdir(f"o_{name}", bytes_hint=table_bytes(spark, sf_dir, "lineitem"))
         write_fn(base)
         _staged[key] = base
     return _staged[key]

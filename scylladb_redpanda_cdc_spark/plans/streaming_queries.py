@@ -30,6 +30,7 @@ from scylladb_redpanda_cdc_spark.streaming.core import (
     events_stream,
     run_to_parquet,
     run_to_table,
+    table_bytes,
     tmpdir,
 )
 from scylladb_redpanda_cdc_spark.streaming.ops import (
@@ -81,7 +82,10 @@ def s2_checkpointed_offsets(spark, sf_dir):
     /tmp/connect.offsets contract, connect-standalone.properties:4-5).
     Returns the sink's contents — any reprocessing would double the count
     and fail the exactly-once oracle."""
-    out, ckpt = tmpdir("s2_out"), tmpdir("s2_ckpt")
+    out, ckpt = (
+        tmpdir("s2_out", bytes_hint=table_bytes(spark, sf_dir, "events")),
+        tmpdir("s2_ckpt"),
+    )
     for _ in range(2):
         ev = events_stream(spark, sf_dir).select(
             "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
@@ -286,7 +290,7 @@ def s21_stream_corpus_sync(spark, sf_dir):
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if not staged_dir_valid(_x87_log_stage.get(key)):
-        stage = tmpdir("x87log")
+        stage = tmpdir("x87log", bytes_hint=table_bytes(spark, sf_dir, "orders"))
         x87_changelog(spark, sf_dir).repartition(3).write.mode(
             "overwrite"
         ).parquet(stage)
@@ -401,7 +405,7 @@ def s16_stream_quality_filter(spark, sf_dir):
     from scylladb_redpanda_cdc_spark.plans.llm_queries import quality_classify
 
     docs = stage_documents_stream(spark, sf_dir)
-    out = tmpdir("qf_out")
+    out = tmpdir("qf_out", bytes_hint=table_bytes(spark, sf_dir, "documents"))
     run_to_parquet(quality_classify(docs), out, tmpdir("qf_ckpt"))
     return spark.read.parquet(out)
 
@@ -483,7 +487,7 @@ def s20_stream_partitioned_sink(spark, sf_dir):
     from scylladb_redpanda_cdc_spark.streaming.core import scoped_stream_shuffle
 
     ev = stage_events_split_stream(spark, sf_dir, n_files=4)
-    base = tmpdir("s20_lake")
+    base = tmpdir("s20_lake", bytes_hint=table_bytes(spark, sf_dir, "events"))
     day = "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000"
 
     def sink(batch_df, batch_id: int) -> None:
@@ -710,10 +714,15 @@ def s24_stream_state_recovery(spark, sf_dir):
                 _os.path.join(sf_dir, "events.parquet")
             )
         )
-        scratch = tmpdir("s24_scratch")
+        scratch = tmpdir("s24_scratch", bytes_hint=table_bytes(spark, sf_dir, "events"))
         raw.repartition(4).write.mode("overwrite").parquet(scratch)
     parts = sorted(_glob.glob(_os.path.join(scratch, "part-*.parquet")))
-    src, out, ckpt = tmpdir("s24_src"), tmpdir("s24_out"), tmpdir("s24_ckpt")
+    _ev_hint = table_bytes(spark, sf_dir, "events")
+    src, out, ckpt = (
+        tmpdir("s24_src", bytes_hint=_ev_hint),
+        tmpdir("s24_out", bytes_hint=_ev_hint),
+        tmpdir("s24_ckpt"),
+    )
     for p in parts[:2]:
         _shutil.move(p, _os.path.join(src, _os.path.basename(p)))
 

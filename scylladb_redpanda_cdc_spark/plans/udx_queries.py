@@ -559,7 +559,9 @@ def u18_python_datasource_writer(spark, sf_dir):
     from pyspark.sql.datasource import DataSource, DataSourceWriter
     from scylladb_redpanda_cdc_spark.streaming.core import tmpdir
 
-    out_dir = tmpdir("u18_sink")
+    from scylladb_redpanda_cdc_spark.streaming.core import table_bytes
+
+    out_dir = tmpdir("u18_sink", bytes_hint=table_bytes(spark, sf_dir, "events"))
 
     class CsvSink(DataSource):
         @classmethod

@@ -93,11 +93,57 @@ _SCRATCH_ROOT = os.environ.get("SG_SCRATCH_DIR") or (
     "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 )
 
+#: Disk-backed fallback root for CORPUS-SCALED scratch (state versions,
+#: staging transports, corpus sinks). An explicit SG_SCRATCH_DIR wins for
+#: everything.
+_SCRATCH_DISK_ROOT = os.environ.get("SG_SCRATCH_DIR") or tempfile.gettempdir()
 
-def tmpdir(prefix: str) -> str:
+#: Expected-volume bytes above which a scratch dir is placed on DISK even
+#: when tmpfs is the preferred root. tmpfs is RAM: the round-14 ×1000
+#: probe OOM-killed the JVM when two drills' ~8 GB state versions landed
+#: on /dev/shm (78 GB of tmpfs = 78 GB of physical memory gone) — the
+#: same fixture-constant-becomes-corpus-hazard class as the fixed
+#: coalesce/width knobs, fixed with the same 32 MB gate discipline:
+#: below the gate (every fixture SF) placement is byte-identical to the
+#: old behavior, so floors are untouched.
+SCRATCH_TMPFS_GATE_BYTES = int(
+    os.environ.get("SG_SCRATCH_TMPFS_GATE_BYTES", str(32 * 1024 * 1024))
+)
+
+
+def tmpdir(prefix: str, bytes_hint: int | None = None) -> str:
     """Per-run scratch dir (checkpoints, file-stream staging, sinks). Left
-    for the OS to reap — returned DataFrames may lazily re-read them."""
-    return tempfile.mkdtemp(prefix=f"sg_{prefix}_", dir=_SCRATCH_ROOT)
+    for the OS to reap — returned DataFrames may lazily re-read them.
+
+    ``bytes_hint``: the caller's estimate of the volume this dir will
+    hold (source-table or staged-stream bytes — driver-side metadata).
+    At or above :data:`SCRATCH_TMPFS_GATE_BYTES` the dir is created on
+    disk instead of RAM-backed tmpfs; below it (or with no hint — the
+    metadata-sized checkpoint/sink dirs) placement is unchanged."""
+    root = _SCRATCH_ROOT
+    if bytes_hint is not None and bytes_hint >= SCRATCH_TMPFS_GATE_BYTES:
+        root = _SCRATCH_DISK_ROOT
+    return tempfile.mkdtemp(prefix=f"sg_{prefix}_", dir=root)
+
+
+def table_bytes(spark: SparkSession, sf_dir: str, table: str) -> int | None:
+    """On-disk bytes of a fixture table's parquet — the standard
+    ``bytes_hint`` for scratch that stages or derives from that table."""
+    return _fs_bytes(spark, os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def stream_source_bytes(sdf: DataFrame | None) -> int | None:
+    """Total on-disk bytes of a stream's file source(s), or None when it
+    has none / cannot be priced — the standard ``bytes_hint`` for state
+    dirs whose volume tracks the drained log."""
+    if sdf is None:
+        return None
+    total = 0
+    for path in stream_source_paths(sdf):
+        nbytes = _fs_bytes(sdf.sparkSession, path)
+        if nbytes is not None:
+            total += nbytes
+    return total or None
 
 
 def staged_dir_valid(path: str | None) -> bool:
@@ -140,6 +186,7 @@ def _events_source_dir(sf_dir: str) -> str:
     basePath/partition-inference machinery). Stage a one-symlink directory
     per sf_dir — zero data copied, created once per process."""
     if not staged_dir_valid(_events_src_dirs.get(sf_dir)):
+        # a one-symlink dir: zero bytes copied, no hint needed
         stage = tmpdir("events_src")
         os.symlink(
             os.path.join(sf_dir, "events.parquet"),
@@ -239,13 +286,7 @@ def stream_shuffle_width(spark: SparkSession, sdf: DataFrame | None) -> int:
     (``tests/test_knob_invariance.py``), so this trades only per-store
     fixed cost against per-task volume."""
     floor = STREAM_SINK_SHUFFLE_PARTITIONS
-    if sdf is None:
-        return floor
-    total = 0
-    for path in stream_source_paths(sdf):
-        nbytes = _fs_bytes(spark, path)
-        if nbytes is not None:
-            total += nbytes
+    total = stream_source_bytes(sdf) or 0
     if total < STREAM_WIDTH_GATE_BYTES:
         return floor
     import math

@@ -30,6 +30,8 @@ from scylladb_redpanda_cdc_spark.streaming.core import (
     scoped_stream_shuffle,
     staged_dir_valid,
     state_file_count,
+    stream_source_bytes,
+    table_bytes,
     tmpdir,
 )
 
@@ -57,7 +59,7 @@ def stage_changelog_stream(
     per (sf_dir, n_files), so it is written once per session and reused."""
     cache_key = (spark.sparkContext.applicationId, sf_dir, n_files)
     if not staged_dir_valid(_staged_changelogs.get(cache_key)):
-        stage = tmpdir("changelog")
+        stage = tmpdir("changelog", bytes_hint=table_bytes(spark, sf_dir, "orders"))
         synth_changelog(spark, sf_dir).repartition(n_files).write.mode(
             "overwrite"
         ).parquet(stage)
@@ -132,11 +134,11 @@ def stage_late_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # One pass: write all three stream files via a partitioned layout,
             # then flatten rank=K/part-*.parquet to K.parquet with mtimes
             # pinning the stream order.
-            scratch = tmpdir("late_scratch")
+            scratch = tmpdir("late_scratch", bytes_hint=table_bytes(spark, sf_dir, "events"))
             tagged.withColumn("file_rank", rank).drop("mid_us").repartition(
                 1
             ).write.partitionBy("file_rank").mode("overwrite").parquet(scratch)
-        stage = tmpdir("late_events")
+        stage = tmpdir("late_events", bytes_hint=table_bytes(spark, sf_dir, "events"))
         now = _time.time()
         for i in range(3):
             found = glob.glob(
@@ -183,7 +185,7 @@ def _run_incremental_merge(changes: DataFrame, key_cols: list[str], compact) -> 
     from pyspark.sql import functions as F
 
     spark = changes.sparkSession
-    base = tmpdir("state")
+    base = tmpdir("state", bytes_hint=stream_source_bytes(changes))
     current: dict[str, str | None] = {"path": None}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -343,7 +345,7 @@ def stage_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     if not staged_dir_valid(_staged_doc_streams.get(cache_key)):
-        scratch = tmpdir("docs_scratch")
+        scratch = tmpdir("docs_scratch", bytes_hint=table_bytes(spark, sf_dir, "documents"))
         d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         recrawl = (
             d.filter((F.col("doc_id") % 10).isin(0, 5))
@@ -358,7 +360,7 @@ def stage_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .parquet(scratch)
         )
-        stage = tmpdir("docs_stream")
+        stage = tmpdir("docs_stream", bytes_hint=table_bytes(spark, sf_dir, "documents"))
         now = _time.time()
         for i in range(2):
             found = glob.glob(os.path.join(scratch, f"b={i}", "part-*.parquet"))
@@ -395,8 +397,9 @@ def incremental_dedup_stream(docs: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark = docs.sparkSession
-    out = tmpdir("dedup_out")
-    idx_base = tmpdir("dedup_idx")
+    docs_hint = stream_source_bytes(docs)
+    out = tmpdir("dedup_out", bytes_hint=docs_hint)
+    idx_base = tmpdir("dedup_idx", bytes_hint=docs_hint)
     current: dict[str, str | None] = {"path": None}
 
     def classify(batch_df: DataFrame, batch_id: int) -> None:
@@ -484,8 +487,9 @@ def incremental_mv_stream(
     from pyspark.sql import functions as F
 
     spark = changes.sparkSession
-    state_base = tmpdir("mv_state")
-    mv_base = tmpdir("mv_agg")
+    log_hint = stream_source_bytes(changes)
+    state_base = tmpdir("mv_state", bytes_hint=log_hint)
+    mv_base = tmpdir("mv_agg", bytes_hint=log_hint)
     current: dict[str, str | None] = {"state": None, "mv": None}
     cents = F.floor(F.col("totalprice") * 100).cast("long")
 
@@ -733,9 +737,9 @@ def stage_events_split_stream(
                     os.path.join(sf_dir, "events.parquet")
                 )
             )
-            scratch = tmpdir("evsplit_scratch")
+            scratch = tmpdir("evsplit_scratch", bytes_hint=table_bytes(spark, sf_dir, "events"))
             raw.repartition(n_files).write.mode("overwrite").parquet(scratch)
-        stage = tmpdir("evsplit")
+        stage = tmpdir("evsplit", bytes_hint=table_bytes(spark, sf_dir, "events"))
         now = _time.time()
         parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
         for i, src in enumerate(parts):

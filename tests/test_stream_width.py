@@ -152,3 +152,41 @@ def test_s17_s19_results_invariant_under_forced_adaptive_width(
         forced = _canon(specs[qid].build(spark, sf_dir).toPandas())
         assert forced == expected, qid
         assert expected, qid
+
+
+def test_scratch_routing_by_bytes_hint(monkeypatch):
+    """Corpus-scaled scratch must never land on RAM-backed tmpfs: at or
+    above the gate tmpdir() routes to the disk root; below it (and with
+    no hint — checkpoint/metadata dirs) placement is unchanged. The
+    round-14 ×1000 probe bought this the hard way: ~8 GB state versions
+    on /dev/shm OOM-killed the JVM."""
+    import os
+
+    assert core.tmpdir("hint_none").startswith(core._SCRATCH_ROOT)
+    small = core.SCRATCH_TMPFS_GATE_BYTES - 1
+    assert core.tmpdir("hint_small", bytes_hint=small).startswith(
+        core._SCRATCH_ROOT
+    )
+    big = core.tmpdir("hint_big", bytes_hint=core.SCRATCH_TMPFS_GATE_BYTES)
+    assert big.startswith(core._SCRATCH_DISK_ROOT)
+    if core._SCRATCH_ROOT != core._SCRATCH_DISK_ROOT:
+        assert not big.startswith(core._SCRATCH_ROOT)
+    for d in (big,):
+        os.rmdir(d)
+
+
+def test_bytes_hint_helpers_price_fixture_sources(spark, sf_dir):
+    import os
+
+    nb = core.table_bytes(spark, sf_dir, "events")
+    assert nb == os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    sdf, staged = _staged_stream(spark, sf_dir)
+    assert core.stream_source_bytes(sdf) == core._fs_bytes(spark, staged)
+    assert core.stream_source_bytes(None) is None
+
+
+def test_fixture_staging_stays_on_preferred_root(spark, sf_dir):
+    """Every fixture SF is below the 32 MB gate, so staged transports and
+    state dirs keep today's placement — floors untouched."""
+    sdf, staged = _staged_stream(spark, sf_dir)
+    assert staged.startswith(core._SCRATCH_ROOT)
