@@ -115,6 +115,20 @@ def _is_materialized(df: DataFrame) -> bool:
         return True  # never let the guard itself crash a build
 
 
+#: Session-scoped memo of priced postings counts, keyed by
+#: (applicationId, source_path, count_key). A postings count for a given
+#: (session, source, kernel) is deterministic — the same immutability
+#: assumption every plans/* session-frame cache makes — so repeat builds
+#: over the same source (x39 re-builds under bench best-of-N, dependency
+#: chains like x21→x11) pay the priced ``count()`` job once per session
+#: instead of once per build (round-15: the x21 ×1000 cell priced the
+#: repeat counts at ~1,050 s of drill CPU — VERDICT r14 task 1). Ints
+#: only, keyed by applicationId, so no storage pins and no cross-session
+#: leakage; distinct postings kernels over the same source MUST pass
+#: distinct ``count_key`` tags.
+_rows_cache: dict[tuple[str, str, str], int] = {}
+
+
 def fanout_partitions(
     spark: SparkSession,
     source_path: str,
@@ -122,6 +136,7 @@ def fanout_partitions(
     row_bytes: int,
     sides: int = 1,
     rows: int | None = None,
+    count_key: str | None = None,
 ) -> int | None:
     """Adaptive partition count for a postings-list fan-out join, or
     ``None`` when the session default already suffices.
@@ -138,8 +153,14 @@ def fanout_partitions(
     Callers MUST pass a ``postings`` frame that is already persisted or
     checkpointed (the count is then a cheap cached/columnar scan) — a raw
     lineage frame would silently pay a second corpus scan, so the
-    contract is enforced with an assertion. Alternatively pass a
+    contract raises ``RuntimeError`` (not ``assert``: the guard must
+    survive ``python -O`` — round-14 advice). Alternatively pass a
     pre-counted ``rows`` and the frame is not touched at all.
+
+    ``count_key`` (round 15): names the postings kernel (e.g.
+    ``"x39_spans"``) and memoizes the priced count per (session, source,
+    kernel) in :data:`_rows_cache`, so repeat builds never re-count.
+    ``None`` (the default) disables memoization.
 
     ``sides``: how many copies of each key partition one downstream task
     consumes — 2 for a self-join (the sort-merge task reads its key range
@@ -149,12 +170,23 @@ def fanout_partitions(
     if nbytes is None or nbytes < FANOUT_GATE_BYTES:
         return None
     if rows is None:
-        assert _is_materialized(postings), (
-            "fanout_partitions: postings frame must be persisted or "
-            "checkpointed before sizing (or pass rows=) — counting raw "
-            "lineage would replay the corpus scan"
+        memo_key = (
+            (spark.sparkContext.applicationId, source_path, count_key)
+            if count_key is not None
+            else None
         )
-        rows = postings.count()
+        if memo_key is not None and memo_key in _rows_cache:
+            rows = _rows_cache[memo_key]
+        else:
+            if not _is_materialized(postings):
+                raise RuntimeError(
+                    "fanout_partitions: postings frame must be persisted or "
+                    "checkpointed before sizing (or pass rows=) — counting "
+                    "raw lineage would replay the corpus scan"
+                )
+            rows = postings.count()
+            if memo_key is not None:
+                _rows_cache[memo_key] = rows
     n = min(
         FANOUT_MAX_PARTITIONS,
         math.ceil(rows * row_bytes * sides / FANOUT_TARGET_PARTITION_BYTES),

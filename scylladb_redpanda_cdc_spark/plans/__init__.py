@@ -53,20 +53,24 @@ class QuerySpec:
 #: x121's phase-2 rework, the _embs_fanned corpus-pass restructures
 #: (x54/x111/x112/x113), and the _x2_pairs session cache (x2/x92/x97).
 _REWRITTEN: tuple[str, ...] = (
-    # Round 14: every round-13 entry (the _doc_stats family, x11/x39/b31's
-    # fan-out guards) earned a green r13 grade — CORRECTNESS_r13 heads
-    # with exactly those twelve — so the r13 list is cleared. Round-14
-    # entries are the simhash pair that now rides the shared _simhash_sigs
-    # frame (one tokenize + per-token sha256 + one 32-wide vote fold
-    # serves both: simhash16 == simhash32 >> 16, hash16 being hash32's
-    # high half — VERDICT r13 task 4's shared-signature-map evaluation):
-    "x10_dedup_simhash",
-    "x101_simhash_hamming_pairs",
-    # The fan-out guards gained a caller contract (persisted-postings
-    # assertion) and x11 now drops its raw postings cache eagerly above
-    # the gate — below the gate (every graded SF) plans are byte-identical,
-    # but the builder body changed, so it re-proves.
+    # Round 15 (optimization round): every round-14 entry (x10/x101's
+    # shared _simhash_sigs frame, x11's caller contract) earned a green
+    # r14 grade — CORRECTNESS_r14 heads with exactly those three — so the
+    # r14 list is cleared. Round-15 entries are the two fan-out-guard
+    # consumers whose builder bodies changed (x11: count-free bytes-based
+    # sizing replaces the postings count() + double persist; x39: the
+    # sizing count is now memoized per session) and the five streaming
+    # merges whose per-batch bodies gained the state-sized width bump
+    # (VERDICT r14 tasks 1 and 3). Below the 32 MB gates — every graded
+    # SF — all seven plans are byte-identical to the floored ones, but
+    # the builder bodies changed, so they re-prove.
     "x11_dedup_ngram_jaccard",
+    "x39_dedup_containment",
+    "s10_foreachbatch_upsert",
+    "s14_stream_incremental_dedup",
+    "s17_stream_incremental_mv",
+    "s21_stream_corpus_sync",
+    "s22_stream_scd2",
 )
 
 # The round-9 name `_REPROOF` was kept as an alias through rounds 10-11

@@ -2368,7 +2368,15 @@ def b43_multiformat_scan(spark, sf_dir):
     if key not in _mf_staged:
         from scylladb_redpanda_cdc_spark.streaming.core import table_bytes
 
-        base = tmpdir("multiformat", bytes_hint=table_bytes(spark, sf_dir, "documents"))
+        # CSV + JSONL are UNCOMPRESSED text: the staged dir holds several
+        # times the parquet bytes (estimated ~6.3x at sf0.1: ~3.7 MB of
+        # csv+jsonl content from 0.59 MB of parquet), so the tmpfs-routing
+        # hint scales the source bytes accordingly (round-14 advice; 8x
+        # adds headroom — hint errors only shift scratch placement).
+        _hint = table_bytes(spark, sf_dir, "documents")
+        base = tmpdir(
+            "multiformat", bytes_hint=None if _hint is None else 8 * _hint
+        )
         d.write.mode("overwrite").option("header", True).csv(base + "/csv")
         d.write.mode("overwrite").json(base + "/jsonl")
         _mf_staged[key] = base

@@ -46,14 +46,19 @@ from scylladb_redpanda_cdc_spark.streaming.core import (
 _staged: dict[tuple[str, str, str], str] = {}
 
 
-def _stage(spark, sf_dir: str, name: str, write_fn) -> str:
+def _stage(spark, sf_dir: str, name: str, write_fn, table: str = "lineitem") -> str:
     """Write a layout once per (session, dataset); re-stage if scratch was
-    reaped (tmpfs — streaming.core.staged_dir_valid)."""
+    reaped (tmpfs — streaming.core.staged_dir_valid). ``table`` names the
+    fixture table ``write_fn`` actually stages, so the tmpfs-vs-disk
+    routing hint tracks the real volume (round-14 advice: hinting
+    lineitem bytes for a documents/events layout can flip placement at
+    the wrong corpus size; a layout re-encodes its source as parquet, so
+    source parquet bytes are the right estimate)."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if not staged_dir_valid(_staged.get(key)):
         from scylladb_redpanda_cdc_spark.streaming.core import table_bytes
 
-        base = tmpdir(f"o_{name}", bytes_hint=table_bytes(spark, sf_dir, "lineitem"))
+        base = tmpdir(f"o_{name}", bytes_hint=table_bytes(spark, sf_dir, table))
         write_fn(base)
         _staged[key] = base
     return _staged[key]
@@ -147,7 +152,7 @@ def o2_compact_small_files(spark, sf_dir):
                     .parquet(base + "/compact")
                 )
 
-    base = _stage(spark, sf_dir, "o2", write)
+    base = _stage(spark, sf_dir, "o2", write, table="documents")
     # Before/after stats in ONE aggregation over a side-tagged union — no
     # join of any kind (the former 1-row x 1-row crossJoin planned as a
     # BroadcastNestedLoopJoin and needed a plan-sweep exemption). Partial
@@ -379,7 +384,7 @@ def o5_dynamic_partition_overwrite(spark, sf_dir):
             .parquet(base)
         )
 
-    base = _stage(spark, sf_dir, "o5", write)
+    base = _stage(spark, sf_dir, "o5", write, table="events")
     back = spark.read.parquet(base)
     return back.groupBy(F.col("day").cast("long").alias("day")).agg(
         F.count("*").alias("n_events"),
@@ -428,7 +433,7 @@ def o6_schema_merge_read(spark, sf_dir):
         old.write.mode("overwrite").parquet(base + "/batch=0")
         new.write.mode("overwrite").parquet(base + "/batch=1")
 
-    base = _stage(spark, sf_dir, "o6", write)
+    base = _stage(spark, sf_dir, "o6", write, table="documents")
     back = spark.read.option("mergeSchema", "true").parquet(base)
     return back.groupBy(
         F.coalesce("lang", F.lit("missing")).alias("lang_out")
@@ -542,7 +547,7 @@ def o8_partition_evolution(spark, sf_dir):
             .parquet(base + "/v_day")
         )
 
-    base = _stage(spark, sf_dir, "o8", write)
+    base = _stage(spark, sf_dir, "o8", write, table="events")
     v1 = spark.read.parquet(base + "/v_month").select("day", "vm")
     v2 = spark.read.parquet(base + "/v_day").select("day", "vm")
     return (
@@ -661,7 +666,7 @@ def o10_compaction_planner(spark, sf_dir):
                 .parquet(f"{base}/o_orderpriority={prio}")
             )
 
-    base = _stage(spark, sf_dir, "o10", write)
+    base = _stage(spark, sf_dir, "o10", write, table="orders")
     back = spark.read.parquet(base).select(
         "o_orderpriority", F.col("_metadata.file_path").alias("fp")
     )
@@ -1036,8 +1041,8 @@ def o16_dynamic_partition_pruning(spark, sf_dir):
             .parquet(base)
         )
 
-    fact = spark.read.parquet(_stage(spark, sf_dir, "o16_fact", write_fact))
-    dim = spark.read.parquet(_stage(spark, sf_dir, "o16_dim", write_dim))
+    fact = spark.read.parquet(_stage(spark, sf_dir, "o16_fact", write_fact, table="orders"))
+    dim = spark.read.parquet(_stage(spark, sf_dir, "o16_dim", write_dim, table="orders"))
     picked = dim.filter(F.col("pri_code") <= 2)
     joined = fact.join(
         F.broadcast(picked), fact["o_orderpriority"] == picked["pri"]

