@@ -101,7 +101,17 @@ def _session_shuffle_partitions(spark: SparkSession) -> int:
 def _is_materialized(df: DataFrame) -> bool:
     """True when ``df`` is persisted (any storage level) or backed by a
     checkpoint/LogicalRDD — i.e. counting it will not replay corpus-sized
-    lineage."""
+    lineage.
+
+    Round 16 (VERDICT r15 task 7): the round-14 "bare Relation first
+    line" heuristic admit is GONE — it warned but still admitted frames
+    whose count would re-scan the relation, and exotic single-line plans
+    could slip through it. The contract is now storage-level /
+    checkpoint-evidence only: persisted (any level), or a LogicalRDD
+    root (localCheckpoint/checkpoint/createDataFrame-from-RDD — the
+    shapes ``stage_checkpoint`` produces). Callers with an un-persisted
+    scan pass ``rows=`` instead (or persist first); x39, the sole count
+    caller, always checkpoints its postings."""
     try:
         lvl = df.storageLevel
         if lvl.useMemory or lvl.useDisk:
@@ -110,23 +120,7 @@ def _is_materialized(df: DataFrame) -> bool:
         # default NONE storage level but their analyzed plan is a bare
         # scan of the materialized RDD / checkpoint files.
         plan = df._jdf.queryExecution().analyzed().toString()
-        if "LogicalRDD" in plan:
-            return True
-        if "Relation" in plan.split("\n", 1)[0]:
-            # A bare source scan: the count pays one columnar pass, not
-            # a lineage replay — admitted, but flagged (round-14 advice:
-            # this branch is a heuristic, unlike the two checks above).
-            import warnings
-
-            warnings.warn(
-                "fanout_partitions: postings admitted by the bare-scan "
-                "plan heuristic, not a storage level — the sizing count "
-                "will re-scan the relation",
-                RuntimeWarning,
-                stacklevel=3,
-            )
-            return True
-        return False
+        return "LogicalRDD" in plan
     except Exception:
         return True  # never let the guard itself crash a build
 

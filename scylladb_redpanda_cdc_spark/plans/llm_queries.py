@@ -3178,9 +3178,17 @@ def x61_boilerplate_strip(spark, sf_dir):
 
     Scale shape: two corpus passes by necessity (pass 1 builds the
     100-row boilerplate list — a global artifact; pass 2 strips), with
-    the list BROADCAST; coverage resolution is explode(5 positions per
-    hit) -> distinct (doc, pos) partial agg — overlapping hits collapse
-    map-side, and nothing doc-sized shuffles beyond the hit positions."""
+    the list BROADCAST; coverage resolution is one hit-sized shuffle
+    (doc_id, pos) -> per-doc interval-union fold. Round 16 (§1.2 step 2):
+    the old form exploded 5 covered positions per hit and distinct-ed
+    them — at the ×100 decade the top grams hit most rows of a
+    template-saturated corpus, so the 5× exploded (doc, pos) stream blew
+    the partial-agg hash maps into sort/spill (the probe's 24,830
+    task-second stage). Hit positions are unique per doc (posexplode),
+    so |[p, p+4] ∪ …| is computable exactly by a sorted integer fold:
+    contribution of p = greatest(p+4, end) − greatest(p−1, end) — pure
+    integer algebra, bit-identical to counting distinct covered
+    positions, with nothing exploded and one exchange fewer."""
     d = _docs_fanned(spark, sf_dir)
     toks = d.select("doc_id", words(F.col("text")).alias("ws"))
     top = (
@@ -3193,17 +3201,30 @@ def x61_boilerplate_strip(spark, sf_dir):
     grams = toks.select(
         "doc_id", F.posexplode(word_grams(F.col("ws"), 5)).alias("pos", "gram")
     )
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        zero.alias("cnt"), F.lit(-1).cast("long").alias("end")
+    )
     covered = (
         grams.join(F.broadcast(top.select("gram")), "gram")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_ps"))
         .select(
             "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + 4)).alias(
-                "cov"
-            ),
+            F.aggregate(
+                F.col("_ps"),
+                acc0,
+                lambda acc, p: F.struct(
+                    (
+                        acc["cnt"]
+                        + F.greatest(p + 4, acc["end"])
+                        - F.greatest(p - 1, acc["end"])
+                    ).alias("cnt"),
+                    F.greatest(p + 4, acc["end"]).alias("end"),
+                ),
+                lambda acc: acc["cnt"],
+            ).alias("n_removed"),
         )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_removed"))
     )
     base = toks.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
     return base.join(covered, "doc_id", "left").select(

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from scylladb_redpanda_cdc_spark.operators.cdc import materialize_latest
 from scylladb_redpanda_cdc_spark.sources.changelog import synth_changelog
 from scylladb_redpanda_cdc_spark.streaming.core import (
+    _fs_bytes,
+    batch_source_bytes,
     scoped_conf,
     scoped_state_merge_width,
     scoped_stream_shuffle,
@@ -187,7 +189,7 @@ def _run_incremental_merge(changes: DataFrame, key_cols: list[str], compact) -> 
 
     spark = changes.sparkSession
     base = tmpdir("state", bytes_hint=stream_source_bytes(changes))
-    current: dict[str, str | None] = {"path": None}
+    current: dict[str, str | int | None] = {"path": None, "bytes": 0}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         # Scale shape: the full state is NEVER shuffled. Keys untouched by
@@ -205,9 +207,19 @@ def _run_incremental_merge(changes: DataFrame, key_cols: list[str], compact) -> 
         # volume tracks accumulated STATE, not the arriving batch (a
         # catch-up batch touching most keys re-leads most of the
         # history), so the batch plans under a state-sized width when the
-        # state outgrows the source-sized ambient one. No-op below the
-        # 32 MB gate — fixture plans byte-identical.
-        with scoped_state_merge_width(spark, current["path"]):
+        # state outgrows the ambient one (the continuous-trigger catch-up
+        # posture; the availableNow harness's source-sized ambient width
+        # already covers it). No-op below the 32 MB gate — fixture plans
+        # byte-identical. Round 16: the width is scoped on the BATCH
+        # session too (batch-rooted plans take their width from it —
+        # ADVICE r15), and the state size is the one priced at the last
+        # write, so the hot loop makes no filesystem calls here.
+        with scoped_state_merge_width(
+            spark,
+            current["path"],
+            batch_session=batch_df.sparkSession,
+            prev_bytes=current["bytes"],
+        ):
             _merge_inner(batch_df, batch_id)
 
     def _merge_inner(batch_df: DataFrame, batch_id: int) -> None:
@@ -246,19 +258,30 @@ def _run_incremental_merge(changes: DataFrame, key_cols: list[str], compact) -> 
         # affected adds the window's shuffle partitions, so without a
         # coalesce the state gains ~shuffle.partitions files per batch
         # (compounding read fan-out). Real deployments target file SIZE
-        # here; a fixed small count is the local equivalent.
+        # here; a fixed small count is the local equivalent. Sized from
+        # prev + this batch's contribution (round 16 — the prev-only
+        # estimate lagged the written size by one batch: the r14 ×1000
+        # s22 drill's 302 MB write task).
         merged.coalesce(
-            state_file_count(spark, current["path"], 16)
+            state_file_count(
+                spark,
+                current["path"],
+                16,
+                extra_bytes=batch_source_bytes(ckpt, batch_id),
+                prev_bytes=current["bytes"],
+            )
         ).write.mode("overwrite").parquet(new_path)
         current["path"] = new_path
+        current["bytes"] = _fs_bytes(spark, new_path) or 0
         batch_latest.unpersist()
         if prev is not None:
             prev.unpersist()
 
+    ckpt = tmpdir("ckpt")
     with scoped_stream_shuffle(changes):
         q = (
             changes.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", tmpdir("ckpt"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -411,13 +434,23 @@ def incremental_dedup_stream(docs: DataFrame) -> DataFrame:
     docs_hint = stream_source_bytes(docs)
     out = tmpdir("dedup_out", bytes_hint=docs_hint)
     idx_base = tmpdir("dedup_idx", bytes_hint=docs_hint)
-    current: dict[str, str | None] = {"path": None}
+    current: dict[str, str | int | None] = {"path": None, "bytes": 0}
 
     def classify(batch_df: DataFrame, batch_id: int) -> None:
         # State-sized batch width above the gate (the shuffled-join
         # fallback past BROADCAST_KEY_CAP probes the index, whose volume
-        # tracks the standing state); no-op at every fixture SF.
-        with scoped_state_merge_width(spark, current["path"]):
+        # tracks the standing state); no-op at every fixture SF. Round 16:
+        # scoped on the batch session too — the classify write is rooted
+        # at batch_df, which plans under the stream's CLONED session, so
+        # the outer-session width never reached it (ADVICE r15) — and the
+        # state size is the one priced at the last write (no per-batch
+        # filesystem call).
+        with scoped_state_merge_width(
+            spark,
+            current["path"],
+            batch_session=batch_df.sparkSession,
+            prev_bytes=current["bytes"],
+        ):
             _classify_inner(batch_df, batch_id)
 
     def _classify_inner(batch_df: DataFrame, batch_id: int) -> None:
@@ -455,10 +488,14 @@ def incremental_dedup_stream(docs: DataFrame) -> DataFrame:
             .when(F.col("doc_id") > F.col("first_id"), "dup_in_batch")
             .otherwise("keep")
         )
+        # verdicts are batch-sized: size their file count from the batch's
+        # own priced bytes (round 16 — the index-prev proxy under-sized a
+        # catch-up batch's write by the same one-batch-lag class as s22's)
+        batch_bytes = batch_source_bytes(ckpt, batch_id)
         enriched.select(
             "doc_id", "text_hash", verdict.alias("verdict")
         ).coalesce(
-            state_file_count(spark, current["path"], 4)
+            state_file_count(spark, None, 4, extra_bytes=batch_bytes)
         ).write.mode("append").parquet(out)
         new_hashes = firsts.select("text_hash")
         merged = (
@@ -468,16 +505,24 @@ def incremental_dedup_stream(docs: DataFrame) -> DataFrame:
         )
         new_path = os.path.join(idx_base, f"v{batch_id}")
         merged.coalesce(
-            state_file_count(spark, current["path"], 8)
+            state_file_count(
+                spark,
+                current["path"],
+                8,
+                extra_bytes=batch_bytes,
+                prev_bytes=current["bytes"],
+            )
         ).write.mode("overwrite").parquet(new_path)
         current["path"] = new_path
+        current["bytes"] = _fs_bytes(spark, new_path) or 0
         hashed.unpersist()
         firsts.unpersist()
 
+    ckpt = tmpdir("ckpt")
     with scoped_stream_shuffle(docs):
         q = (
             docs.writeStream.foreachBatch(classify)
-            .option("checkpointLocation", tmpdir("ckpt"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -508,7 +553,12 @@ def incremental_mv_stream(
     log_hint = stream_source_bytes(changes)
     state_base = tmpdir("mv_state", bytes_hint=log_hint)
     mv_base = tmpdir("mv_agg", bytes_hint=log_hint)
-    current: dict[str, str | None] = {"state": None, "mv": None}
+    current: dict[str, str | int | None] = {
+        "state": None,
+        "mv": None,
+        "state_bytes": 0,
+        "mv_bytes": 0,
+    }
     cents = F.floor(F.col("totalprice") * 100).cast("long")
 
     def contrib(df: DataFrame) -> DataFrame:
@@ -520,8 +570,15 @@ def incremental_mv_stream(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         # State-sized batch width above the gate (s10's discipline — see
-        # _run_incremental_merge); no-op at every fixture SF.
-        with scoped_state_merge_width(spark, current["state"]):
+        # _run_incremental_merge); no-op at every fixture SF. Round 16:
+        # scoped on the batch session too, state size from the last
+        # write's pricing (no per-batch filesystem call).
+        with scoped_state_merge_width(
+            spark,
+            current["state"],
+            batch_session=batch_df.sparkSession,
+            prev_bytes=current["state_bytes"],
+        ):
             _merge_inner(batch_df, batch_id)
 
     def _merge_inner(batch_df: DataFrame, batch_id: int) -> None:
@@ -595,24 +652,42 @@ def incremental_mv_stream(
         )
         state_path = os.path.join(state_base, f"v{batch_id}")
         mv_path = os.path.join(mv_base, f"v{batch_id}")
+        batch_bytes = batch_source_bytes(ckpt, batch_id)
         merged.coalesce(
-            state_file_count(spark, current["state"], 16)
+            state_file_count(
+                spark,
+                current["state"],
+                16,
+                extra_bytes=batch_bytes,
+                prev_bytes=current["state_bytes"],
+            )
         ).write.mode("overwrite").parquet(state_path)
+        # the MV is customers-sized: a batch's contribution to it is
+        # bounded by the batch itself, so prev + batch bounds the write
         mv_new.coalesce(
-            state_file_count(spark, current["mv"], 4)
+            state_file_count(
+                spark,
+                current["mv"],
+                4,
+                extra_bytes=batch_bytes,
+                prev_bytes=current["mv_bytes"],
+            )
         ).write.mode("overwrite").parquet(mv_path)
         current["state"] = state_path
         current["mv"] = mv_path
+        current["state_bytes"] = _fs_bytes(spark, state_path) or 0
+        current["mv_bytes"] = _fs_bytes(spark, mv_path) or 0
         batch_latest.unpersist()
         if prev is not None:
             prev.unpersist()
         if affected_old is not None:
             affected_old.unpersist()
 
+    ckpt = tmpdir("ckpt")
     with scoped_stream_shuffle(changes):
         q = (
             changes.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", tmpdir("ckpt"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -645,7 +720,7 @@ def heavy_hitters_stream(docs: DataFrame) -> DataFrame:
 
     spark = docs.sparkSession
     state_base = tmpdir("hh_state")
-    current: dict[str, str | None] = {"path": None}
+    current: dict[str, str | int | None] = {"path": None, "bytes": 0}
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         counts = (
@@ -661,10 +736,17 @@ def heavy_hitters_stream(docs: DataFrame) -> DataFrame:
                 .agg(F.sum("n").alias("n"))
             )
         new_path = os.path.join(state_base, f"v{batch_id}")
+        # vocabulary-sized state: the batch's NEW-token contribution is
+        # zipf-bounded, far under the batch's raw bytes — prev alone (from
+        # the last write's pricing, no filesystem call) is the honest
+        # estimate here
         counts.coalesce(
-            state_file_count(spark, current["path"], 8)
+            state_file_count(
+                spark, current["path"], 8, prev_bytes=current["bytes"]
+            )
         ).write.mode("overwrite").parquet(new_path)
         current["path"] = new_path
+        current["bytes"] = _fs_bytes(spark, new_path) or 0
 
     with scoped_stream_shuffle(docs):
         q = (

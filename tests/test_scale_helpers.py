@@ -108,6 +108,27 @@ def test_unmaterialized_postings_rejected_above_gate(spark, sf_dir, monkeypatch)
     assert scale.fanout_partitions(spark, path, ck, row_bytes=56) == 500
 
 
+def test_bare_relation_refused_above_gate(spark, sf_dir, monkeypatch):
+    """Round 16 (VERDICT r15 task 7): an un-persisted bare source scan is
+    REFUSED, not admitted-with-a-warning — counting it re-scans the
+    relation, exactly what the contract exists to prevent. Storage level
+    or checkpoint evidence (LogicalRDD) are the only admit paths now."""
+    monkeypatch.setattr(scale, "FANOUT_GATE_BYTES", 0)
+    path = os.path.join(sf_dir, "documents.parquet")
+    bare = spark.read.parquet(path)  # bare relation, no storage level
+    assert not scale._is_materialized(bare)
+    with pytest.raises(RuntimeError, match="persisted or"):
+        scale.fanout_partitions(spark, path, bare, row_bytes=56)
+    # persisting the same frame flips the verdict (and rows= still
+    # bypasses the contract entirely)
+    bare2 = spark.read.parquet(path).persist()
+    try:
+        assert scale._is_materialized(bare2)
+    finally:
+        bare2.unpersist()
+    assert scale.fanout_partitions(spark, path, bare, row_bytes=56, rows=10**9)
+
+
 def test_count_key_memoizes_the_priced_count(spark, sf_dir, monkeypatch):
     """count_key= prices the postings count ONCE per (session, source,
     kernel): the second call must return the same width without touching
@@ -137,14 +158,18 @@ def test_count_key_memoizes_the_priced_count(spark, sf_dir, monkeypatch):
         assert scale.fanout_partitions(
             spark, path, Poison(), row_bytes=112, count_key="t_memo"
         ) == 1000
-        # a different kernel tag re-counts (and a poison frame raises
-        # through the materialization contract, proving the miss)
-        with pytest.raises(Exception):
+        # a different kernel tag re-counts: the memo MISS reaches
+        # Poison.count() (its storageLevel raising inside
+        # _is_materialized's try admits the frame), so the specific
+        # poison AssertionError proves the count was attempted — not the
+        # materialization contract's RuntimeError (ADVICE r15: the broad
+        # Exception masked which guard fired)
+        with pytest.raises(AssertionError, match="memo hit must not count"):
             scale.fanout_partitions(
                 spark, path, Poison(), row_bytes=56, count_key="t_memo_other"
             )
-        # no count_key -> no memo read (poison raises again)
-        with pytest.raises(Exception):
+        # no count_key -> no memo read (the count is attempted again)
+        with pytest.raises(AssertionError, match="memo hit must not count"):
             scale.fanout_partitions(spark, path, Poison(), row_bytes=56)
     finally:
         counted.unpersist()

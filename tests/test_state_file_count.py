@@ -69,3 +69,91 @@ def test_count_is_capped_at_4096(spark, tmp_path, monkeypatch):
     spark.range(1000).write.parquet(p)
     monkeypatch.setattr(core, "STATE_TARGET_FILE_BYTES", 1)
     assert core.state_file_count(spark, p, 4) == 4096
+
+
+def test_write_sized_from_prev_plus_batch_contribution(
+    spark, tmp_path, monkeypatch
+):
+    """Round 16 (VERDICT r15 task 1): sizing from the previous version
+    ALONE lags the written size by one batch — the r14 ×1000 s22 drill's
+    302 MB write task was v2 sized from v1 during a 3-batch catch-up.
+    prev + the batch's priced contribution bounds the estimate from
+    above, so the per-task write volume stays at the target for ANY
+    drain shape."""
+    p = str(tmp_path / "v1")
+    spark.range(2000).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("h")
+    ).write.parquet(p)
+    nbytes = _dir_bytes(p)
+    monkeypatch.setattr(core, "STATE_TARGET_FILE_BYTES", max(1, nbytes))
+    # prev alone: one target's worth -> floor wins at floor >= 1..2
+    assert core.state_file_count(spark, p, 1) in (1, 2)
+    # a catch-up batch twice the state doubles the written size: the
+    # count must track prev + batch, not prev alone
+    got = core.state_file_count(spark, p, 1, extra_bytes=2 * nbytes)
+    assert got in (3, 4)  # ceil((nbytes + 2*nbytes)/target) with slack
+    # prev_bytes= skips the filesystem call entirely (missing path must
+    # not degrade the estimate when the caller tracked the size)
+    assert core.state_file_count(
+        spark, str(tmp_path / "never"), 1,
+        extra_bytes=2 * nbytes, prev_bytes=nbytes,
+    ) == got
+    # first write (no prev) is sized from the batch contribution alone
+    assert core.state_file_count(
+        spark, None, 1, extra_bytes=2 * nbytes
+    ) in (2, 3)
+    # fixture discipline unchanged: tiny prev + tiny batch -> floor
+    monkeypatch.setattr(
+        core, "STATE_TARGET_FILE_BYTES", 32 * 1024 * 1024
+    )
+    assert core.state_file_count(spark, p, 16, extra_bytes=1024) == 16
+
+
+def test_batch_source_bytes_prices_each_micro_batch(spark, tmp_path):
+    """The mechanism the prev+batch sizing rests on: the checkpoint's
+    FileStreamSource log records which files each batch admitted (the
+    foreachBatch batch_df itself is a bare LogicalRDD with no file
+    metadata), so batch_source_bytes prices exactly the arriving
+    contribution, per batch, driver-side."""
+    import shutil
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    per_file: list[int] = []
+    for i in range(3):
+        scratch = str(tmp_path / f"scratch{i}")
+        spark.range(100 * (i + 1)).selectExpr(
+            "id", "id * 2 AS v"
+        ).coalesce(1).write.parquet(scratch)
+        (part,) = [
+            f for f in os.listdir(scratch) if f.endswith(".parquet")
+        ]
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.move(os.path.join(scratch, part), dst)
+        mtime = time.time() - 300 + i * 100
+        os.utime(dst, (mtime, mtime))
+        per_file.append(os.path.getsize(dst))
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple[int, int]] = []
+
+    def body(batch_df, bid):
+        seen.append((bid, core.batch_source_bytes(ckpt, bid)))
+
+    sdf = (
+        spark.readStream.schema("id bigint, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(body)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert [b for b, _ in sorted(seen)] == [0, 1, 2]
+    assert [n for _, n in sorted(seen)] == per_file
+    # unpriceable inputs degrade to 0, never raise
+    assert core.batch_source_bytes(ckpt, 99) == 0
+    assert core.batch_source_bytes(str(tmp_path / "nope"), 0) == 0

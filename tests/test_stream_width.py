@@ -191,6 +191,84 @@ def test_state_merge_width_gate_formula_and_ambient_floor(
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def test_state_merge_width_reaches_batch_rooted_plans(
+    spark, sf_dir, monkeypatch
+):
+    """Round 16 (ADVICE r15 medium): foreachBatch hands the body a
+    batch_df bound to the stream's CLONED session, and an executed plan
+    takes its shuffle width from the receiver Dataset's own session — so
+    the round-15 outer-session-only scope silently never reached
+    batch-rooted plans (s14's classify write, the merge unions that
+    reference batch_df). With the gate forced open: inside the scope BOTH
+    sessions carry the state-sized width, a batch-rooted shuffle actually
+    EXECUTES at it, and both confs are restored after."""
+    from pyspark.sql import functions as F
+
+    sdf, staged = _staged_stream(spark, sf_dir)
+    nbytes = core._fs_bytes(spark, staged)
+    monkeypatch.setattr(core, "STREAM_WIDTH_GATE_BYTES", 0)
+    # a width that beats any plausible ambient conf, so the helper fires
+    # both outside and inside the floored stream run
+    target = max(1, nbytes // 48)
+    monkeypatch.setattr(core, "STREAM_TARGET_TASK_SOURCE_BYTES", target)
+    expected = math.ceil(nbytes / target)
+    assert core.state_merge_width(spark, staged) in (expected, None)
+    assert expected > 32
+    outer_before = spark.conf.get("spark.sql.shuffle.partitions")
+    seen: list[tuple] = []
+
+    def body(batch_df, _bid):
+        bs = batch_df.sparkSession
+        with core.scoped_state_merge_width(
+            spark, staged, batch_session=bs, prev_bytes=nbytes
+        ):
+            # AQE coalescing off for the assertion only: the executed
+            # partition count must BE the scoped width, not a
+            # coalesced-down one.
+            with core.scoped_conf(
+                bs, "spark.sql.adaptive.coalescePartitions.enabled", "false"
+            ):
+                n_parts = (
+                    batch_df.groupBy("op")
+                    .agg(F.count("*").alias("n"))
+                    .rdd.getNumPartitions()
+                )
+            seen.append(
+                (
+                    spark.conf.get("spark.sql.shuffle.partitions"),
+                    bs.conf.get("spark.sql.shuffle.partitions"),
+                    n_parts,
+                )
+            )
+        seen.append(
+            (
+                spark.conf.get("spark.sql.shuffle.partitions"),
+                bs.conf.get("spark.sql.shuffle.partitions"),
+            )
+        )
+
+    # run at the fixture floor (width 1) so the ambient width is narrow
+    with core.scoped_shuffle(spark, 1):
+        q = (
+            sdf.writeStream.foreachBatch(body)
+            .option("checkpointLocation", core.tmpdir("smw_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == outer_before
+    inner = [s for s in seen if len(s) == 3]
+    after = [s for s in seen if len(s) == 2]
+    assert inner and after
+    for outer_w, batch_w, n_parts in inner:
+        assert outer_w == str(expected)
+        assert batch_w == str(expected)
+        assert n_parts == expected  # the executed batch-rooted shuffle
+    # restored after the scope: the stream's own (floor) width
+    for outer_w, batch_w in after:
+        assert outer_w == "1" and batch_w == "1"
+
+
 def test_scratch_routing_by_bytes_hint(monkeypatch):
     """Corpus-scaled scratch must never land on RAM-backed tmpfs: at or
     above the gate tmpdir() routes to the disk root; below it (and with
