@@ -52,24 +52,96 @@ BROADCAST_KEY_CAP = int(os.environ.get("SG_BROADCAST_KEY_CAP", "2000000"))
 
 _staged_changelogs: dict[tuple[str, str, int], str] = {}
 
+#: Measured in-flight bytes per orders-parquet byte for the synthesized
+#: changelog's staging write (round-16 ×1000 drill: 6.3 GB shuffled rows
+#: from 1.76 GB of orders parquet = 3.6×; 4 adds headroom — the same
+#: conservative posture as b31's fact-side multiplier, decade-checked
+#: there at ~2.2× actual).
+CHANGELOG_INFLIGHT_MULTIPLIER = int(
+    os.environ.get("SG_CHANGELOG_INFLIGHT_MULTIPLIER", "4")
+)
+
+#: Target in-flight bytes per staging-WRITE task above the gate.
+STAGE_WRITE_TARGET_TASK_BYTES = int(
+    os.environ.get("SG_STAGE_WRITE_TARGET_TASK_BYTES", str(128 * 1024 * 1024))
+)
+
+
+def _changelog_files_per_batch(spark: SparkSession, sf_dir: str, n_files: int) -> int:
+    """How many staged files make up ONE micro-batch of the changelog
+    transport — 1 at every fixture SF (below the 32 MB gate: plans,
+    batch splits and floors byte-identical to the shipped shape), sized
+    so no staging-write task holds more than
+    ~:data:`STAGE_WRITE_TARGET_TASK_BYTES` in flight above it. The
+    round-16 ×1000 drill measured the fixture form (``repartition(
+    n_files)`` = n_files write tasks) at 2,115 MB in-flight per task —
+    the fixed-constant-as-write-width defect class
+    (``state_file_count``'s docstring). Deterministic per (dataset,
+    n_files): driver-side metadata only, so the reader can recompute the
+    trigger cap without the stager threading it through the cache."""
+    from scylladb_redpanda_cdc_spark.streaming.core import (
+        STREAM_WIDTH_GATE_BYTES,
+    )
+
+    src_bytes = table_bytes(spark, sf_dir, "orders") or 0
+    if src_bytes < STREAM_WIDTH_GATE_BYTES:
+        return 1
+    import math
+
+    return max(
+        1,
+        min(
+            256,
+            math.ceil(
+                src_bytes
+                * CHANGELOG_INFLIGHT_MULTIPLIER
+                / (n_files * STAGE_WRITE_TARGET_TASK_BYTES)
+            ),
+        ),
+    )
+
 
 def stage_changelog_stream(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> DataFrame:
-    """Materialize the synthesized CDC log as ``n_files`` parquet files and
-    stream them back one file per micro-batch — a deterministic stand-in for
-    a Kafka topic drained in several polls. The staged log is deterministic
-    per (sf_dir, n_files), so it is written once per session and reused."""
+    """Materialize the synthesized CDC log as ``n_files`` micro-batches of
+    parquet files and stream them back one batch per trigger — a
+    deterministic stand-in for a Kafka topic drained in several polls.
+    The staged log is deterministic per (sf_dir, n_files), so it is
+    written once per session and reused.
+
+    Batch count (``n_files``) is declared semantics; the number of FILES
+    per batch is physical: above the 32 MB gate each batch is
+    ``_changelog_files_per_batch`` files so no staging-write task holds
+    more than the in-flight target (mtimes pin the file→batch grouping;
+    ``maxFilesPerTrigger`` drains one group per micro-batch). The final
+    state is identical for ANY batch split (offset authority — the s18
+    invariance family pins it), so the above-gate regrouping is physical
+    only; below the gate the layout, trigger cap and plans are
+    byte-identical to the shipped fixture shape."""
+    import glob as _glob
+    import time as _time
+
+    inner = _changelog_files_per_batch(spark, sf_dir, n_files)
     cache_key = (spark.sparkContext.applicationId, sf_dir, n_files)
     if not staged_dir_valid(_staged_changelogs.get(cache_key)):
         stage = tmpdir("changelog", bytes_hint=table_bytes(spark, sf_dir, "orders"))
-        synth_changelog(spark, sf_dir).repartition(n_files).write.mode(
+        synth_changelog(spark, sf_dir).repartition(n_files * inner).write.mode(
             "overwrite"
         ).parquet(stage)
+        if inner > 1:
+            # pin file→batch grouping: part files sort in partition
+            # order; give batch i's files mtimes strictly older than
+            # batch i+1's so oldest-first draining groups them.
+            now = _time.time()
+            parts = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+            for j, p in enumerate(parts):
+                mtime = now - 600 + (j // inner) * 60 + (j % inner)
+                os.utime(p, (mtime, mtime))
         _staged_changelogs[cache_key] = stage
     return (
         spark.readStream.schema(CHANGELOG_STREAM_DDL)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", inner)
         .parquet(_staged_changelogs[cache_key])
     )
 

@@ -269,6 +269,63 @@ def test_state_merge_width_reaches_batch_rooted_plans(
         assert outer_w == "1" and batch_w == "1"
 
 
+def test_changelog_staging_bounds_write_tasks_above_gate(
+    spark, sf_dir, monkeypatch
+):
+    """Round 16: the changelog transport's staging write ran at
+    ``repartition(n_files)`` — n_files tasks each holding corpus/n_files
+    in flight (measured 2,115 MB/task at the ×1000 drill). Above the
+    gate each micro-batch is now `_changelog_files_per_batch` files
+    (mtime-grouped, maxFilesPerTrigger drains one group per trigger);
+    batch COUNT — the declared semantics — is unchanged, and so is the
+    drained row set. Below the gate (every fixture SF) inner == 1 and
+    the layout is byte-identical to the shipped shape."""
+    import glob
+    import os
+
+    from scylladb_redpanda_cdc_spark.sources.changelog import synth_changelog
+    from scylladb_redpanda_cdc_spark.streaming import ops
+
+    # fixture discipline: below the gate one file per batch
+    assert ops._changelog_files_per_batch(spark, sf_dir, 3) == 1
+    n_files = 5  # a key no other test stages, so the cache stays clean
+    monkeypatch.setattr(core, "STREAM_WIDTH_GATE_BYTES", 0)
+    src = core.table_bytes(spark, sf_dir, "orders")
+    monkeypatch.setattr(
+        ops,
+        "STAGE_WRITE_TARGET_TASK_BYTES",
+        max(1, src * ops.CHANGELOG_INFLIGHT_MULTIPLIER // (n_files * 3)),
+    )
+    inner = ops._changelog_files_per_batch(spark, sf_dir, n_files)
+    assert inner >= 3
+    key = (spark.sparkContext.applicationId, sf_dir, n_files)
+    ops._staged_changelogs.pop(key, None)
+    try:
+        sdf = ops.stage_changelog_stream(spark, sf_dir, n_files=n_files)
+        staged = ops._staged_changelogs[key]
+        parts = sorted(glob.glob(os.path.join(staged, "part-*.parquet")))
+        assert len(parts) == n_files * inner
+        # mtimes group consecutive `inner` files into one batch
+        mts = [os.path.getmtime(p) for p in parts]
+        assert mts == sorted(mts)
+        batches: list[int] = []
+
+        def body(batch_df, _bid):
+            batches.append(batch_df.count())
+
+        q = (
+            sdf.writeStream.foreachBatch(body)
+            .option("checkpointLocation", core.tmpdir("clg_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(batches) == n_files  # batch count is declared semantics
+        assert sum(batches) == synth_changelog(spark, sf_dir).count()
+    finally:
+        ops._staged_changelogs.pop(key, None)
+
+
 def test_scratch_routing_by_bytes_hint(monkeypatch):
     """Corpus-scaled scratch must never land on RAM-backed tmpfs: at or
     above the gate tmpdir() routes to the disk root; below it (and with
